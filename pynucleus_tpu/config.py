@@ -1,0 +1,38 @@
+"""Global configuration for the TPU-native nonlocal FEM framework.
+
+The reference library (PyNucleus, see /root/reference/base/PyNucleus_base/myTypes64.pyx:10-13)
+fixes REAL=float64, INDEX=int32.  We keep float64 for quadrature and solves
+(discretization parity with the reference test caches) and enable JAX x64 at
+import time.  Performance-critical paths may downcast locally.
+"""
+import os
+
+# Must run before any jax array is created.
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import jax.numpy as jnp
+
+REAL = np.float64
+INDEX = np.int32
+COMPLEX = np.complex128
+
+JREAL = jnp.float64
+JINDEX = jnp.int32
+JCOMPLEX = jnp.complex128
+
+# Tag conventions, mirroring the reference's DoF numbering convention
+# (fem/PyNucleus_fem/DoFMaps.pyx: interior dofs >= 0, boundary dofs < 0).
+PHYSICAL = 1
+INTERIOR_NONOVERLAPPING = 2
+INTERIOR = 3
+NO_BOUNDARY = -1234
+
+
+def is_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False

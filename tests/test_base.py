@@ -1,0 +1,106 @@
+"""Tests for base operator formats and solvers (counterpart of the reference's
+tests/test_base.py tier-1 unit tests)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from pynucleus_tpu.base import (
+    Dense_LinearOperator, Diagonal_LinearOperator, CSR_LinearOperator,
+    SSS_LinearOperator, identityOperator, solverFactory)
+
+
+def laplace1d(n):
+    import scipy.sparse as sp
+    A = sp.diags([-1, 2, -1], [-1, 0, 1], shape=(n, n), format='csr')
+    return A
+
+
+@pytest.fixture
+def spd():
+    n = 50
+    A = laplace1d(n)
+    rng = np.random.RandomState(123)
+    b = rng.rand(n)
+    x_ex = np.linalg.solve(A.toarray(), b)
+    return A, b, x_ex
+
+
+def test_dense_matvec(spd):
+    A, b, x_ex = spd
+    op = Dense_LinearOperator(jnp.asarray(A.toarray()))
+    assert np.allclose(np.asarray(op @ jnp.asarray(x_ex)), b)
+    assert np.allclose(op.toarray(), A.toarray())
+    assert np.allclose(np.asarray(op.diagonal), A.diagonal())
+
+
+def test_csr_matvec(spd):
+    A, b, x_ex = spd
+    op = CSR_LinearOperator.from_scipy(A)
+    assert np.allclose(np.asarray(op @ jnp.asarray(x_ex)), b)
+    assert np.allclose(op.toarray(), A.toarray())
+    assert np.allclose(np.asarray(op.diagonal), A.diagonal())
+    assert np.allclose(np.asarray(op.T @ jnp.asarray(x_ex)), A.T @ x_ex)
+
+
+def test_sss_matvec(spd):
+    A, b, x_ex = spd
+    import scipy.sparse as sp
+    L = sp.tril(A, k=-1).tocsr()
+    op = SSS_LinearOperator(L.indices, L.indptr, L.data, A.diagonal())
+    assert np.allclose(op.toarray(), A.toarray())
+    assert np.allclose(np.asarray(op @ jnp.asarray(x_ex)), b)
+
+
+def test_operator_algebra(spd):
+    A, b, x_ex = spd
+    op = Dense_LinearOperator(jnp.asarray(A.toarray()))
+    I = identityOperator(A.shape[0])
+    x = jnp.asarray(x_ex)
+    combo = op + 2.0 * I
+    assert np.allclose(np.asarray(combo @ x), A @ x_ex + 2 * x_ex)
+    prod = op * op
+    assert np.allclose(np.asarray(prod @ x), A @ (A @ x_ex), atol=1e-12)
+    diag = Diagonal_LinearOperator(jnp.asarray(A.diagonal()))
+    assert np.allclose(np.asarray((op - diag) @ x),
+                       (A.toarray() - np.diag(A.diagonal())) @ x_ex)
+
+
+@pytest.mark.parametrize('name', ['lu', 'chol', 'cg', 'bicgstab', 'gmres'])
+def test_solvers(spd, name):
+    A, b, x_ex = spd
+    op = Dense_LinearOperator(jnp.asarray(A.toarray()))
+    s = solverFactory.build(name, A=op, setup=True)
+    if hasattr(s, 'tolerance'):
+        s.tolerance = 1e-10
+        s.maxIter = 500
+        if name == 'gmres':
+            s.maxIter = 50
+            s.restarts = 10
+    x = s.solve(jnp.asarray(b))
+    assert np.allclose(np.asarray(x), x_ex, atol=1e-6), \
+        np.abs(np.asarray(x) - x_ex).max()
+
+
+@pytest.mark.parametrize('name', ['cg-jacobi', 'gmres-jacobi', 'bicgstab-jacobi'])
+def test_preconditioned_solvers(spd, name):
+    A, b, x_ex = spd
+    op = Dense_LinearOperator(jnp.asarray(A.toarray()))
+    s = solverFactory.build(name, A=op, setup=True)
+    s.tolerance = 1e-10
+    s.maxIter = 500
+    if name.startswith('gmres'):
+        s.maxIter = 50
+        s.restarts = 10
+    x = s.solve(jnp.asarray(b))
+    assert np.allclose(np.asarray(x), x_ex, atol=1e-6)
+
+
+def test_cg_iteration_count(spd):
+    A, b, x_ex = spd
+    op = Dense_LinearOperator(jnp.asarray(A.toarray()))
+    s = solverFactory.build('cg', A=op, setup=True)
+    s.tolerance = 1e-8
+    s.maxIter = 200
+    s.solve(jnp.asarray(b))
+    assert s.iterations <= 50  # 1D Laplace: CG converges in <= n iters
+    assert len(s.residuals) == s.iterations + 1
