@@ -1,0 +1,14 @@
+from .meshes import (  # noqa: F401
+    simplexMesh, meshFactory, simpleInterval, intervalWithInteraction,
+    simpleSquare, uniformSquare, squareWithInteractions, circle,
+    discWithInteraction, PHYSICAL, INTERIOR, NO_BOUNDARY)
+from .functions import (  # noqa: F401
+    function, constant, Lambda, monomial, squareIndicator, radialIndicator,
+    solFractional, functionFactory)
+from .dofmaps import (  # noqa: F401
+    DoFMap, P0_DoFMap, P1_DoFMap, P2_DoFMap, P3_DoFMap, dofmapFactory,
+    fe_vector, str2DoFMap)
+from .assembly import (  # noqa: F401
+    assembleMass, assembleStiffness, assembleRHS, buildSparsityPattern,
+    scatterToCSR)
+from .quadrature import gauss01, gaussJacobi01, simplexDuffy  # noqa: F401

@@ -1,0 +1,176 @@
+"""Local FEM assembly: mass, stiffness, RHS as batched einsums.
+
+Counterpart of /root/reference/fem/PyNucleus_fem/femCy.pyx (assembleMatrix,
+assembleRHS and the generated mass_*/stiffness_* tables).  Instead of per-cell
+C loops with hardcoded element tables, element matrices are computed for ALL
+cells at once with einsums over static shape-function tables (MXU-friendly),
+then scattered into CSR slots with a segment-sum (the device analogue of the
+reference's sparsityPattern.freeze + addToEntry flow).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import scipy.sparse as sp
+
+from ..config import REAL, INDEX
+from ..base.linear_operators import CSR_LinearOperator, Dense_LinearOperator, SSS_LinearOperator
+from .dofmaps import DoFMap, fe_vector
+from .quadrature import simplexDuffy
+
+__all__ = ['assembleMass', 'assembleStiffness', 'assembleRHS',
+           'assembleSurfaceMass', 'buildSparsityPattern', 'scatterToCSR']
+
+
+def _geometry(mesh):
+    """Simplex volumes and barycentric gradients.
+    Returns vol [C], gradLam [C, m+1, dim]."""
+    V = mesh.vertices[mesh.cells]              # [C, m+1, dim]
+    m = mesh.manifold_dim
+    span = V[:, 1:, :] - V[:, :1, :]           # [C, m, dim]
+    if m == mesh.dim:
+        det = np.linalg.det(span)
+        fac = {1: 1.0, 2: 0.5, 3: 1.0 / 6.0}[m]
+        vol = np.abs(det) * fac
+        inv = np.linalg.inv(span)              # [C, dim, m] == inv of span rows
+        # x = v0 + xi @ span  =>  dxi/dx = inv(span) with xi row vec:
+        # grad xi_k = inv[:, :, k]
+        gradLam = np.zeros((V.shape[0], m + 1, mesh.dim))
+        gradLam[:, 1:, :] = np.transpose(inv, (0, 2, 1))
+        gradLam[:, 0, :] = -gradLam[:, 1:, :].sum(axis=1)
+    else:
+        G = np.einsum('cid,cjd->cij', span, span)
+        det = np.linalg.det(G) if m > 1 else G[:, :, 0]
+        fac = {1: 1.0, 2: 0.5, 3: 1.0 / 6.0}[m]
+        vol = np.sqrt(np.abs(det)).reshape(-1) * fac
+        gradLam = None
+    return vol, gradLam
+
+
+def buildSparsityPattern(dm: DoFMap, dm2: DoFMap = None):
+    """Sparsity of sum_c outer(dofs_c, dofs_c); returns (csr_pattern, slotIdx)
+    where slotIdx [C, dpe, dpe] maps each local contribution to its nnz slot
+    (or -1 for dropped boundary rows/cols).  Host-side, built once
+    (ref base sparsityPattern.pyx freeze)."""
+    dofs1 = dm.dofs
+    dofs2 = dofs1 if dm2 is None else dm2.dofs
+    C, dpe1 = dofs1.shape
+    dpe2 = dofs2.shape[1]
+    I = np.repeat(dofs1, dpe2, axis=1).reshape(C, dpe1, dpe2)
+    J = np.tile(dofs2, (1, dpe1)).reshape(C, dpe1, dpe2)
+    mask = (I >= 0) & (J >= 0)
+    rows = I[mask]
+    cols = J[mask]
+    n1 = dm.num_dofs
+    n2 = n1 if dm2 is None else dm2.num_dofs
+    # unique (r, c) pairs in lexicographic order == CSR order with sorted
+    # per-row indices; 'inverse' gives each contribution its nnz slot.
+    key = rows.astype(np.int64) * n2 + cols.astype(np.int64)
+    uniq, inverse = np.unique(key, return_inverse=True)
+    u_rows = (uniq // n2).astype(INDEX)
+    u_cols = (uniq % n2).astype(INDEX)
+    indptr = np.zeros(n1 + 1, dtype=np.int64)
+    np.add.at(indptr, u_rows + 1, 1)
+    indptr = np.cumsum(indptr)
+    pat = sp.csr_matrix((np.zeros(len(uniq)), u_cols, indptr), shape=(n1, n2))
+    slot = np.full((C, dpe1, dpe2), -1, dtype=np.int64)
+    slot[mask] = inverse
+    return pat, slot
+
+
+def scatterToCSR(pat, slot, vals, symmetricize=False):
+    """vals [C, dpe, dpe] device array -> CSR operator with device data."""
+    nnz = pat.indptr[-1]
+    flat_slot = jnp.asarray(np.where(slot.reshape(-1) >= 0,
+                                     slot.reshape(-1), nnz), dtype=INDEX)
+    data = jax.ops.segment_sum(vals.reshape(-1), flat_slot,
+                               num_segments=nnz + 1)[:nnz]
+    op = CSR_LinearOperator(pat.indices, pat.indptr, data,
+                            num_columns=pat.shape[1])
+    return op
+
+
+def assembleMass(dm: DoFMap, coefficient=None, sss_format=False,
+                 qOrder=None, dense=False):
+    """Mass matrix (ref DoFMaps.assembleMass -> femCy mass tables)."""
+    mesh = dm.mesh
+    m = mesh.manifold_dim
+    p = max(dm.polynomialOrder, 1)
+    order = qOrder if qOrder is not None else 2 * p + 2
+    bary, w = simplexDuffy(order, m)
+    PHI = dm.evalPhi(bary)                     # [dpe, Q]
+    vol, _ = _geometry(mesh)
+    if coefficient is not None:
+        # evaluate coefficient at quad points
+        V = mesh.vertices[mesh.cells]
+        X = np.einsum('qk,ckd->cqd', bary, V)
+        cvals = coefficient(X.reshape(-1, mesh.dim)).reshape(X.shape[0], -1)
+        Mloc = np.einsum('c,q,cq,iq,jq->cij', vol, w, cvals, PHI, PHI)
+    else:
+        Mref = np.einsum('q,iq,jq->ij', w, PHI, PHI)
+        Mloc = vol[:, None, None] * Mref[None, :, :]
+    pat, slot = buildSparsityPattern(dm)
+    if dense:
+        A = np.zeros((dm.num_dofs, dm.num_dofs))
+        d = dm.dofs
+        for c in range(mesh.num_cells):
+            for i in range(d.shape[1]):
+                if d[c, i] < 0:
+                    continue
+                for j in range(d.shape[1]):
+                    if d[c, j] < 0:
+                        continue
+                    A[d[c, i], d[c, j]] += Mloc[c, i, j]
+        return Dense_LinearOperator(jnp.asarray(A))
+    return scatterToCSR(pat, slot, jnp.asarray(Mloc))
+
+
+def assembleStiffness(dm: DoFMap, coefficient=None, qOrder=None):
+    """Stiffness matrix int grad(phi_i).grad(phi_j)
+    (ref DoFMaps.assembleStiffness -> femCy stiffness tables)."""
+    mesh = dm.mesh
+    m = mesh.manifold_dim
+    assert m == mesh.dim, 'stiffness on manifold meshes not supported'
+    p = max(dm.polynomialOrder, 1)
+    order = qOrder if qOrder is not None else max(2 * (p - 1) + 2, 2)
+    bary, w = simplexDuffy(order, m)
+    DPHI = dm.evalGradPhi(bary)                # [dpe, Q, m+1]
+    vol, gradLam = _geometry(mesh)             # [C], [C, m+1, dim]
+    # grad phi_i(x_q) in cell c: sum_k DPHI[i,q,k] gradLam[c,k,:]
+    if coefficient is not None:
+        V = mesh.vertices[mesh.cells]
+        X = np.einsum('qk,ckd->cqd', bary, V)
+        cvals = coefficient(X.reshape(-1, mesh.dim)).reshape(X.shape[0], -1)
+        Kloc = np.einsum('c,q,cq,iqk,ckd,jql,cld->cij', vol, w, cvals,
+                         DPHI, gradLam, DPHI, gradLam, optimize=True)
+    else:
+        Kloc = np.einsum('c,q,iqk,ckd,jql,cld->cij', vol, w,
+                         DPHI, gradLam, DPHI, gradLam, optimize=True)
+    pat, slot = buildSparsityPattern(dm)
+    return scatterToCSR(pat, slot, jnp.asarray(Kloc))
+
+
+def assembleRHS(dm: DoFMap, fun, qOrder=None):
+    """Load vector b_i = int f phi_i (ref femCy.assembleRHS)."""
+    mesh = dm.mesh
+    m = mesh.manifold_dim
+    p = max(dm.polynomialOrder, 1)
+    order = qOrder if qOrder is not None else 2 * p + 3
+    bary, w = simplexDuffy(order, m)
+    PHI = dm.evalPhi(bary)                     # [dpe, Q]
+    vol, _ = _geometry(mesh)
+    V = mesh.vertices[mesh.cells]
+    X = np.einsum('qk,ckd->cqd', bary, V)      # [C, Q, dim]
+    fvals = fun(X.reshape(-1, mesh.dim)).reshape(X.shape[0], X.shape[1])
+    bloc = np.einsum('c,q,cq,iq->ci', vol, w, fvals, PHI)   # [C, dpe]
+    b = np.zeros(dm.num_dofs, dtype=REAL)
+    d = dm.dofs
+    mask = d >= 0
+    np.add.at(b, d[mask], bloc[mask])
+    return fe_vector(jnp.asarray(b), dm)
+
+
+def assembleSurfaceMass(dm: DoFMap, surface):
+    raise NotImplementedError('surface mass lands with the Neumann problems')

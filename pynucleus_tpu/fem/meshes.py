@@ -1,0 +1,611 @@
+"""Simplex meshes (1D/2D/3D), uniform refinement, boundary tagging, mesh zoo.
+
+Counterpart of /root/reference/fem/PyNucleus_fem/meshCy.pyx (meshBase, refine)
+and mesh.py (mesh zoo, meshNd, surface meshes).  Host-side numpy throughout —
+mesh setup is irregular and happens once; device code only ever sees index
+arrays derived from it.
+
+Tag conventions follow the reference (fem/PyNucleus_fem/mesh.py:33-40):
+PHYSICAL=0 marks the physical boundary, INTERIOR=-2 artificial interior
+boundaries, NO_BOUNDARY selects nothing.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import REAL, INDEX
+from ..base.factory import factory
+
+PHYSICAL = 0
+INTERIOR_NONOVERLAPPING = -1
+INTERIOR = -2
+NO_BOUNDARY = np.iinfo(np.int32).min
+DIRICHLET_EXTERIOR = 1  # tag for interaction-domain (exterior) vertices
+DIRICHLET_INTERIOR = 2
+
+__all__ = ['simplexMesh', 'meshFactory', 'simpleInterval', 'intervalWithInteraction',
+           'simpleSquare', 'uniformSquare', 'squareWithInteractions', 'circle',
+           'discWithInteraction', 'PHYSICAL', 'INTERIOR', 'NO_BOUNDARY',
+           'gradedIntervalTransform', 'doubleIntervalWithInteractions']
+
+
+class simplexMesh:
+    """vertices [V, dim] float64, cells [C, manifold_dim+1] int32."""
+
+    def __init__(self, vertices, cells, dim=None):
+        self.vertices = np.ascontiguousarray(vertices, dtype=REAL)
+        self.cells = np.ascontiguousarray(cells, dtype=INDEX)
+        self.dim = dim if dim is not None else self.vertices.shape[1]
+        self.manifold_dim = self.cells.shape[1] - 1
+        self.transformer = None
+        self._boundaryVertices = None
+        self._boundaryVertexTags = None
+        self._boundaryEdges = None
+        self._boundaryEdgeTags = None
+        self._boundaryFaces = None
+        self._boundaryFaceTags = None
+
+    # ------------------------------------------------------------------ sizes
+    @property
+    def num_vertices(self):
+        return self.vertices.shape[0]
+
+    @property
+    def num_cells(self):
+        return self.cells.shape[0]
+
+    # --------------------------------------------------------------- geometry
+    def simplexVolumes(self):
+        V = self.vertices[self.cells]                      # [C, m+1, dim]
+        m = self.manifold_dim
+        span = V[:, 1:, :] - V[:, :1, :]                   # [C, m, dim]
+        if m == 0:
+            return np.ones(self.num_cells, dtype=REAL)
+        if m == self.dim:
+            det = np.linalg.det(span)
+            fac = {1: 1.0, 2: 0.5, 3: 1.0 / 6.0}[m]
+            return np.abs(det) * fac
+        # manifold simplices (surface meshes)
+        G = np.einsum('cid,cjd->cij', span, span)
+        det = np.linalg.det(G) if m > 1 else G[:, 0, 0]
+        fac = {1: 1.0, 2: 0.5, 3: 1.0 / 6.0}[m]
+        return np.sqrt(np.abs(det)) * fac
+
+    @property
+    def volumes(self):
+        return self.simplexVolumes()
+
+    @property
+    def volume(self):
+        return float(self.simplexVolumes().sum())
+
+    def edgeLengths(self):
+        V = self.vertices[self.cells]
+        m = self.manifold_dim
+        ls = []
+        for i in range(m + 1):
+            for j in range(i + 1, m + 1):
+                ls.append(np.linalg.norm(V[:, i, :] - V[:, j, :], axis=1))
+        return np.stack(ls, axis=1)  # [C, numEdges]
+
+    @property
+    def h(self):
+        return float(self.edgeLengths().max())
+
+    @property
+    def hmin(self):
+        return float(self.edgeLengths().min())
+
+    @property
+    def diam(self):
+        lo = self.vertices.min(axis=0)
+        hi = self.vertices.max(axis=0)
+        return float(np.linalg.norm(hi - lo))
+
+    # --------------------------------------------------------------- boundary
+    def computeBoundary(self):
+        """Find boundary facets (appear in exactly one cell) and derive
+        boundary vertices/edges.  Sets default PHYSICAL tags if untagged."""
+        m = self.manifold_dim
+        if m == 1:
+            # facets = vertices
+            counts = np.zeros(self.num_vertices, dtype=np.int64)
+            np.add.at(counts, self.cells.ravel(), 1)
+            bv = np.nonzero(counts == 1)[0].astype(INDEX)
+            self._boundaryVertices = bv
+            if self._boundaryVertexTags is None or \
+                    len(self._boundaryVertexTags) != len(bv):
+                self._boundaryVertexTags = np.full(len(bv), PHYSICAL, dtype=np.int64)
+        elif m == 2:
+            edges = np.concatenate([self.cells[:, [0, 1]],
+                                    self.cells[:, [1, 2]],
+                                    self.cells[:, [2, 0]]], axis=0)
+            se = np.sort(edges, axis=1)
+            uniq, inv, counts = np.unique(se, axis=0, return_inverse=True,
+                                          return_counts=True)
+            bEdges = uniq[counts == 1].astype(INDEX)
+            self._boundaryEdges = bEdges
+            if self._boundaryEdgeTags is None or \
+                    len(self._boundaryEdgeTags) != len(bEdges):
+                self._boundaryEdgeTags = np.full(len(bEdges), PHYSICAL, dtype=np.int64)
+            bv = np.unique(bEdges.ravel()).astype(INDEX)
+            self._boundaryVertices = bv
+            if self._boundaryVertexTags is None or \
+                    len(self._boundaryVertexTags) != len(bv):
+                # vertex tag = max over incident boundary edge tags
+                tagmap = {}
+                for e, t in zip(bEdges, self._boundaryEdgeTags):
+                    for v in e:
+                        tagmap[v] = max(tagmap.get(v, -10 ** 9), t)
+                self._boundaryVertexTags = np.array(
+                    [tagmap[v] for v in bv], dtype=np.int64)
+        elif m == 3:
+            faces = np.concatenate([self.cells[:, [0, 1, 2]],
+                                    self.cells[:, [0, 1, 3]],
+                                    self.cells[:, [1, 2, 3]],
+                                    self.cells[:, [0, 2, 3]]], axis=0)
+            sf = np.sort(faces, axis=1)
+            uniq, counts = np.unique(sf, axis=0, return_counts=True)
+            bFaces = uniq[counts == 1].astype(INDEX)
+            self._boundaryFaces = bFaces
+            if self._boundaryFaceTags is None or \
+                    len(self._boundaryFaceTags) != len(bFaces):
+                self._boundaryFaceTags = np.full(len(bFaces), PHYSICAL, dtype=np.int64)
+            bEdges = np.concatenate([bFaces[:, [0, 1]], bFaces[:, [1, 2]],
+                                     bFaces[:, [0, 2]]], axis=0)
+            bEdges = np.unique(np.sort(bEdges, axis=1), axis=0).astype(INDEX)
+            self._boundaryEdges = bEdges
+            self._boundaryEdgeTags = np.full(len(bEdges), PHYSICAL, dtype=np.int64)
+            bv = np.unique(bFaces.ravel()).astype(INDEX)
+            self._boundaryVertices = bv
+            self._boundaryVertexTags = np.full(len(bv), PHYSICAL, dtype=np.int64)
+
+    @property
+    def boundaryVertices(self):
+        if self._boundaryVertices is None:
+            self.computeBoundary()
+        return self._boundaryVertices
+
+    @property
+    def boundaryVertexTags(self):
+        if self._boundaryVertexTags is None:
+            self.computeBoundary()
+        return self._boundaryVertexTags
+
+    @property
+    def boundaryEdges(self):
+        if self._boundaryEdges is None:
+            self.computeBoundary()
+        return self._boundaryEdges
+
+    @property
+    def boundaryEdgeTags(self):
+        if self._boundaryEdgeTags is None:
+            self.computeBoundary()
+        return self._boundaryEdgeTags
+
+    def tagBoundaryVertices(self, tagFunc):
+        bv = self.boundaryVertices
+        self._boundaryVertexTags = np.array(
+            [tagFunc(self.vertices[v]) for v in bv], dtype=np.int64)
+
+    def tagBoundaryEdges(self, tagFunc):
+        be = self.boundaryEdges
+        self._boundaryEdgeTags = np.array(
+            [tagFunc(self.vertices[e[0]], self.vertices[e[1]]) for e in be],
+            dtype=np.int64)
+        # propagate to vertices
+        tagmap = {}
+        for e, t in zip(be, self._boundaryEdgeTags):
+            for v in e:
+                tagmap[v] = max(tagmap.get(v, -10 ** 9), t)
+        self._boundaryVertexTags = np.array(
+            [tagmap[v] for v in self.boundaryVertices], dtype=np.int64)
+
+    def getBoundaryVerticesByTag(self, tag=None):
+        bv = self.boundaryVertices
+        if tag is None:
+            return bv
+        tags = self.boundaryVertexTags
+        if not isinstance(tag, (list, tuple, np.ndarray)):
+            tag = [tag]
+        if NO_BOUNDARY in tag:
+            return np.array([], dtype=INDEX)
+        mask = np.isin(tags, tag)
+        return bv[mask]
+
+    def getBoundaryEdgesByTag(self, tag=None):
+        be = self.boundaryEdges
+        if be is None:
+            return np.zeros((0, 2), dtype=INDEX)
+        if tag is None:
+            return be
+        tags = self.boundaryEdgeTags
+        if not isinstance(tag, (list, tuple, np.ndarray)):
+            tag = [tag]
+        if NO_BOUNDARY in tag:
+            return np.zeros((0, 2), dtype=INDEX)
+        mask = np.isin(tags, tag)
+        return be[mask]
+
+    # ------------------------------------------------------------- refinement
+    def refine(self, returnLookup=False):
+        """Uniform refinement (red). 1D: bisection; 2D: 4 triangles;
+        3D: 8 tetrahedra (ref meshCy.pyx refineCy1D/2Dhash/3D)."""
+        m = self.manifold_dim
+        if m == 1:
+            newMesh, lookup = self._refine1D()
+        elif m == 2:
+            newMesh, lookup = self._refine2D()
+        elif m == 3:
+            newMesh, lookup = self._refine3D()
+        else:
+            raise NotImplementedError(m)
+        newMesh.transformer = self.transformer
+        if self.transformer is not None:
+            self.transformer(self, newMesh, lookup)
+        self._propagateBoundaryTags(newMesh, lookup)
+        if returnLookup:
+            return newMesh, lookup
+        return newMesh
+
+    def _edgeMidpoints(self, edges):
+        """edges [E,2] sorted-unique; returns midpoint vertex numbers and a
+        lookup dict from sorted tuple -> new vertex index."""
+        mids = 0.5 * (self.vertices[edges[:, 0]] + self.vertices[edges[:, 1]])
+        newIdx = self.num_vertices + np.arange(edges.shape[0], dtype=np.int64)
+        return mids, newIdx
+
+    def _refine1D(self):
+        C = self.num_cells
+        mids = 0.5 * (self.vertices[self.cells[:, 0]] +
+                      self.vertices[self.cells[:, 1]])
+        newV = np.concatenate([self.vertices, mids], axis=0)
+        midIdx = self.num_vertices + np.arange(C)
+        left = np.stack([self.cells[:, 0], midIdx], axis=1)
+        right = np.stack([midIdx, self.cells[:, 1]], axis=1)
+        newC = np.concatenate([left, right], axis=0)
+        lookup = {'edges': np.sort(self.cells, axis=1), 'newIdx': midIdx}
+        return simplexMesh(newV, newC, dim=self.dim), lookup
+
+    def _refine2D(self):
+        cells = self.cells
+        edges = np.concatenate([cells[:, [0, 1]], cells[:, [1, 2]],
+                                cells[:, [2, 0]]], axis=0)
+        se = np.sort(edges, axis=1)
+        uniq, inv = np.unique(se, axis=0, return_inverse=True)
+        mids, newIdx = self._edgeMidpoints(uniq)
+        newV = np.concatenate([self.vertices, mids], axis=0)
+        C = self.num_cells
+        m01 = newIdx[inv[:C]]
+        m12 = newIdx[inv[C:2 * C]]
+        m20 = newIdx[inv[2 * C:]]
+        v0, v1, v2 = cells[:, 0], cells[:, 1], cells[:, 2]
+        newC = np.concatenate([
+            np.stack([v0, m01, m20], axis=1),
+            np.stack([v1, m12, m01], axis=1),
+            np.stack([v2, m20, m12], axis=1),
+            np.stack([m01, m12, m20], axis=1)], axis=0)
+        lookup = {'edges': uniq, 'newIdx': newIdx}
+        return simplexMesh(newV, newC, dim=self.dim), lookup
+
+    def _refine3D(self):
+        cells = self.cells
+        pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        edges = np.concatenate([cells[:, list(p)] for p in pairs], axis=0)
+        se = np.sort(edges, axis=1)
+        uniq, inv = np.unique(se, axis=0, return_inverse=True)
+        mids, newIdx = self._edgeMidpoints(uniq)
+        newV = np.concatenate([self.vertices, mids], axis=0)
+        C = self.num_cells
+        m = {}
+        for k, p in enumerate(pairs):
+            m[p] = newIdx[inv[k * C:(k + 1) * C]]
+        v = [cells[:, i] for i in range(4)]
+        m01, m02, m03 = m[(0, 1)], m[(0, 2)], m[(0, 3)]
+        m12, m13, m23 = m[(1, 2)], m[(1, 3)], m[(2, 3)]
+        newC = np.concatenate([
+            np.stack([v[0], m01, m02, m03], axis=1),
+            np.stack([v[1], m01, m12, m13], axis=1),
+            np.stack([v[2], m02, m12, m23], axis=1),
+            np.stack([v[3], m03, m13, m23], axis=1),
+            # octahedron split along m01-m23 diagonal
+            np.stack([m01, m02, m03, m23], axis=1),
+            np.stack([m01, m02, m12, m23], axis=1),
+            np.stack([m01, m03, m13, m23], axis=1),
+            np.stack([m01, m12, m13, m23], axis=1)], axis=0)
+        lookup = {'edges': uniq, 'newIdx': newIdx}
+        return simplexMesh(newV, newC, dim=self.dim), lookup
+
+    def _propagateBoundaryTags(self, newMesh, lookup):
+        """Carry boundary tags from parent to child mesh by geometry lookup."""
+        if self._boundaryVertexTags is None:
+            return
+        m = self.manifold_dim
+        if m == 1:
+            newMesh.computeBoundary()
+            # boundary vertices identical (endpoints keep indices)
+            oldMap = dict(zip(self.boundaryVertices.tolist(),
+                              self.boundaryVertexTags.tolist()))
+            newMesh._boundaryVertexTags = np.array(
+                [oldMap.get(int(v), PHYSICAL) for v in newMesh.boundaryVertices],
+                dtype=np.int64)
+        elif m == 2:
+            newMesh.computeBoundary()
+            # an old boundary edge (a,b) with midpoint m gives new edges (a,m),(m,b)
+            edgeTag = {}
+            uniq = lookup['edges']
+            newIdx = lookup['newIdx']
+            mid_of = {tuple(e): int(i) for e, i in zip(uniq.tolist(), newIdx.tolist())}
+            for e, t in zip(self.boundaryEdges.tolist(), self.boundaryEdgeTags.tolist()):
+                a, b = sorted(e)
+                mm = mid_of[(a, b)]
+                edgeTag[tuple(sorted((a, mm)))] = t
+                edgeTag[tuple(sorted((mm, b)))] = t
+            newTags = np.array([edgeTag.get(tuple(sorted(e.tolist())), PHYSICAL)
+                                for e in newMesh.boundaryEdges], dtype=np.int64)
+            newMesh._boundaryEdgeTags = newTags
+            tagmap = {}
+            for e, t in zip(newMesh.boundaryEdges, newTags):
+                for vv in e:
+                    tagmap[vv] = max(tagmap.get(vv, -10 ** 9), t)
+            newMesh._boundaryVertexTags = np.array(
+                [tagmap[v] for v in newMesh.boundaryVertices], dtype=np.int64)
+
+    # ----------------------------------------------------------- surface mesh
+    def get_surface_mesh(self, tag=None):
+        """Mesh of boundary facets, with outward orientation info
+        (ref fem mesh.py:2055)."""
+        m = self.manifold_dim
+        if m == 1:
+            bv = self.getBoundaryVerticesByTag(tag)
+            cells = bv.reshape(-1, 1).astype(INDEX)
+            sm = simplexMesh(self.vertices.copy(), cells, dim=self.dim)
+            # outward normal at endpoints: -1 at left boundary, +1 at right
+            # (determined by adjacency: vertex's single cell)
+            normals = np.zeros((len(bv), self.dim), dtype=REAL)
+            counts = {}
+            for c in self.cells:
+                for v in c:
+                    counts[v] = counts.get(v, 0) + 1
+            for k, v in enumerate(bv):
+                # find the cell containing v
+                rows = np.nonzero((self.cells == v).any(axis=1))[0]
+                cell = self.cells[rows[0]]
+                other = cell[cell != v][0]
+                d = self.vertices[v] - self.vertices[other]
+                normals[k] = d / np.linalg.norm(d)
+            sm.normals = normals
+            return sm
+        elif m == 2:
+            be = self.getBoundaryEdgesByTag(tag)
+            sm = simplexMesh(self.vertices.copy(), be.astype(INDEX), dim=self.dim)
+            # outward normals per boundary edge
+            normals = np.zeros((len(be), self.dim), dtype=REAL)
+            # build map edge->cell
+            cells = self.cells
+            alledges = np.concatenate([cells[:, [0, 1]], cells[:, [1, 2]],
+                                       cells[:, [2, 0]]], axis=0)
+            owner = np.concatenate([np.arange(len(cells))] * 3)
+            key = {}
+            for e, o in zip(np.sort(alledges, axis=1).tolist(), owner):
+                key.setdefault(tuple(e), []).append(o)
+            for k, e in enumerate(be):
+                t = self.vertices[e[1]] - self.vertices[e[0]]
+                n = np.array([t[1], -t[0]])
+                n /= np.linalg.norm(n)
+                cellNo = key[tuple(sorted(e.tolist()))][0]
+                center = self.vertices[self.cells[cellNo]].mean(axis=0)
+                mid = 0.5 * (self.vertices[e[0]] + self.vertices[e[1]])
+                if np.dot(n, mid - center) < 0:
+                    n = -n
+                normals[k] = n
+            sm.normals = normals
+            return sm
+        elif m == 3:
+            bf = self._boundaryFaces if self._boundaryFaces is not None else None
+            if bf is None:
+                self.computeBoundary()
+                bf = self._boundaryFaces
+            sm = simplexMesh(self.vertices.copy(), bf.astype(INDEX), dim=self.dim)
+            return sm
+        raise NotImplementedError(m)
+
+    def copy(self):
+        nm = simplexMesh(self.vertices.copy(), self.cells.copy(), dim=self.dim)
+        nm._boundaryVertices = None if self._boundaryVertices is None else self._boundaryVertices.copy()
+        nm._boundaryVertexTags = None if self._boundaryVertexTags is None else self._boundaryVertexTags.copy()
+        nm._boundaryEdges = None if self._boundaryEdges is None else self._boundaryEdges.copy()
+        nm._boundaryEdgeTags = None if self._boundaryEdgeTags is None else self._boundaryEdgeTags.copy()
+        nm.transformer = self.transformer
+        return nm
+
+    def getProjectedCenters(self):
+        return self.vertices[self.cells].mean(axis=1)
+
+    def __repr__(self):
+        return (f'<simplexMesh dim={self.dim} manifold={self.manifold_dim} '
+                f'V={self.num_vertices} C={self.num_cells} h={self.h:.4g}>')
+
+
+# ---------------------------------------------------------------- mesh zoo --
+
+def simpleInterval(a=0.0, b=1.0, numCells=1):
+    vertices = np.linspace(a, b, numCells + 1).reshape(-1, 1)
+    cells = np.stack([np.arange(numCells), np.arange(1, numCells + 1)], axis=1)
+    return simplexMesh(vertices, cells, dim=1)
+
+
+def intervalWithInteraction(a=-1.0, b=1.0, horizon=0.1, h=None, strictInteraction=True):
+    """[a-horizon, b+horizon] with vertices at a, b; interaction-zone vertices
+    tagged DIRICHLET_EXTERIOR (ref fem mesh.py:247)."""
+    if h is None:
+        numCells = 1
+        hh = (b - a)
+    else:
+        numCells = int(np.ceil((b - a) / h))
+        hh = (b - a) / numCells
+    numInt = max(int(np.ceil(horizon / hh)), 1) if horizon > 0 else 0
+    left = a - horizon + (horizon / numInt) * np.arange(numInt) if numInt else np.zeros((0,))
+    mid = a + hh * np.arange(numCells + 1)
+    right = b + (horizon / numInt) * np.arange(1, numInt + 1) if numInt else np.zeros((0,))
+    verts = np.concatenate([left, mid, right]).reshape(-1, 1)
+    n = len(verts)
+    cells = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+    m = simplexMesh(verts, cells, dim=1)
+    return m
+
+
+def simpleSquare(ax=0.0, ay=0.0, bx=1.0, by=1.0):
+    vertices = np.array([[ax, ay], [bx, ay], [bx, by], [ax, by]], dtype=REAL)
+    cells = np.array([[0, 1, 3], [1, 2, 3]], dtype=INDEX)
+    return simplexMesh(vertices, cells, dim=2)
+
+
+def uniformSquare(N=2, M=None, ax=0.0, ay=0.0, bx=1.0, by=1.0, preserveLinesHorizontal=[], preserveLinesVertical=[]):
+    """N x M vertex grid of crossed triangles (ref fem mesh.py:121)."""
+    if M is None:
+        M = N
+    xs = np.linspace(ax, bx, N)
+    ys = np.linspace(ay, by, M)
+    X, Y = np.meshgrid(xs, ys, indexing='ij')
+    vertices = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    def vid(i, j):
+        return i * M + j
+
+    cells = []
+    for i in range(N - 1):
+        for j in range(M - 1):
+            v00, v10 = vid(i, j), vid(i + 1, j)
+            v01, v11 = vid(i, j + 1), vid(i + 1, j + 1)
+            if (i + j) % 2 == 0:
+                cells.append([v00, v10, v11])
+                cells.append([v00, v11, v01])
+            else:
+                cells.append([v10, v11, v01])
+                cells.append([v10, v01, v00])
+    return simplexMesh(vertices, np.array(cells, dtype=INDEX), dim=2)
+
+
+def circle(n=8, radius=1.0, returnFacets=False, projectNodeToOrigin=True, h=None):
+    """Disc mesh: regular n-gon fan, with a radial projection transformer so
+    refinements approach the circle (ref fem mesh.py circle + radialMeshTransformer)."""
+    if h is not None:
+        n = max(int(np.ceil(2 * np.pi * radius / h)), 4)
+    angles = 2 * np.pi * np.arange(n) / n
+    ring = radius * np.stack([np.cos(angles), np.sin(angles)], axis=1)
+    vertices = np.concatenate([np.zeros((1, 2)), ring], axis=0)
+    cells = np.array([[0, 1 + i, 1 + (i + 1) % n] for i in range(n)], dtype=INDEX)
+    m = simplexMesh(vertices, cells, dim=2)
+    m.transformer = radialMeshTransformer(radius)
+    return m
+
+
+class radialMeshTransformer:
+    """After refinement, project new vertices whose parent edge endpoints both
+    lie on a circle of the same radius back onto that circle
+    (ref fem meshCy.pyx:34 radialMeshTransformer)."""
+
+    def __init__(self, radius=None, center=None):
+        self.radius = radius
+        self.center = center
+
+    def __call__(self, oldMesh, newMesh, lookup):
+        edges = lookup['edges']
+        newIdx = lookup['newIdx']
+        center = self.center
+        if center is None:
+            center = np.zeros(oldMesh.dim)
+        r0 = np.linalg.norm(oldMesh.vertices[edges[:, 0]] - center, axis=1)
+        r1 = np.linalg.norm(oldMesh.vertices[edges[:, 1]] - center, axis=1)
+        onCircle = np.abs(r0 - r1) < 1e-9 * (1 + np.abs(r0))
+        target = 0.5 * (r0 + r1)
+        mids = newMesh.vertices[newIdx]
+        rm = np.linalg.norm(mids - center, axis=1)
+        scale = np.where(onCircle & (rm > 0), target / np.maximum(rm, 1e-300), 1.0)
+        newMesh.vertices[newIdx] = center + (mids - center) * scale[:, None]
+
+
+def gradedIntervalTransform(*args, **kwargs):
+    raise NotImplementedError('graded meshes land with the adaptivity layer')
+
+
+def squareWithInteractions(ax=-1., ay=-1., bx=1., by=1., horizon=0.1, h=None, **kwargs):
+    """Square extended by the horizon (simplified relative to ref mesh.py:314:
+    uniform grid over the extended box with grid lines snapped to the inner
+    square boundary)."""
+    if h is None:
+        h = horizon
+    def axis(lo, hi):
+        nIn = max(int(np.ceil((hi - lo) / h)), 1)
+        inner = np.linspace(lo, hi, nIn + 1)
+        nH = max(int(np.ceil(horizon / h)), 1)
+        left = lo - horizon + (horizon / nH) * np.arange(nH)
+        right = hi + (horizon / nH) * np.arange(1, nH + 1)
+        return np.concatenate([left, inner, right])
+    xs = axis(ax, bx)
+    ys = axis(ay, by)
+    X, Y = np.meshgrid(xs, ys, indexing='ij')
+    vertices = np.stack([X.ravel(), Y.ravel()], axis=1)
+    N, M = len(xs), len(ys)
+
+    def vid(i, j):
+        return i * M + j
+
+    cells = []
+    for i in range(N - 1):
+        for j in range(M - 1):
+            v00, v10 = vid(i, j), vid(i + 1, j)
+            v01, v11 = vid(i, j + 1), vid(i + 1, j + 1)
+            if (i + j) % 2 == 0:
+                cells.append([v00, v10, v11])
+                cells.append([v00, v11, v01])
+            else:
+                cells.append([v10, v11, v01])
+                cells.append([v10, v01, v00])
+    return simplexMesh(vertices, np.array(cells, dtype=INDEX), dim=2)
+
+
+def discWithInteraction(radius=1.0, horizon=0.1, h=0.25):
+    m = circle(h=h, radius=radius + horizon)
+    m.transformer = radialMeshTransformer()
+    return m
+
+
+def doubleIntervalWithInteractions(a=0., b=1., c=2., horizon1=0.1, horizon2=0.1, h=None):
+    """Two touching intervals [a,b], [b,c] with interaction collars."""
+    if h is None:
+        h = min(horizon1, horizon2) if max(horizon1, horizon2) > 0 else (b - a)
+    pts = set()
+    for lo, hi in ((a, b), (b, c)):
+        n = max(int(np.ceil((hi - lo) / h)), 1)
+        pts.update(np.linspace(lo, hi, n + 1).tolist())
+    for x0, hor in ((a, horizon1), (c, horizon2)):
+        if hor > 0:
+            nH = max(int(np.ceil(hor / h)), 1)
+            for k in range(1, nH + 1):
+                pts.add(x0 - np.sign(x0 - b) * 0)  # placeholder, collars below
+    if horizon1 > 0:
+        nH = max(int(np.ceil(horizon1 / h)), 1)
+        pts.update((a - horizon1 + (horizon1 / nH) * np.arange(nH)).tolist())
+    if horizon2 > 0:
+        nH = max(int(np.ceil(horizon2 / h)), 1)
+        pts.update((c + (horizon2 / nH) * np.arange(1, nH + 1)).tolist())
+    verts = np.array(sorted(pts)).reshape(-1, 1)
+    n = len(verts)
+    cells = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+    return simplexMesh(verts, cells, dim=1)
+
+
+meshFactory = factory()
+meshFactory.register('simpleInterval', simpleInterval, aliases=['interval'])
+meshFactory.register('unitInterval', simpleInterval, params={'a': 0., 'b': 1.})
+meshFactory.register('intervalWithInteraction', intervalWithInteraction)
+meshFactory.register('simpleSquare', simpleSquare)
+meshFactory.register('unitSquare', uniformSquare, params={'N': 2})
+meshFactory.register('square', uniformSquare,
+                     params={'N': 2, 'ax': -1., 'ay': -1., 'bx': 1., 'by': 1.})
+meshFactory.register('squareWithInteraction', squareWithInteractions)
+meshFactory.register('circle', circle, aliases=['disc', 'unitDisc', 'ball2d'])
+meshFactory.register('discWithInteraction', discWithInteraction)
