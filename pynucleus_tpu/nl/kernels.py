@@ -1,0 +1,496 @@
+"""Nonlocal kernels, fractional orders, normalizations, interaction domains.
+
+Counterpart of /root/reference/nl/PyNucleus_nl/{kernelsCy.pyx, kernels.py,
+fractionalOrders.pyx, kernelNormalization.pyx, interactionDomains.pyx,
+twoPointFunctions.pyx}.  Kernels here are declarative dataclasses whose
+``jaxEval(x, y)`` builds a pure-JAX expression (vectorized over leading axes),
+so a kernel can be baked into a batched quadrature kernel; all classification
+logic (horizon screening, admissibility) happens host-side in numpy.
+
+Kernel convention (ref kernelsCy.pyx:159-245): the evaluated gamma includes
+the 1/2 of the symmetrized bilinear form in its scaling constant, e.g. the
+infinite-horizon fractional kernel is
+    gamma(x,y) = C(d,s)/2 * |x-y|^{-d-2s},
+    C(d,s) = 2^{2s} s Gamma(s+d/2) / (pi^{d/2} Gamma(1-s))
+(ref kernelNormalization.pyx:70-105).
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.special import gamma as Gamma
+
+import jax.numpy as jnp
+
+from ..base.factory import factory
+from ..fem.functions import constant as constFunction, function
+
+__all__ = ['Kernel', 'FractionalKernel', 'getFractionalKernel',
+           'getIntegrableKernel', 'getKernel', 'kernelFactory',
+           'constFractionalOrder', 'variableConstFractionalOrder',
+           'fractionalOrderFactory', 'interactionFactory',
+           'fullSpace', 'ball2', 'ballInf',
+           'constantFractionalLaplacianScaling', 'constantIntegrableScaling',
+           'FRACTIONAL', 'INDICATOR', 'PERIDYNAMIC', 'GAUSSIAN', 'EXPONENTIAL',
+           'LOGINVERSEDISTANCE', 'MONOMIAL', 'POLYNOMIAL']
+
+# kernel types (ref kernelsCy.pyx:50-73)
+FRACTIONAL = 'fractional'
+INDICATOR = 'indicator'
+PERIDYNAMIC = 'peridynamic'
+GAUSSIAN = 'gaussian'
+EXPONENTIAL = 'exponential'
+POLYNOMIAL = 'polynomial'
+LOGINVERSEDISTANCE = 'logInverseDistance'
+MONOMIAL = 'monomial'
+
+
+# ------------------------------------------------------------ fractional orders
+
+class fractionalOrderBase:
+    """s(x, y); ref fractionalOrders.pyx:45."""
+    symmetric = True
+
+    def __call__(self, X, Y):
+        raise NotImplementedError()
+
+    @property
+    def min(self):
+        return self.smin
+
+    @property
+    def max(self):
+        return self.smax
+
+
+class constFractionalOrder(fractionalOrderBase):
+    def __init__(self, s):
+        self.value = float(s)
+        self.smin = self.smax = self.value
+
+    def __call__(self, X, Y):
+        return np.full(np.asarray(X).shape[:-1], self.value)
+
+    def __repr__(self):
+        return f'const({self.value})'
+
+
+class variableConstFractionalOrder(constFractionalOrder):
+    """Constant value but treated as variable (exercises the variable-order
+    code paths; ref fractionalOrders.pyx variableConstFractionalOrder)."""
+
+    def __repr__(self):
+        return f'varconst({self.value})'
+
+
+class constantNonSymFractionalOrder(constFractionalOrder):
+    """Constant value, unsymmetric code path (ref constantNonSymFractionalOrder)."""
+    symmetric = False
+
+    def __repr__(self):
+        return f'constantNonSym({self.value})'
+
+
+class leftRightFractionalOrder(fractionalOrderBase):
+    """s = sll if x,y < interface else srr; slr/srl across
+    (ref fractionalOrders.pyx:305)."""
+    symmetric = False
+
+    def __init__(self, sll, srr, slr=None, srl=None, interface=0.0):
+        self.sll, self.srr = sll, srr
+        self.slr = slr if slr is not None else sll
+        self.srl = srl if srl is not None else srr
+        self.interface = interface
+        self.smin = min(sll, srr, self.slr, self.srl)
+        self.smax = max(sll, srr, self.slr, self.srl)
+
+    def __call__(self, X, Y):
+        X = np.atleast_2d(X)
+        Y = np.atleast_2d(Y)
+        xl = X[..., 0] < self.interface
+        yl = Y[..., 0] < self.interface
+        return np.where(xl & yl, self.sll,
+                        np.where(~xl & ~yl, self.srr,
+                                 np.where(xl, self.slr, self.srl)))
+
+    def __repr__(self):
+        return f'twoDomain({self.sll},{self.srr})'
+
+
+fractionalOrderFactory = factory()
+fractionalOrderFactory.register('const', constFractionalOrder)
+fractionalOrderFactory.register('varconst', variableConstFractionalOrder)
+fractionalOrderFactory.register('constantNonSym', constantNonSymFractionalOrder)
+fractionalOrderFactory.register('twoDomain', leftRightFractionalOrder,
+                                aliases=['twoDomainNonSym', 'leftRight'])
+
+
+# ------------------------------------------------------------- interactions
+
+class interactionDomain:
+    """chi_{N(x)}(y); ref interactionDomains.pyx:25.  complement=True flips."""
+    complement = False
+    symmetric = True
+
+    def dist2(self, DX):
+        """Squared 'interaction norm' of x-y, vectorized [..., dim] -> [...]."""
+        raise NotImplementedError()
+
+    def jaxIndicator(self, x, y, horizon2):
+        """Smoothless device indicator for barycenter-mode cut cells."""
+        raise NotImplementedError()
+
+
+class fullSpace(interactionDomain):
+    def dist2(self, DX):
+        return np.zeros(np.asarray(DX).shape[:-1])
+
+    def jaxIndicator(self, x, y, horizon2):
+        return jnp.ones(jnp.broadcast_shapes(x.shape[:-1], y.shape[:-1]))
+
+    def __repr__(self):
+        return 'fullSpace'
+
+
+class ball2(interactionDomain):
+    """Euclidean ball |x-y|_2 < horizon (barycenter evaluation mode;
+    ref interactionDomains.pyx ball2_barycenter:982).  The exact
+    retriangulation mode is a later milestone."""
+
+    def dist2(self, DX):
+        DX = np.asarray(DX)
+        return np.sum(DX ** 2, axis=-1)
+
+    def jaxIndicator(self, x, y, horizon2):
+        r2 = jnp.sum((x - y) ** 2, axis=-1)
+        return (r2 < horizon2).astype(x.dtype)
+
+    def __repr__(self):
+        return 'ball2'
+
+
+class ballInf(interactionDomain):
+    def dist2(self, DX):
+        DX = np.asarray(DX)
+        return np.max(np.abs(DX), axis=-1) ** 2
+
+    def jaxIndicator(self, x, y, horizon2):
+        r = jnp.max(jnp.abs(x - y), axis=-1)
+        return (r * r < horizon2).astype(x.dtype)
+
+    def __repr__(self):
+        return 'ballInf'
+
+
+class ball2Complement(interactionDomain):
+    complement = True
+
+    def dist2(self, DX):
+        DX = np.asarray(DX)
+        return np.sum(DX ** 2, axis=-1)
+
+    def jaxIndicator(self, x, y, horizon2):
+        r2 = jnp.sum((x - y) ** 2, axis=-1)
+        return (r2 >= horizon2).astype(x.dtype)
+
+    def __repr__(self):
+        return 'ball2Complement'
+
+
+interactionFactory = factory()
+interactionFactory.register('fullSpace', fullSpace)
+interactionFactory.register('ball2', ball2, aliases=['ball'])
+interactionFactory.register('ballInf', ballInf)
+interactionFactory.register('ball2Complement', ball2Complement)
+
+
+# --------------------------------------------------------------- scalings
+
+def constantFractionalLaplacianScaling(dim, s, horizon, tempered=0.0):
+    """Normalization so the operator converges to -Laplacian
+    (ref kernelNormalization.pyx:70-105; includes the bilinear-form 1/2)."""
+    if 1.0 < s < 2.0:
+        s = s - 1.0
+    if horizon <= 0 or s <= 0 or s >= 1:
+        return np.nan
+    if horizon < np.inf:
+        return (2.0 - 2 * s) * horizon ** (2 * s - 2.0) * dim \
+            * Gamma(0.5 * dim) / np.pi ** (0.5 * dim) * 0.5
+    if tempered == 0.0 or s == 0.5:
+        return 2.0 ** (2.0 * s) * s * Gamma(s + 0.5 * dim) \
+            / np.pi ** (0.5 * dim) / Gamma(1.0 - s) * 0.5
+    return Gamma(0.5 * dim) / abs(Gamma(-2 * s)) / np.pi ** (0.5 * dim) * 0.25
+
+
+def constantIntegrableScaling(kType, interaction, dim, horizon,
+                              gaussian_variance=1.0, exponentialRate=1.0):
+    """Second-moment normalizations for integrable kernels
+    (ref kernelNormalization.pyx:225-290)."""
+    from scipy.special import erf
+    if horizon <= 0:
+        return np.nan
+    if kType == INDICATOR:
+        if dim == 1:
+            return 3.0 / horizon ** 3 / 2.0
+        if dim == 2:
+            if isinstance(interaction, ball2):
+                return 8.0 / np.pi / horizon ** 4 / 2.0
+            if isinstance(interaction, ballInf):
+                return 3.0 / 4.0 / horizon ** 4 / 2.0
+        raise NotImplementedError((kType, dim))
+    if kType == PERIDYNAMIC:
+        if dim == 1:
+            return 2.0 / horizon ** 2 / 2.0
+        if dim == 2 and isinstance(interaction, ball2):
+            return 6.0 / np.pi / horizon ** 3 / 2.0
+        raise NotImplementedError((kType, dim))
+    if kType == GAUSSIAN:
+        if dim == 1:
+            if horizon < np.inf:
+                return 4.0 / np.sqrt(np.pi) / (erf(3.0) - 6.0 * np.exp(-9.0) / np.sqrt(np.pi)) \
+                    / (horizon / 3.0) ** 3 / 2.0
+            return 1.0 / np.sqrt(2.0 * np.pi * gaussian_variance) / 2.0
+        if dim == 2:
+            if isinstance(interaction, ball2) and horizon < np.inf:
+                return 4.0 / np.pi / (1.0 - 10.0 * np.exp(-9.0)) / (horizon / 3.0) ** 4 / 2.0
+            if isinstance(interaction, fullSpace):
+                return 1.0 / (2.0 * np.pi * gaussian_variance) / 2.0
+        raise NotImplementedError((kType, dim))
+    if kType == EXPONENTIAL:
+        if dim == 1:
+            if horizon < np.inf:
+                return exponentialRate ** 3 / (2.0 - np.exp(-exponentialRate * horizon) *
+                                               (2.0 + 2.0 * exponentialRate * horizon +
+                                                (exponentialRate * horizon) ** 2)) / 2.0
+            return exponentialRate ** 3 / 2.0 / 2.0
+        raise NotImplementedError((kType, dim))
+    if kType == POLYNOMIAL:
+        return 0.5
+    if kType == LOGINVERSEDISTANCE:
+        return 1.0
+    raise NotImplementedError(kType)
+
+
+# ----------------------------------------------------------------- kernels
+
+class Kernel:
+    """Declarative nonlocal kernel gamma(x, y).
+
+    Attributes mirror the reference Kernel (kernelsCy.pxd:21-43): dim,
+    kernelType, horizon (value; variable horizons later), interaction,
+    scalingValue, singularityValue, boundary flag, symmetric, complement.
+    """
+    variableOrder = False
+
+    def __init__(self, dim, kernelType, horizon, interaction, scalingValue,
+                 singularityValue, boundary=False, symmetric=True,
+                 phiJax=None, temperedLambda=0.0, exponentParam=0.0,
+                 monomialPower=0.0, variance=1.0):
+        self.dim = dim
+        self.kernelType = kernelType
+        self.horizonValue = float(horizon)
+        self.interaction = interaction if interaction is not None else fullSpace()
+        self.scalingValue = float(scalingValue)
+        self.singularityValue = float(singularityValue)
+        self.min_singularity = self.singularityValue
+        self.max_singularity = self.singularityValue
+        self.boundary = boundary
+        self.symmetric = symmetric
+        self.phiJax = phiJax
+        self.temperedLambda = temperedLambda
+        self.exponentParam = exponentParam
+        self.monomialPower = monomialPower
+        self.variance = variance
+        self.complement = self.interaction.complement
+        self.variable = False
+        self.variableHorizon = False
+        self.valueSize = 1
+
+    @property
+    def finiteHorizon(self):
+        return self.horizonValue != np.inf
+
+    def getSingularityValue(self):
+        return self.singularityValue
+
+    def getHorizonValue(self):
+        return self.horizonValue
+
+    def getHorizonValue2(self):
+        return self.horizonValue ** 2
+
+    # --- device evaluation ------------------------------------------------
+    def _radialJax(self, r2):
+        """Radial profile g(r2) WITHOUT the interaction-domain indicator."""
+        C = self.scalingValue
+        t = self.kernelType
+        if t == FRACTIONAL:
+            val = C * r2 ** (0.5 * self.singularityValue)
+            if self.temperedLambda != 0.0:
+                val = val * jnp.exp(-self.temperedLambda * jnp.sqrt(r2))
+            return val
+        if t == INDICATOR:
+            return jnp.full_like(r2, C)
+        if t == PERIDYNAMIC:
+            return C * r2 ** -0.5
+        if t == GAUSSIAN:
+            return C * jnp.exp(-self.exponentParam * r2)
+        if t == EXPONENTIAL:
+            return C * jnp.exp(-self.exponentParam * jnp.sqrt(r2))
+        if t == LOGINVERSEDISTANCE:
+            return C * jnp.log(1.0 / jnp.sqrt(r2))
+        if t == MONOMIAL:
+            return C * r2 ** (0.5 * self.monomialPower)
+        if t == POLYNOMIAL:
+            a = self.exponentParam
+            return C * (1.0 - r2 / a ** 2) ** 2
+        raise NotImplementedError(t)
+
+    def jaxEval(self, x, y, applyIndicator=True):
+        """gamma(x, y) for x, y [..., dim] jnp arrays (device, traceable)."""
+        r2 = jnp.sum((x - y) ** 2, axis=-1)
+        val = self._radialJax(r2)
+        if self.phiJax is not None:
+            val = val * self.phiJax(x, y)
+        if applyIndicator and self.finiteHorizon:
+            val = val * self.interaction.jaxIndicator(x, y, self.horizonValue ** 2)
+        elif self.complement:
+            val = val * self.interaction.jaxIndicator(x, y, self.horizonValue ** 2)
+        return val
+
+    def evalNumpy(self, x, y):
+        import jax
+        return np.asarray(self.jaxEval(jnp.asarray(x), jnp.asarray(y)))
+
+    # --- derived kernels ----------------------------------------------------
+    def getBoundaryKernel(self):
+        """Kernel for the Gauss-theorem elimination of the exterior
+        (ref kernelsCy.pyx:1194,1982): singularity order reduced by d-1->+1,
+        scaling divided by s (fractional) resp. kept."""
+        raise NotImplementedError('boundary kernel only for FractionalKernel')
+
+    def getModifiedKernel(self, horizon=None, interaction=None):
+        import copy
+        k = copy.copy(self)
+        if horizon is not None:
+            hv = horizon.value if hasattr(horizon, 'value') else float(horizon)
+            k.horizonValue = hv
+            if hv == np.inf:
+                k.interaction = fullSpace()
+        if interaction is not None:
+            k.interaction = interaction
+            k.complement = interaction.complement
+        return k
+
+    def getComplementKernel(self):
+        k = self.getModifiedKernel(interaction=ball2Complement())
+        return k
+
+    def __repr__(self):
+        return (f'kernel({self.kernelType}, d={self.dim}, '
+                f'horizon={self.horizonValue}, C={self.scalingValue:.6g}, '
+                f'sing={self.singularityValue})')
+
+
+class FractionalKernel(Kernel):
+    """gamma(x,y) = scaling * |x-y|^{-d-2s} (ref kernelsCy.pyx:1564)."""
+
+    def __init__(self, dim, s, horizon=np.inf, interaction=None, scaling=None,
+                 normalized=True, boundary=False, temperedLambda=0.0):
+        self.s = s
+        self.variableOrder = not type(s) is constFractionalOrder
+        sval = s.value if hasattr(s, 'value') else float(s)
+        if scaling is None:
+            if normalized:
+                scaling = constantFractionalLaplacianScaling(
+                    dim, sval, float(horizon), temperedLambda)
+            else:
+                scaling = 0.5
+        singularity = (1 if boundary else 0) - dim - 2 * sval
+        symmetric = getattr(s, 'symmetric', True)
+        super().__init__(dim, FRACTIONAL, horizon, interaction, scaling,
+                         singularity, boundary=boundary, symmetric=symmetric,
+                         temperedLambda=temperedLambda)
+        self.variable = self.variableOrder and not isinstance(
+            s, variableConstFractionalOrder)
+
+    @property
+    def sValue(self):
+        return self.s.value
+
+    def getBoundaryKernel(self):
+        # scaling <- scaling / s ; boundary singularity = 1 - d - 2s
+        k = FractionalKernel(self.dim, self.s, horizon=self.horizonValue,
+                             interaction=None, boundary=True,
+                             scaling=self.scalingValue / self.s.value,
+                             temperedLambda=self.temperedLambda)
+        return k
+
+    def getModifiedKernel(self, horizon=None, interaction=None):
+        if horizon is not None:
+            hv = horizon.value if hasattr(horizon, 'value') else float(horizon)
+            inter = interaction
+            if hv == np.inf:
+                inter = fullSpace()
+            k = FractionalKernel(self.dim, self.s, horizon=hv, interaction=inter,
+                                 boundary=self.boundary,
+                                 temperedLambda=self.temperedLambda)
+            if self.boundary:
+                k.scalingValue = constantFractionalLaplacianScaling(
+                    self.dim, self.s.value, hv, self.temperedLambda) / self.s.value
+            return k
+        return super().getModifiedKernel(horizon, interaction)
+
+
+def getFractionalKernel(dim, s, horizon=np.inf, interaction=None, scaling=None,
+                        normalized=True, piecewise=True, phi=None,
+                        boundary=False, **kwargs):
+    if not isinstance(s, fractionalOrderBase):
+        s = constFractionalOrder(s)
+    hv = horizon.value if hasattr(horizon, 'value') else float(horizon)
+    if interaction is None:
+        interaction = fullSpace() if hv == np.inf else ball2()
+    return FractionalKernel(dim, s, hv, interaction, scaling,
+                            normalized=normalized, boundary=boundary)
+
+
+def getIntegrableKernel(dim, kernel, horizon, interaction=None, scaling=None,
+                        normalized=True, phi=None, boundary=False,
+                        gaussian_variance=1.0, exponentialRate=1.0, **kwargs):
+    hv = horizon.value if hasattr(horizon, 'value') else float(horizon)
+    if interaction is None:
+        interaction = fullSpace() if hv == np.inf else ball2()
+    if scaling is None:
+        if normalized:
+            scaling = constantIntegrableScaling(
+                kernel, interaction, dim, hv,
+                gaussian_variance=gaussian_variance,
+                exponentialRate=exponentialRate)
+        else:
+            scaling = 0.5
+    sing = {INDICATOR: 0.0, PERIDYNAMIC: -1.0, GAUSSIAN: 0.0,
+            EXPONENTIAL: 0.0, POLYNOMIAL: 0.0, LOGINVERSEDISTANCE: 0.0}[kernel]
+    exponentParam = 0.0
+    if kernel == GAUSSIAN:
+        exponentParam = (1.0 / (hv / 3.0) ** 2 if hv < np.inf
+                         else 0.5 / gaussian_variance ** dim)
+    elif kernel == EXPONENTIAL:
+        exponentParam = exponentialRate
+    return Kernel(dim, kernel, hv, interaction, scaling, sing,
+                  boundary=boundary, exponentParam=exponentParam,
+                  variance=gaussian_variance)
+
+
+def getKernel(dim, kernel=FRACTIONAL, **kwargs):
+    if kernel == FRACTIONAL:
+        return getFractionalKernel(dim, **kwargs)
+    return getIntegrableKernel(dim, kernel=kernel, **kwargs)
+
+
+kernelFactory = factory()
+kernelFactory.register('fractional', getFractionalKernel)
+for _kt in (INDICATOR, PERIDYNAMIC, GAUSSIAN, EXPONENTIAL, POLYNOMIAL,
+            LOGINVERSEDISTANCE):
+    kernelFactory.register(
+        _kt, (lambda kt: lambda dim, **kw: getIntegrableKernel(dim, kernel=kt, **kw))(_kt),
+        aliases=['inverseDistance'] if _kt == PERIDYNAMIC else
+                ['constant'] if _kt == INDICATOR else None)

@@ -1,0 +1,316 @@
+"""Host-side element-pair classification into panel buckets.
+
+Counterpart of the per-pair branchy logic in
+/root/reference/nl/PyNucleus_nl/nonlocalOperator_{SCALAR}.pxi:280-539
+(getProtoPanelType / getPanelType / getQuadOrder).  Instead of classifying one
+pair at a time inside the assembly loop, ALL pairs are classified up front
+with vectorized numpy, permuted so shared vertices come first, and grouped
+into buckets that each map to ONE batched device kernel launch:
+
+  bucket = (rule tables, vertIdx1 [P,nv1], vertIdx2 [P,nv2],
+            dofRows [P,nPSI] global dofs (or -1), volsym [P])
+
+The quadrature order for distant pairs follows the reference's error model
+(ref fractionalLaplacian1D.pyx:234-253): orders are rounded UP to the next
+even value to bound the number of compiled bucket shapes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import REAL, INDEX
+
+__all__ = ['PanelBucket', 'classifyPairsDense', 'distantQuadOrder',
+           'permuteLocalDofs', 'classifyBoundaryPairs']
+
+
+@dataclass
+class PanelBucket:
+    kind: str                   # 'id' | 'vertex' | 'edge' | 'distant:<k>'
+    vertIdx1: np.ndarray        # [P, nv1] global vertex ids (rule order)
+    vertIdx2: np.ndarray        # [P, nv2]
+    dofRows: np.ndarray         # [P, nPSI] global dofs, -1 = dropped
+    volsym: np.ndarray          # [P] vol1*vol2*symFactor
+    order: int = 0
+    extra: dict = field(default_factory=dict)
+
+
+def permuteLocalDofs(dm, perm):
+    """Local-dof permutation induced by a vertex permutation of the element
+    (replaces ref PermutationIndexer + precomputedDoFPermutations,
+    nonlocalOperator.pxd:39).  perm[k] = natural local vertex at rule slot k.
+    Returns array ld with ld[r] = natural local dof for permuted-dof r."""
+    mdim = dm.mesh.manifold_dim
+    dpv = dm.dofs_per_vertex
+    dpe_edge = dm.dofs_per_edge
+    out = []
+    nv = mdim + 1
+    if dpv:
+        for k in range(nv):
+            v = perm[k]
+            out.extend(range(v * dpv, (v + 1) * dpv))
+    if dpe_edge:
+        localEdges = [(0, 1), (1, 2), (2, 0)] if mdim == 2 else \
+            [(0, 1), (1, 2), (2, 0), (0, 3), (1, 3), (2, 3)]
+        edgeIndex = {}
+        for eNo, (a, b) in enumerate(localEdges):
+            edgeIndex[(a, b)] = (eNo, False)
+            edgeIndex[(b, a)] = (eNo, True)
+        base = nv * dpv
+        for (a, b) in localEdges:
+            na, nb = perm[a], perm[b]
+            eNo, flipped = edgeIndex[(na, nb)]
+            idx = list(range(base + eNo * dpe_edge, base + (eNo + 1) * dpe_edge))
+            if flipped:
+                idx = idx[::-1]
+            out.extend(idx)
+    base = nv * dpv + len(localEdges) * dpe_edge if dpe_edge else nv * dpv
+    for c in range(dm.dofs_per_cell):
+        out.append(base + c)
+    return np.array(out, dtype=np.int64)
+
+
+def distantQuadOrder(h1, h2, d, s, target_order, num_dofs, H0,
+                     denominator_offset=0.8, target_offset=2.0):
+    """Vectorized panel-order model (ref fractionalLaplacian1D.pyx:234-253,
+    identical in 2D).  Returns int orders >= 2."""
+    logdh1 = np.log(d / h1)
+    logdh2 = np.log(d / h2)
+    lognH = np.log(num_dofs * H0)
+    c = (target_order + target_offset) * lognH
+    o1 = np.ceil((c + (2 * s - 1) * np.abs(np.log(h2 / H0)) - 2 * s * logdh2)
+                 / (np.maximum(logdh1, 0) + denominator_offset))
+    o2 = np.ceil((c + (2 * s - 1) * np.abs(np.log(h1 / H0)) - 2 * s * logdh1)
+                 / (np.maximum(logdh2, 0) + denominator_offset))
+    order = np.maximum(np.maximum(o1, o2), 2)
+    return order.astype(np.int64)
+
+
+def _cellAdjacency(cells, num_vertices):
+    """Pairs of cells sharing >= 1 vertex (i < j), plus shared-vertex info.
+    Returns (pairs [K,2], firstShared [K] local-vertex index pairs packed)."""
+    nv = cells.shape[1]
+    C = cells.shape[0]
+    # vertex -> cells incidence
+    flat_v = cells.ravel()
+    flat_c = np.repeat(np.arange(C, dtype=np.int64), nv)
+    order = np.argsort(flat_v, kind='stable')
+    sv = flat_v[order]
+    sc = flat_c[order]
+    starts = np.searchsorted(sv, np.arange(num_vertices))
+    ends = np.searchsorted(sv, np.arange(num_vertices) + 1)
+    pairs = set()
+    for v in range(num_vertices):
+        cs = sc[starts[v]:ends[v]]
+        if len(cs) > 1:
+            cs = np.sort(cs)
+            for a in range(len(cs)):
+                for b in range(a + 1, len(cs)):
+                    pairs.add((int(cs[a]), int(cs[b])))
+    if not pairs:
+        return np.zeros((0, 2), dtype=np.int64)
+    return np.array(sorted(pairs), dtype=np.int64)
+
+
+def _sharedVertices(cells, pairs):
+    """For cell pairs, the matched local vertex indices.
+    Returns list of (nShared, perm1, perm2) per pair."""
+    out = []
+    for (i, j) in pairs:
+        c1 = cells[i]
+        c2 = cells[j]
+        shared1, shared2 = [], []
+        used2 = set()
+        for a, v1 in enumerate(c1):
+            for b, v2 in enumerate(c2):
+                if b in used2:
+                    continue
+                if v1 == v2:
+                    shared1.append(a)
+                    shared2.append(b)
+                    used2.add(b)
+                    break
+        rest1 = [a for a in range(len(c1)) if a not in shared1]
+        rest2 = [b for b in range(len(c2)) if b not in used2]
+        out.append((len(shared1),
+                    np.array(shared1 + rest1, dtype=np.int64),
+                    np.array(shared2 + rest2, dtype=np.int64)))
+    return out
+
+
+def classifyPairsDense(dm, kernel, target_order=None):
+    """Classify all (i <= j) cell pairs for a symmetric kernel.
+
+    Returns dict with keys:
+      'id'                -> ids of identical-cell pairs
+      'vertex'/'edge'     -> (pairs, perms) touching pairs by #shared verts
+      'distant'           -> (pairs, orders) per remaining pair (or horizon-
+                              screened out)
+      plus scalars (target_order, quad_order_diagonal, H0, hmin).
+    """
+    mesh = dm.mesh
+    cells = mesh.cells
+    C = mesh.num_cells
+    verts = mesh.vertices
+    mdim = mesh.manifold_dim
+
+    p = max(dm.polynomialOrder, 1)
+    smin = max(-0.5 * (kernel.min_singularity + 1), 0.0)
+    smax = max(-0.5 * (kernel.max_singularity + 1), 0.0)
+    if target_order is None:
+        target_order = dm.polynomialOrder + 1 - smin
+    H0 = mesh.diam / np.sqrt(8)
+    hmin = mesh.hmin
+    num_dofs = dm.num_dofs
+    quad_order_diagonal = max(int(np.ceil(
+        ((target_order + 2.0) * np.log(num_dofs * H0) +
+         (2.0 * smax - 1.0) * abs(np.log(hmin / H0))) / 0.8)), 2)
+
+    touching_pairs = _cellAdjacency(cells, mesh.num_vertices)
+    sharedInfo = _sharedVertices(cells, touching_pairs)
+
+    # distant pairs: all (i < j) minus touching
+    centers = verts[cells].mean(axis=1)                       # [C, dim]
+    hs = _cellDiameter(verts, cells)                          # [C]
+
+    iu, ju = np.triu_indices(C, k=1)
+    touch_set = set(map(tuple, touching_pairs.tolist()))
+    mask_touch = np.zeros(len(iu), dtype=bool)
+    if touch_set:
+        keys = iu.astype(np.int64) * C + ju.astype(np.int64)
+        tkeys = np.array([a * C + b for (a, b) in touch_set], dtype=np.int64)
+        mask_touch = np.isin(keys, tkeys)
+    di = iu[~mask_touch]
+    dj = ju[~mask_touch]
+
+    d = np.linalg.norm(centers[di] - centers[dj], axis=1)
+
+    # horizon screening (extreme distances; ref getPanelType + IGNORED)
+    if kernel.finiteHorizon:
+        dmin = _pairMinDistance(verts, cells, di, dj)
+        keep = dmin < kernel.horizonValue
+        di, dj, d = di[keep], dj[keep], d[keep]
+
+    sval = max(smin, smax)
+    orders = distantQuadOrder(hs[di], hs[dj], d, sval, target_order,
+                              num_dofs, H0)
+    # round up to even to bound bucket count
+    orders = ((orders + 1) // 2) * 2
+
+    return {
+        'id': np.arange(C, dtype=np.int64),
+        'touching': (touching_pairs, sharedInfo),
+        'distant': (di, dj, orders),
+        'target_order': target_order,
+        'quad_order_diagonal': quad_order_diagonal,
+        'H0': H0, 'hmin': hmin,
+    }
+
+
+def _cellDiameter(verts, cells):
+    V = verts[cells]
+    m = cells.shape[1] - 1
+    h = np.zeros(len(cells))
+    for i in range(m + 1):
+        for j in range(i + 1, m + 1):
+            h = np.maximum(h, np.linalg.norm(V[:, i] - V[:, j], axis=1))
+    return h
+
+
+def _pairMinDistance(verts, cells, di, dj):
+    V1 = verts[cells[di]]                                     # [P, nv, dim]
+    V2 = verts[cells[dj]]
+    D = V1[:, :, None, :] - V2[:, None, :, :]
+    return np.sqrt((D ** 2).sum(axis=-1)).min(axis=(1, 2))
+
+
+def classifyBoundaryPairs(dm, surface, kernel, target_order=None):
+    """(cell, surface-cell) pairs for the zeroExterior term
+    (ref nonlocalAssembly getDense zeroExterior loop + boundary getQuadOrder,
+    fractionalLaplacian1D.pyx:644-669).  Kernel here is the BOUNDARY kernel.
+    Returns ('vertex' touching pairs with perms, 'distant' with orders)."""
+    mesh = dm.mesh
+    cells = mesh.cells
+    verts = mesh.vertices
+    C = mesh.num_cells
+    S = surface.num_cells
+    scells = surface.cells
+
+    p = dm.polynomialOrder
+    smin = max(0.5 * (-kernel.min_singularity), 0.0)
+    smax = max(0.5 * (-kernel.max_singularity), 0.0)
+    if target_order is None:
+        target_order = p + 1 - smin
+    H0 = mesh.diam / np.sqrt(8)
+    hmin = mesh.hmin
+    num_dofs = dm.num_dofs
+    quad_order_diagonal = max(int(np.ceil(
+        ((target_order + 1.0) * np.log(num_dofs * H0) +
+         (2.0 * smax - 1.0) * abs(np.log(hmin / H0))) / 0.8)), 2)
+
+    # all pairs
+    ci = np.repeat(np.arange(C, dtype=np.int64), S)
+    sj = np.tile(np.arange(S, dtype=np.int64), C)
+
+    # touching = cell contains a vertex of the surface simplex
+    touching = []
+    perms = []
+    touch_mask = np.zeros(len(ci), dtype=bool)
+    for k in range(len(ci)):
+        c1 = cells[ci[k]]
+        c2 = scells[sj[k]]
+        shared1, shared2 = [], []
+        used2 = set()
+        for a, v1 in enumerate(c1):
+            for b, v2 in enumerate(c2):
+                if b in used2:
+                    continue
+                if v1 == v2:
+                    shared1.append(a)
+                    shared2.append(b)
+                    used2.add(b)
+                    break
+        if shared1:
+            touch_mask[k] = True
+            rest1 = [a for a in range(len(c1)) if a not in shared1]
+            rest2 = [b for b in range(len(c2)) if b not in used2]
+            touching.append((ci[k], sj[k]))
+            perms.append((len(shared1),
+                          np.array(shared1 + rest1, dtype=np.int64),
+                          np.array(shared2 + rest2, dtype=np.int64)))
+
+    di, dj = ci[~touch_mask], sj[~touch_mask]
+    centers1 = verts[cells].mean(axis=1)[di]
+    centers2 = verts[scells].mean(axis=1)[dj] if scells.shape[1] > 1 else \
+        verts[scells[:, 0]][dj]
+    d = np.linalg.norm(centers1 - centers2, axis=1)
+    h1 = _cellDiameter(verts, cells)[di]
+    if scells.shape[1] > 1:
+        h2 = _cellDiameter(verts, scells)[dj]
+    else:
+        h2 = np.full(len(dj), hmin)
+    sval = max(smin, smax)
+    # boundary variant of the order model (target+1, logs clipped at 0)
+    logdh1 = np.maximum(np.log(d / h1), 0.0)
+    logdh2 = np.maximum(np.log(d / h2), 0.0)
+    lognH = np.log(num_dofs * H0)
+    c0 = (target_order + 1.0) * lognH
+    o1 = np.ceil((c0 + (2 * sval - 1) * np.abs(np.log(h2 / H0)) -
+                  2 * sval * np.log(d / h2)) / (logdh1 + 0.8))
+    o2 = np.ceil((c0 + (2 * sval - 1) * np.abs(np.log(h1 / H0)) -
+                  2 * sval * np.log(d / h1)) / (logdh2 + 0.8))
+    orders = np.maximum(np.maximum(o1, o2), 2)
+    if kernel.finiteHorizon:
+        h = 0.5 * np.maximum(h1, h2)
+        cut = (d - h < kernel.horizonValue) & (kernel.horizonValue < d + h)
+        orders = np.where(cut, orders * 3, orders)
+    orders = ((orders.astype(np.int64) + 1) // 2) * 2
+
+    return {
+        'touching': (np.array(touching, dtype=np.int64).reshape(-1, 2), perms),
+        'distant': (di, dj, orders),
+        'target_order': target_order,
+        'quad_order_diagonal': quad_order_diagonal,
+    }
