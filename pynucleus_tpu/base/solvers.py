@@ -476,6 +476,8 @@ class solverFactoryClass:
                 all(p in self.classes for p in name.split('-', 1)))
 
     def build(self, name, A=None, setup=False, hierarchy=None, **kwargs):
+        if A is None and hierarchy is not None:
+            A = hierarchy[-1]['A']
         if name in self.classes:
             classType, isML = self.classes[name]
             if isML:

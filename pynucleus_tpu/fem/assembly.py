@@ -157,7 +157,24 @@ def assembleRHS(dm: DoFMap, fun, qOrder=None):
     mesh = dm.mesh
     m = mesh.manifold_dim
     p = max(dm.polynomialOrder, 1)
-    order = qOrder if qOrder is not None else 2 * p + 3
+    if qOrder is None:
+        # mirror the reference's defaults so cached error values reproduce
+        # (ref femCy.pyx:2636-2665: 1D P0/P1->3, P2->5; 2D P0/P1->2, P2->5;
+        # 3D P1/P2->3; anything else 2p+2)
+        po = dm.polynomialOrder
+        if m == 1 and po <= 1:
+            qOrder = 3
+        elif m == 1 and po == 2:
+            qOrder = 5
+        elif m == 2 and po <= 1:
+            qOrder = 2
+        elif m == 2 and po == 2:
+            qOrder = 5
+        elif m == 3 and po in (1, 2):
+            qOrder = 3
+        else:
+            qOrder = 2 * po + 2
+    order = qOrder
     bary, w = simplexDuffy(order, m)
     PHI = dm.evalPhi(bary)                     # [dpe, Q]
     vol, _ = _geometry(mesh)

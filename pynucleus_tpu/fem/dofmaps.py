@@ -173,6 +173,15 @@ class DoFMap:
 
     # ------------------------------------------------------------- numbering
     def _buildDofNumbering(self):
+        """Number dofs: interior >= 0 (cell-traversal order), boundary < 0.
+
+        tag may be:
+          - int / list of ints: boundary parts of the mesh with these tags
+            carry boundary dofs (ref DoFMaps.pyx:160-180)
+          - a callable / function object: a dof is INTERIOR iff
+            indicator(node) > 0.5 (used for volume constraints on
+            interaction collars, ref DoFMaps.pyx function tags)
+        """
         mesh = self.mesh
         mdim = mesh.manifold_dim
         cells = mesh.cells
@@ -181,14 +190,24 @@ class DoFMap:
         dofs = np.full((nc, self.dofs_per_element), np.iinfo(np.int64).min,
                        dtype=np.int64)
 
-        # which vertices/edges are boundary (by tag)
-        bVerts = set(mesh.getBoundaryVerticesByTag(
-            None if self.tag == [None] else self.tag).tolist())
-        if mdim >= 2 and self.dofs_per_edge > 0:
-            bEdges = set(map(tuple, np.sort(mesh.getBoundaryEdgesByTag(
-                None if self.tag == [None] else self.tag), axis=1).tolist()))
+        indicator = None
+        tagval = self.tag[0] if len(self.tag) == 1 else None
+        if callable(tagval) and not isinstance(tagval, (int, np.integer)):
+            indicator = tagval
+
+        if indicator is None:
+            bVerts = set(mesh.getBoundaryVerticesByTag(
+                None if self.tag == [None] else self.tag).tolist())
+            if mdim >= 2 and self.dofs_per_edge > 0:
+                bEdges = set(map(tuple, np.sort(mesh.getBoundaryEdgesByTag(
+                    None if self.tag == [None] else self.tag), axis=1).tolist()))
+            else:
+                bEdges = set()
         else:
-            bEdges = set()
+            # node positions per (cell, localdof)
+            V = mesh.vertices[cells]
+            pos = np.einsum('jk,ckd->cjd', self.localNodes, V)
+            inside = indicator(pos.reshape(-1, mesh.dim)).reshape(nc, -1) > 0.5
 
         numDoFs = 0
         numBdofs = -1
@@ -206,7 +225,11 @@ class DoFMap:
                 for lv in range(mdim + 1):
                     v = int(cells[i, lv])
                     if v not in vertexDof:
-                        if v in bVerts:
+                        if indicator is None:
+                            isB = v in bVerts
+                        else:
+                            isB = not inside[i, k]
+                        if isB:
                             vertexDof[v] = numBdofs
                             numBdofs -= 1
                         else:
@@ -220,7 +243,11 @@ class DoFMap:
                     key = (min(a, b), max(a, b))
                     flip = a > b  # orientation: dofs stored from low to high vertex
                     if key not in edgeDof:
-                        if key in bEdges:
+                        if indicator is None:
+                            isB = key in bEdges
+                        else:
+                            isB = not inside[i, k]
+                        if isB:
                             ds = []
                             for _ in range(self.dofs_per_edge):
                                 ds.append(numBdofs)
@@ -235,8 +262,12 @@ class DoFMap:
                         dofs[i, k] = d
                         k += 1
             for _ in range(self.dofs_per_cell):
-                dofs[i, k] = numDoFs
-                numDoFs += 1
+                if indicator is None or inside[i, k]:
+                    dofs[i, k] = numDoFs
+                    numDoFs += 1
+                else:
+                    dofs[i, k] = numBdofs
+                    numBdofs -= 1
                 k += 1
 
         self.dofs = dofs

