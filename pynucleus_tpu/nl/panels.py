@@ -235,9 +235,15 @@ def classifyBoundaryPairs(dm, surface, kernel, target_order=None):
     H0 = mesh.diam / np.sqrt(8)
     hmin = mesh.hmin
     num_dofs = dm.num_dofs
-    quad_order_diagonal = max(int(np.ceil(
-        ((target_order + 1.0) * np.log(num_dofs * H0) +
-         (2.0 * smax - 1.0) * abs(np.log(hmin / H0))) / 0.8)), 2)
+    if mesh.manifold_dim >= 2:
+        # 2D boundary-operator order model (ref fractionalLaplacian2D
+        # boundary setKernel, mirrors the volume one)
+        quad_order_diagonal = max(int(np.ceil(
+            (target_order + 1.0 + smax) / 0.43 * abs(np.log(hmin / H0)))), 4)
+    else:
+        quad_order_diagonal = max(int(np.ceil(
+            ((target_order + 1.0) * np.log(num_dofs * H0) +
+             (2.0 * smax - 1.0) * abs(np.log(hmin / H0))) / 0.8)), 2)
 
     # all pairs
     ci = np.repeat(np.arange(C, dtype=np.int64), S)

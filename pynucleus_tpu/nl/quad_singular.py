@@ -46,30 +46,39 @@ class PanelRule:
     def num_nodes(self):
         return self.w.shape[0]
 
-    def buildPSI(self, dm, shared_dofs_per_interface=None, boundary=False):
-        """PSI [nPSI, Q] for a DoFMap's element, following the row convention
-        above.  ``shared_dofs_per_interface`` = number of LEADING local dofs of
-        the permuted element that are shared between the two cells (0 for
-        distant panels, dofs_per_vertex for vertex panels, identical-cell
-        panels pass dpe)."""
+    @staticmethod
+    def sharedDofMask(dm, nSharedVertices):
+        """Boolean mask over the permuted element's local dofs whose
+        interpolation node lies ON the shared sub-simplex spanned by the first
+        ``nSharedVertices`` permuted vertices (those dofs are identical global
+        dofs in both cells)."""
+        nodes = dm.localNodes
+        if nSharedVertices == 0:
+            return np.zeros(nodes.shape[0], dtype=bool)
+        return np.abs(nodes[:, nSharedVertices:]).max(axis=1) < 1e-12 \
+            if nSharedVertices < nodes.shape[1] else \
+            np.ones(nodes.shape[0], dtype=bool)
+
+    def buildPSI(self, dm, nSharedVertices=0, boundary=False):
+        """PSI [nPSI, Q] for a DoFMap's element.  ``nSharedVertices`` =
+        number of leading permuted vertices shared between the two cells
+        (0 distant, 1 vertex panel, 2 edge panel 2D, m+1 identical)."""
         phi_x = dm.evalPhi(self.bary_x.T)   # [dpe, Q]
         if boundary:
             return phi_x
         phi_y = dm.evalPhi(self.bary_y.T)   # [dpe, Q]
         dpe = phi_x.shape[0]
-        ns = shared_dofs_per_interface
-        if ns == dpe:
+        mask = self.sharedDofMask(dm, nSharedVertices)
+        if mask.all():
             # identical cells: every dof shared
             return phi_x - phi_y
         nPSI = 2 * dpe
         PSI = np.zeros((nPSI, self.num_nodes))
         PSI[:dpe] = phi_x
         PSI[dpe:] = -phi_y
-        if ns:
-            # shared leading dofs: phi_x - phi_y on the cell1 row, zero row
-            # for the cell2 duplicate
-            PSI[:ns] = phi_x[:ns] - phi_y[:ns]
-            PSI[dpe:dpe + ns] = 0.0
+        if mask.any():
+            PSI[:dpe][mask] = phi_x[mask] - phi_y[mask]
+            PSI[dpe:][mask] = 0.0
         return PSI
 
 
