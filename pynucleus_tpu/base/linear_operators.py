@@ -289,14 +289,17 @@ class CSR_LinearOperator(LinearOperator):
 
 
 def _csr_flatten(op):
-    return (op.rowids, op.indices, op.data), (op.num_rows, op.num_columns, op.indptr)
+    # indptr is host-only metadata and must not enter the pytree aux (numpy
+    # arrays are unhashable there); it is dropped on unflatten.
+    return (op.rowids, op.indices, op.data), (op.num_rows, op.num_columns)
 
 
 def _csr_unflatten(static, data):
     rowids, indices, vals = data
     op = object.__new__(CSR_LinearOperator)
     op.rowids, op.indices, op.data = rowids, indices, vals
-    op.num_rows, op.num_columns, op.indptr = static
+    op.num_rows, op.num_columns = static
+    op.indptr = None
     return op
 
 
@@ -390,13 +393,14 @@ class SSS_LinearOperator(LinearOperator):
 
 
 def _sss_flatten(op):
-    return (op.rowids, op.indices, op.data, op.diag), (op.num_rows, op.indptr)
+    return (op.rowids, op.indices, op.data, op.diag), (op.num_rows,)
 
 
 def _sss_unflatten(static, data):
     op = object.__new__(SSS_LinearOperator)
     op.rowids, op.indices, op.data, op.diag = data
-    op.num_rows, op.indptr = static
+    op.num_rows, = static
+    op.indptr = None
     op.num_columns = op.num_rows
     return op
 

@@ -24,8 +24,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import scipy.sparse as sp
+
 from ..config import REAL, INDEX
-from ..base.linear_operators import Dense_LinearOperator
+from ..base.linear_operators import Dense_LinearOperator, CSR_LinearOperator
 from .panels import (classifyPairsDense, classifyBoundaryPairs,
                      permuteLocalDofs)
 from .quad_singular import (sameCellRule1D, vertexRule1D, distantRule,
@@ -92,6 +94,76 @@ def _chunk_size(chunk):
     return c
 
 
+class DenseAccumulator:
+    """Accumulate (row, col, val) into a dense [N+1, N+1] with dump slot."""
+
+    def __init__(self, N):
+        self.N = N
+        self.A = np.zeros((N + 1, N + 1), dtype=REAL)
+
+    def add(self, rows, cols, vals):
+        r = np.where(rows >= 0, rows, self.N)
+        c = np.where(cols >= 0, cols, self.N)
+        np.add.at(self.A, (r, c), vals)
+
+    def result(self):
+        from ..base.linear_operators import Dense_LinearOperator
+        return Dense_LinearOperator(jnp.asarray(self.A[:self.N, :self.N]))
+
+
+class CSRAccumulator:
+    """Accumulate into a fixed CSR pattern; entries outside the pattern are
+    dropped (replaces ref IndexManager + tupleDict masks)."""
+
+    def __init__(self, pattern):
+        # pattern: scipy CSR with sorted indices
+        self.pattern = pattern
+        self.indptr = pattern.indptr
+        self.indices = pattern.indices
+        self.data = np.zeros(pattern.nnz + 1, dtype=REAL)
+        self.N = pattern.shape[0]
+
+    def _slots(self, rows, cols):
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        valid = (rows >= 0) & (cols >= 0)
+        r = np.where(valid, rows, 0)
+        c = np.where(valid, cols, 0)
+        start = self.indptr[r]
+        end = self.indptr[r + 1]
+        # vectorized per-entry binary search within each row
+        pos = start + _rowwise_searchsorted(self.indices, start, end, c)
+        inb = pos < end
+        found = inb & (self.indices[np.minimum(pos, len(self.indices) - 1)] == c)
+        return np.where(valid & found, pos, self.pattern.nnz)
+
+    def add(self, rows, cols, vals):
+        slots = self._slots(rows, cols)
+        np.add.at(self.data, slots, vals)
+
+    def result(self):
+        return CSR_LinearOperator(self.indices, self.indptr,
+                                  jnp.asarray(self.data[:-1]),
+                                  num_columns=self.pattern.shape[1])
+
+
+def _rowwise_searchsorted(indices, start, end, c):
+    """Position of c within indices[start:end] per entry (vectorized binary
+    search)."""
+    lo = start.copy()
+    hi = end.copy()
+    while True:
+        active = lo < hi
+        if not active.any():
+            break
+        mid = (lo + hi) // 2
+        val = indices[np.minimum(mid, len(indices) - 1)]
+        go_right = active & (val < c)
+        lo = np.where(go_right, mid + 1, lo)
+        hi = np.where(active & ~go_right, mid, hi)
+    return lo - start
+
+
 class _BucketRunner:
     """Launches the device quadrature kernel in bounded padded chunks and
     accumulates into the global dense matrix.
@@ -106,13 +178,14 @@ class _BucketRunner:
         self.kernel = kernel
         self.useNormals = useNormals
 
-    def run(self, A, rule, PSI, vertIdx1, vertIdx2, dofRows, volsym,
-            normals=None):
-        """A: numpy [N+1, N+1] accumulator (dump slot last)."""
+    def run(self, acc, rule, PSI, vertIdx1, vertIdx2, dofRows, volsym,
+            normals=None, entryMask=None):
+        """acc: DenseAccumulator or CSRAccumulator.  entryMask [P, nPSI,
+        nPSI] bool restricts which local entries scatter (cluster-pair masks,
+        ref IndexManager getElemSymMaskCluster)."""
         P = vertIdx1.shape[0]
         if P == 0:
-            return A
-        N = A.shape[0] - 1
+            return
         PSIP = jnp.asarray(_psi_prod(PSI))
         bary_x = jnp.asarray(rule.bary_x)
         bary_y = jnp.asarray(rule.bary_y)
@@ -139,16 +212,20 @@ class _BucketRunner:
                 normals=nm, kernel=self.kernel, useNormals=self.useNormals)
             M = np.asarray(M[:chunk]).reshape(chunk, nPSI, nPSI)
             dr = dofRows[sl]
-            rows = np.where(dr >= 0, dr, N)
-            rb = np.broadcast_to(rows[:, :, None], M.shape)
-            cb = np.broadcast_to(rows[:, None, :], M.shape)
-            np.add.at(A, (rb.reshape(-1), cb.reshape(-1)), M.reshape(-1))
+            rb = np.broadcast_to(dr[:, :, None], M.shape)
+            cb = np.broadcast_to(dr[:, None, :], M.shape)
+            if entryMask is not None:
+                rb = np.where(entryMask[sl], rb, -1)
+            acc.add(rb.reshape(-1), cb.reshape(-1), M.reshape(-1))
             start += chunk
-        return A
 
 
 class nonlocalBuilder:
-    """Assembly driver (ref nonlocalAssembly_{SCALAR}.pxi:878 nonlocalBuilder)."""
+    """Assembly driver (ref nonlocalAssembly_{SCALAR}.pxi:878 nonlocalBuilder).
+
+    Formats: getDense (full pair product), getSparse (finite-horizon near
+    pairs only), getH2 (cluster tree + Chebyshev far field + exact near
+    field).  All share one batched panel engine (_runPairBuckets)."""
 
     def __init__(self, dm, kernel, params=None, zeroExterior=True, comm=None,
                  dm2=None, **kwargs):
@@ -160,51 +237,49 @@ class nonlocalBuilder:
         self.comm = comm
 
     # ------------------------------------------------------------- helpers
-    def _interiorRules(self):
+    def _makeRules(self, info):
         dm, kernel, mesh = self.dm, self.kernel, self.mesh
-        info = classifyPairsDense(dm, kernel,
-                                  target_order=self.params.get('target_order'))
         mdim = mesh.manifold_dim
         p = max(dm.polynomialOrder, 1)
         continuous = dm.polynomialOrder >= 1
         sing = kernel.getSingularityValue()
         if mdim == 1:
-            ruleId = sameCellRule1D(sing, 2 * p)
-            ruleVertex = vertexRule1D(sing, info['quad_order_diagonal'], 2 * p,
-                                      continuous=continuous)
+            info['ruleId'] = sameCellRule1D(sing, 2 * p)
+            info['ruleVertex'] = vertexRule1D(
+                sing, info['quad_order_diagonal'], 2 * p,
+                continuous=continuous)
         else:
             from .quad_singular_2d import (sameCellRule2DSS, edgeRule2DSS,
                                            vertexRule2DSS)
-            # 2D quadrature orders (ref fractionalLaplacian2D.pyx:600-615)
-            mesh2 = self.mesh
             smax = max(-0.5 * (kernel.max_singularity + 2), 0.0)
             target = self.params.get('target_order') or 0.5
-            H0 = mesh2.diam / np.sqrt(8)
-            lg = abs(np.log(mesh2.hmin / H0))
-            qd = max(int(np.ceil((target + 1.0 + smax) / 0.43 * lg)), 4)
+            H0 = mesh.diam / np.sqrt(8)
+            lg = abs(np.log(mesh.hmin / H0))
             qdV = max(int(np.ceil((target + 1.0 + smax) / 0.7 * lg)), 4)
-            info['quad_order_diagonal'] = qd
-            ruleId = sameCellRule2DSS(sing, 2 * p, qd)
-            ruleEdge = edgeRule2DSS(sing, 2 * p, qd, continuous=continuous)
-            ruleVertex = vertexRule2DSS(sing, 2 * p, qdV,
-                                        continuous=continuous)
-            info['ruleEdge'] = ruleEdge
-        info['ruleId'] = ruleId
-        info['ruleVertex'] = ruleVertex
+            qd = info['quad_order_diagonal']
+            radial = max(p - 1, 1)
+            info['ruleId'] = sameCellRule2DSS(sing, 2 * p, qd,
+                                              radialOrder=radial)
+            info['ruleEdge'] = edgeRule2DSS(sing, 2 * p, qd,
+                                            continuous=continuous,
+                                            radialOrder=radial)
+            info['ruleVertex'] = vertexRule2DSS(sing, 2 * p, qdV,
+                                                continuous=continuous,
+                                                radialOrder=radial)
         return info
 
-    def getDense(self, trySparsification=False):
+    def _runPairBuckets(self, acc, info, maskLookup=None):
+        """Run id / touching / distant buckets of a classification dict into
+        an accumulator.  maskLookup: optional dict (i, j) -> bool
+        [2dpe, 2dpe] entry mask in natural (cell-i dofs, cell-j dofs) order
+        (cluster-pair masking for the H2 near field)."""
         dm, kernel, mesh = self.dm, self.kernel, self.mesh
-        N = dm.num_dofs
         vols = mesh.simplexVolumes()
         cells = mesh.cells
         dofs = dm.dofs
         dpe = dm.dofs_per_element
         mdim = mesh.manifold_dim
-
-        info = self._interiorRules()
         runner = _BucketRunner(mesh.vertices, kernel)
-        A = np.zeros((N + 1, N + 1), dtype=REAL)
 
         # The singularity-cancelling rules are normalized to the collapsed
         # (x1 >= x2 >= ...) parametrization, whose Jacobian to physical space
@@ -216,18 +291,20 @@ class nonlocalBuilder:
 
         # --- identical-cell panels
         ids = info['id']
-        ruleId = info['ruleId']
-        PSI = ruleId.buildPSI(dm, nSharedVertices=mdim + 1)
-        A = runner.run(A, ruleId, PSI,
-                       cells[ids], cells[ids], dofs[ids],
-                       dets[ids] ** 2)
+        if len(ids):
+            ruleId = info['ruleId']
+            PSI = ruleId.buildPSI(dm, nSharedVertices=mdim + 1)
+            em = None
+            if maskLookup is not None:
+                em = np.stack([maskLookup[(c, c)][:dpe, :dpe] for c in ids])
+            runner.run(acc, ruleId, PSI, cells[ids], cells[ids], dofs[ids],
+                       dets[ids] ** 2, entryMask=em)
 
         # --- touching panels (shared vertex / shared edge in 2D)
         pairs, sharedInfo = info['touching']
         byShared = {}
         for k in range(len(pairs)):
-            nS = sharedInfo[k][0]
-            byShared.setdefault(nS, []).append(k)
+            byShared.setdefault(sharedInfo[k][0], []).append(k)
         for nS, idxs in byShared.items():
             if mdim == 1:
                 rule = info['ruleVertex']
@@ -241,6 +318,8 @@ class nonlocalBuilder:
             vi2 = np.zeros((P, nv), dtype=np.int64)
             dr = np.zeros((P, 2 * dpe), dtype=np.int64)
             vs = np.zeros(P)
+            em = np.zeros((P, 2 * dpe, 2 * dpe), dtype=bool) \
+                if maskLookup is not None else None
             for out_k, k in enumerate(idxs):
                 i, j = pairs[k]
                 _, perm1, perm2 = sharedInfo[k]
@@ -253,7 +332,10 @@ class nonlocalBuilder:
                 # zero rows (duplicated shared dofs) -> dump slot
                 dr[out_k, dpe:][sharedMask] = -1
                 vs[out_k] = dets[i] * dets[j] * 2.0
-            A = runner.run(A, rule, PSI, vi1, vi2, dr, vs)
+                if em is not None:
+                    ldFull = np.concatenate([ld1, dpe + ld2])
+                    em[out_k] = maskLookup[(i, j)][np.ix_(ldFull, ldFull)]
+            runner.run(acc, rule, PSI, vi1, vi2, dr, vs, entryMask=em)
 
         # --- distant panels, bucketed by quad order (high orders merged into
         # a few buckets: rounding up only improves accuracy)
@@ -270,16 +352,486 @@ class nonlocalBuilder:
             PSI = rule.buildPSI(dm, nSharedVertices=0)
             dr = np.concatenate([dofs[ii], dofs[jj]], axis=1)
             vs = vols[ii] * vols[jj] * 2.0
-            A = runner.run(A, rule, PSI, cells[ii], cells[jj], dr, vs)
+            em = None
+            if maskLookup is not None:
+                em = np.stack([maskLookup[(a, b)]
+                               for a, b in zip(ii.tolist(), jj.tolist())]) \
+                    if len(ii) else None
+            runner.run(acc, rule, PSI, cells[ii], cells[jj], dr, vs,
+                       entryMask=em)
 
-        # --- zeroExterior surface term (Omega x Omega^c via Gauss theorem)
+    def getDense(self, trySparsification=False):
+        from .panels import classifyPairsDense
+        dm = self.dm
+        N = dm.num_dofs
+        info = self._makeRules(classifyPairsDense(
+            dm, self.kernel, target_order=self.params.get('target_order')))
+        acc = DenseAccumulator(N)
+        self._runPairBuckets(acc, info)
         if self.zeroExterior:
-            A = self._addZeroExterior(A)
+            self._addZeroExterior(acc)
+        return acc.result()
 
-        return Dense_LinearOperator(jnp.asarray(A[:N, :N]))
+    # ----------------------------------------------------------- sparse ---
+    def _nearCellPairs(self, S):
+        """Cell pairs (i <= j) needed to assemble the entries of sparsity
+        pattern S exactly: (c1, c2) with dofs(c1) x dofs(c2) hitting S."""
+        dm, mesh = self.dm, self.mesh
+        C = mesh.num_cells
+        N = dm.num_dofs
+        d = dm.dofs
+        mask = d >= 0
+        cc, ll = np.nonzero(mask)
+        inc = sp.coo_matrix(
+            (np.ones(mask.sum()), (d[cc, ll], cc)), shape=(N, C)).tocsr()
+        inc.data[:] = 1.0
+        need = (inc.T @ S @ inc).tocoo()
+        ii, jj = need.row, need.col
+        keep = ii <= jj
+        return ii[keep].astype(np.int64), jj[keep].astype(np.int64)
 
-    def _addZeroExterior(self, A, sign=1.0):
-        """A: numpy [N+1, N+1] accumulator."""
+    def getSparse(self):
+        """Finite-horizon near-field-only operator (ref getSparse
+        nonlocalAssembly pxi:1062): exact entries for all dof pairs whose
+        supports interact within the horizon."""
+        from .panels import classifyPairList
+        dm, mesh, kernel = self.dm, self.mesh, self.kernel
+        assert kernel.finiteHorizon, 'sparse format requires a finite horizon'
+        N = dm.num_dofs
+        # sparsity: dof pairs with support distance < horizon
+        from .h2 import dofSupportBoxes
+        lo, hi = dofSupportBoxes(dm)
+        # build via cell pairs within horizon
+        info = self._makeRules(classifyPairsDense(
+            dm, self.kernel, target_order=self.params.get('target_order')))
+        # pattern from contributing cell pairs
+        rows, cols = [], []
+        d = dm.dofs
+        dpe = dm.dofs_per_element
+
+        def addPairs(ii, jj):
+            for a, b in ((ii, jj), (jj, ii)):
+                r = np.repeat(d[a], dpe, axis=1).reshape(-1)
+                c = np.tile(d[b], (1, dpe)).reshape(-1)
+                m = (r >= 0) & (c >= 0)
+                rows.append(r[m])
+                cols.append(c[m])
+
+        addPairs(info['id'], info['id'])
+        pairs, _ = info['touching']
+        if len(pairs):
+            addPairs(pairs[:, 0], pairs[:, 1])
+        di, dj, _ = info['distant']
+        if len(di):
+            addPairs(di, dj)
+        rows = np.concatenate(rows)
+        cols = np.concatenate(cols)
+        S = sp.coo_matrix((np.ones(len(rows)), (rows, cols)),
+                          shape=(N, N)).tocsr()
+        S.sum_duplicates()
+        S.sort_indices()
+        acc = CSRAccumulator(S)
+        self._runPairBuckets(acc, info)
+        return acc.result()
+
+    # --------------------------------------------------------------- H2 ---
+    def getH2(self, returnNearField=False):
+        """Hierarchical operator: cluster tree, Chebyshev far field, exact
+        near field (ref getH2 nonlocalAssembly pxi:3094)."""
+        from .panels import classifyPairList
+        from .h2 import (buildClusterTree, admissibleClusters, H2Matrix,
+                         tensorChebyshevGrid, tensorLagrangeEval, _H2Level)
+        from ..fem.quadrature import simplexDuffy
+        dm, mesh, kernel = self.dm, self.mesh, self.kernel
+        N = dm.num_dofs
+        dim = mesh.dim
+        mdim = mesh.manifold_dim
+
+        # ---- parameters (ref getH2RefinementParams pxi:2983-3046)
+        sing = kernel.max_singularity
+        mp_target = self.params.get('target_order')
+        if mp_target is None:
+            smin = max(-0.5 * (kernel.min_singularity + 1), 0.0)
+            mp_target = (dm.polynomialOrder + 1 - smin) if mdim == 1 else 0.5
+        loggamma = abs(np.log(0.25))
+        m = self.params.get('interpolation_order')
+        if m is None:
+            m = max(int(np.ceil((2 * mp_target + max(-sing, 2)) *
+                                abs(np.log(mesh.hmin / mesh.diam))
+                                / loggamma / 3.0)), 2)
+        eta = self.params.get('eta', 3.0)
+        minSize = self.params.get('minClusterSize', max(m ** dim // 2, 1))
+        M = m ** dim
+
+        # ---- tree + admissibility (host)
+        nodes = buildClusterTree(dm, minSize)
+        Pfar, Pnear = admissibleClusters(kernel, nodes, eta, m, dim)
+
+        nLvl = max(nd.level for nd in nodes) + 1
+        byLevel = [[] for _ in range(nLvl)]
+        for nd in nodes:
+            byLevel[nd.level].append(nd.id)
+        pos = {}
+        for ell in range(nLvl):
+            for p_, nid in enumerate(byLevel[ell]):
+                pos[nid] = p_
+
+        # ---- transfer matrices per level (child coeffs -> parent coeffs)
+        levels = []
+        for ell in range(nLvl):
+            size = len(byLevel[ell])
+            entry = _H2Level(size)
+            if ell > 0:
+                T = np.zeros((size, M, M))
+                parentIdx = np.zeros(size, dtype=np.int64)
+                for p_, nid in enumerate(byLevel[ell]):
+                    nd = nodes[nid]
+                    par = nodes[nd.parent]
+                    parentIdx[p_] = pos[par.id]
+                    grid_child = tensorChebyshevGrid(m, nd.box)
+                    T[p_] = tensorLagrangeEval(m, par.box, grid_child)
+                entry['T'] = jnp.asarray(T)
+                entry['parentIdx'] = jnp.asarray(parentIdx, dtype=INDEX)
+            levels.append(entry)
+
+        # ---- far-field kernel blocks per level
+        for ell, cplist in Pfar.items():
+            pN = len(cplist)
+            K = np.zeros((pN, M, M))
+            src = np.zeros(pN, dtype=np.int64)
+            dst = np.zeros(pN, dtype=np.int64)
+            for k, (i, j) in enumerate(cplist):
+                gi = tensorChebyshevGrid(m, nodes[i].box)
+                gj = tensorChebyshevGrid(m, nodes[j].box)
+                # cross terms -u(x)v(y) carry factor -2 (both orderings of
+                # the ordered cluster pair; ref clusterMethodCy.pyx:2216)
+                K[k] = -2.0 * kernel.evalNumpy(gi[:, None, :], gj[None, :, :])
+                dst[k] = pos[i]
+                src[k] = pos[j]
+            levels[ell]['K'] = jnp.asarray(K)
+            levels[ell]['src'] = jnp.asarray(src, dtype=INDEX)
+            levels[ell]['dst'] = jnp.asarray(dst, dtype=INDEX)
+
+        # ---- leaf integrals Phi_A[i, k] = int phi_i L_k^A
+        leaves = [nd for nd in nodes if nd.isLeaf]
+        maxLeafN = max(len(nd.dofs) for nd in leaves)
+        L = len(leaves)
+        leafDofs = np.full((L, maxLeafN), -1, dtype=np.int64)
+        leafPhi = np.zeros((L, maxLeafN, M))
+        lvlIdx = np.zeros(L, dtype=np.int64)
+        posIdx = np.zeros(L, dtype=np.int64)
+
+        # per-cell quadrature data
+        p_el = max(dm.polynomialOrder, 1)
+        bary, wq = simplexDuffy(p_el + m + 1, mdim)
+        PHIel = dm.evalPhi(bary)                      # [dpe, Q]
+        V = mesh.vertices[mesh.cells]
+        Xq = np.einsum('qk,ckd->cqd', bary, V)        # [C, Q, dim]
+        vols = mesh.simplexVolumes()
+        d = dm.dofs
+        dpe = dm.dofs_per_element
+        # dof -> (leaf, slot)
+        dofLeaf = np.full(N, -1, dtype=np.int64)
+        dofSlot = np.full(N, -1, dtype=np.int64)
+        for li, nd in enumerate(leaves):
+            leafDofs[li, :len(nd.dofs)] = nd.dofs
+            dofLeaf[nd.dofs] = li
+            dofSlot[nd.dofs] = np.arange(len(nd.dofs))
+            lvlIdx[li] = nd.level
+            posIdx[li] = pos[nd.id]
+        # accumulate integrals cell by cell (vectorized over cells per leaf)
+        cellLeafSets = {}
+        for c in range(mesh.num_cells):
+            for l in range(dpe):
+                i = d[c, l]
+                if i >= 0:
+                    cellLeafSets.setdefault(int(dofLeaf[i]), set()).add(c)
+        for li, cset in cellLeafSets.items():
+            nd = leaves[li]
+            cs = np.array(sorted(cset), dtype=np.int64)
+            Lk = tensorLagrangeEval(m, nd.box,
+                                    Xq[cs].reshape(-1, dim))   # [M, nc*Q]
+            Lk = Lk.reshape(M, len(cs), -1)                    # [M, nc, Q]
+            contrib = np.einsum('c,q,lq,mcq->clm', vols[cs], wq, PHIel, Lk)
+            for ci, c in enumerate(cs):
+                for l in range(dpe):
+                    i = d[c, l]
+                    if i >= 0 and dofLeaf[i] == li:
+                        leafPhi[li, dofSlot[i]] += contrib[ci, l]
+
+        # ---- near field (ref assembleClusters pxi:1663-2160): for each near
+        # cluster pair (I, J):
+        #   - the (u(x)-u(y))(v(x)-v(y)) interaction over the needed cell
+        #     pairs, masked to entries (I x J) u (J x I);
+        #   - the diagonal mass from everything OUTSIDE the pair's cell
+        #     union, via a Gauss-theorem surface integral over the union's
+        #     boundary (this also covers the zeroExterior part for the
+        #     infinite-horizon Dirichlet problem).
+        # Cell pairs shared between cluster pairs are evaluated once with the
+        # UNION of their masks (ref tupleDictMASK machinery).
+        Anear = self._assembleNearField(Pnear, nodes)
+
+        op = H2Matrix(Anear, jnp.asarray(leafDofs, dtype=INDEX),
+                      jnp.asarray(leafPhi), (lvlIdx, posIdx), levels, N,
+                      symmetric=kernel.symmetric)
+        return op
+
+    def _assembleNearField(self, Pnear, nodes):
+        """Near field of the H2 operator (see getH2 docstring).
+
+        Masked, deduplicated cell-pair assembly + per-cluster-pair boundary
+        surface integrals (ref assembleClusters 'cluster exterior',
+        pxi:1975-2035)."""
+        from .panels import classifyPairList
+        dm, mesh, kernel = self.dm, self.mesh, self.kernel
+        N = dm.num_dofs
+        dofs = dm.dofs
+        dpe = dm.dofs_per_element
+        mdim = mesh.manifold_dim
+        C = mesh.num_cells
+
+        assert not kernel.finiteHorizon, \
+            'H2 for finite horizon goes through getH2FiniteHorizon'
+
+        # dof -> cells incidence
+        mask = dofs >= 0
+        cc, ll = np.nonzero(mask)
+        inc = sp.coo_matrix((np.ones(mask.sum()), (dofs[cc, ll], cc)),
+                            shape=(N, C)).tocsr()
+
+        # pattern
+        rows, cols = [], []
+        for (i, j) in Pnear:
+            di_, dj_ = nodes[i].dofs, nodes[j].dofs
+            rows.append(np.repeat(di_, len(dj_)))
+            cols.append(np.tile(dj_, len(di_)))
+        rows = np.concatenate(rows) if rows else np.zeros(0, dtype=np.int64)
+        cols = np.concatenate(cols) if cols else np.zeros(0, dtype=np.int64)
+        S = sp.coo_matrix((np.ones(len(rows)), (rows, cols)),
+                          shape=(N, N)).tocsr()
+        S.sum_duplicates()
+        S.sort_indices()
+        acc = CSRAccumulator(S)
+
+        inI = np.zeros(N, dtype=bool)
+        inJ = np.zeros(N, dtype=bool)
+        pairMasks = {}       # (c1, c2) with c1 <= c2 -> bool [2dpe, 2dpe]
+        surfPairs = []       # (cellNo, facetVerts, normal, mask [dpe, dpe])
+
+        for (I, J) in Pnear:
+            # the dual traversal yields both orderings; masks are symmetric,
+            # so process each unordered pair once
+            if I > J:
+                continue
+            dI = nodes[I].dofs
+            dJ = nodes[J].dofs
+            cells1 = np.unique(inc[dI].tocoo().col)
+            cells2 = np.unique(inc[dJ].tocoo().col)
+            U = np.union1d(cells1, cells2)
+            inter = np.intersect1d(cells1, cells2)
+            inI[:] = False
+            inI[dI] = True
+            inJ[:] = False
+            inJ[dJ] = True
+
+            # --- interaction cell pairs
+            pairsA = [(a, b) for a in cells1 for b in cells2]
+            if len(inter):
+                pairsA += [(a, b) for a in inter for b in U]
+            seen = set()
+            for (a, b) in pairsA:
+                key = (min(a, b), max(a, b))
+                if key in seen:
+                    continue
+                seen.add(key)
+                c1, c2 = key
+                gd = np.concatenate([dofs[c1], dofs[c2]])
+                valid = gd >= 0
+                rI = np.where(valid, inI[np.clip(gd, 0, None)], False)
+                rJ = np.where(valid, inJ[np.clip(gd, 0, None)], False)
+                m2 = (rI[:, None] & rJ[None, :]) | (rJ[:, None] & rI[None, :])
+                if not m2.any():
+                    continue
+                if key in pairMasks:
+                    pairMasks[key] |= m2
+                else:
+                    pairMasks[key] = m2
+
+            # --- surface of the union (diagonal mass from outside U)
+            if len(inter):
+                facets, normals = _cellSetBoundary(mesh, U)
+                for c in inter:
+                    gd = dofs[c]
+                    valid = gd >= 0
+                    rI = np.where(valid, inI[np.clip(gd, 0, None)], False)
+                    rJ = np.where(valid, inJ[np.clip(gd, 0, None)], False)
+                    m1 = (rI[:, None] & rJ[None, :]) | (rJ[:, None] & rI[None, :])
+                    if not m1.any():
+                        continue
+                    for fi in range(len(facets)):
+                        surfPairs.append((c, facets[fi], normals[fi], m1))
+
+        # ---- run the interaction pairs (masked)
+        keys = np.array(sorted(pairMasks.keys()), dtype=np.int64)
+        masks = np.stack([pairMasks[tuple(k)] for k in keys], axis=0) \
+            if len(keys) else np.zeros((0, 2 * dpe, 2 * dpe), dtype=bool)
+        info = self._makeRules(classifyPairList(
+            dm, kernel, keys[:, 0] if len(keys) else [],
+            keys[:, 1] if len(keys) else [],
+            target_order=self.params.get('target_order')))
+        maskLookup = {tuple(k): masks[n] for n, k in enumerate(keys)}
+        self._runPairBuckets(acc, info, maskLookup=maskLookup)
+
+        # ---- run the surface pairs
+        if surfPairs:
+            self._runUnionSurface(acc, surfPairs)
+
+        # regional operator: subtract the Omega x Omega^c part that the union
+        # surfaces added (ref assembleClusters pxi:2110-2143)
+        if not self.zeroExterior and not kernel.finiteHorizon:
+            self._addZeroExterior(acc, sign=-1.0)
+
+        return acc.result()
+
+    def _runUnionSurface(self, acc, surfPairs):
+        """Batched boundary-kernel quadrature for per-cluster-pair union
+        surfaces, masked per pair."""
+        dm, mesh, kernel = self.dm, self.mesh, self.kernel
+        dofs = dm.dofs
+        dpe = dm.dofs_per_element
+        mdim = mesh.manifold_dim
+        cells = mesh.cells
+        vols = mesh.simplexVolumes()
+        verts = mesh.vertices
+        detfac = {1: 1.0, 2: 2.0, 3: 6.0}[mdim]
+        bkernel = kernel.getModifiedKernel(horizon=np.inf).getBoundaryKernel()
+        useNormals = mdim >= 2
+        runner = _BucketRunner(verts, bkernel, useNormals=useNormals)
+        from .panels import orderModelParams
+        mpb = orderModelParams(dm, bkernel, self.params.get('target_order'))
+        qd = mpb['quad_order_diagonal']
+        sigb = bkernel.getSingularityValue()
+
+        # classify: shared vertices between cell and facet
+        touching = {}
+        distant = []
+        for (c, facet, normal, m1) in surfPairs:
+            cv = cells[c]
+            shared1, shared2 = [], []
+            used = set()
+            for a, v1 in enumerate(cv):
+                for b, v2 in enumerate(facet):
+                    if b in used:
+                        continue
+                    if v1 == v2:
+                        shared1.append(a)
+                        shared2.append(b)
+                        used.add(b)
+                        break
+            if shared1:
+                rest1 = [a for a in range(len(cv)) if a not in shared1]
+                rest2 = [b for b in range(len(facet)) if b not in used]
+                perm1 = np.array(shared1 + rest1)
+                perm2 = np.array(shared2 + rest2)
+                touching.setdefault(len(shared1), []).append(
+                    (c, facet, normal, m1, perm1, perm2))
+            else:
+                distant.append((c, facet, normal, m1))
+
+        def runBucket(rule, items, withPerm, useDet=True):
+            # singular (collapsed-parametrization) rules are normalized to
+            # simplex determinants; distant Sum(w)=1 rules to plain volumes
+            P = len(items)
+            if P == 0:
+                return
+            PHI = rule.buildPSI(dm, boundary=True)
+            nvS = len(items[0][1])
+            vi1 = np.zeros((P, mdim + 1), dtype=np.int64)
+            vi2 = np.zeros((P, nvS), dtype=np.int64)
+            dr = np.zeros((P, dpe), dtype=np.int64)
+            vs = np.zeros(P)
+            nm = np.zeros((P, mesh.dim)) if useNormals else None
+            mk = np.zeros((P, dpe, dpe), dtype=bool)
+            for k, item in enumerate(items):
+                if withPerm:
+                    c, facet, normal, m1, perm1, perm2 = item
+                    vi1[k] = cells[c][perm1]
+                    vi2[k] = np.asarray(facet)[perm2]
+                    ld1 = permuteLocalDofs(dm, perm1)
+                    dr[k] = dofs[c][ld1]
+                    mk[k] = m1[np.ix_(ld1, ld1)]
+                else:
+                    c, facet, normal, m1 = item
+                    vi1[k] = cells[c]
+                    vi2[k] = facet
+                    dr[k] = dofs[c]
+                    mk[k] = m1
+                svol = 1.0
+                if mdim >= 2:
+                    fv = verts[np.asarray(facet)]
+                    svol = np.linalg.norm(fv[1] - fv[0])
+                vs[k] = (detfac * vols[c] if useDet else vols[c]) * svol
+                if useNormals:
+                    nm[k] = normal
+            runner.run(acc, rule, PHI, vi1, vi2, dr, vs, normals=nm,
+                       entryMask=mk)
+
+        for nS, items in touching.items():
+            if mdim == 1:
+                rule = boundaryVertexRule1D(sigb, qd)
+            else:
+                from .quad_singular_2d import (boundaryEdgeRule2DSS,
+                                               boundaryVertexRule2DSS)
+                if nS == 2:
+                    sig_eff = sigb if sigb > -1 + 1e-3 else 2.0 + sigb
+                    rule = boundaryEdgeRule2DSS(sig_eff, qd, qd)
+                else:
+                    rule = boundaryVertexRule2DSS(sigb, qd, qd)
+            runBucket(rule, items, True)
+
+        if distant:
+            # per-pair order via the boundary model (ref boundary
+            # getQuadOrder), bucketed like the volume distant panels
+            cellsArr = np.array([it[0] for it in distant])
+            facArr = np.array([np.asarray(it[1]) for it in distant])
+            centers1 = verts[cells[cellsArr]].mean(axis=1)
+            centers2 = verts[facArr].mean(axis=1) if mdim >= 2 else \
+                verts[facArr[:, 0]]
+            d = np.linalg.norm(centers1 - centers2, axis=1)
+            h1 = np.zeros(len(distant))
+            V1 = verts[cells[cellsArr]]
+            for a in range(mdim + 1):
+                for bb in range(a + 1, mdim + 1):
+                    h1 = np.maximum(h1, np.linalg.norm(V1[:, a] - V1[:, bb],
+                                                       axis=1))
+            if mdim >= 2:
+                h2 = np.linalg.norm(verts[facArr[:, 1]] - verts[facArr[:, 0]],
+                                    axis=1)
+            else:
+                h2 = np.full(len(distant), mpb['hmin'])
+            sv = max(0.5 * (-bkernel.min_singularity), 0.0)
+            lognH = np.log(mpb['num_dofs'] * mpb['H0'])
+            c0 = (mpb['target_order'] + 1.0) * lognH
+            logdh1 = np.maximum(np.log(d / h1), 0.0)
+            logdh2 = np.maximum(np.log(d / h2), 0.0)
+            o1 = np.ceil((c0 + (2 * sv - 1) * np.abs(np.log(h2 / mpb['H0'])) -
+                          2 * sv * np.log(d / h2)) / (logdh1 + 0.8))
+            o2 = np.ceil((c0 + (2 * sv - 1) * np.abs(np.log(h1 / mpb['H0'])) -
+                          2 * sv * np.log(d / h1)) / (logdh2 + 0.8))
+            orders = np.maximum(np.maximum(o1, o2), 2).astype(np.int64)
+            orders = ((orders + 1) // 2) * 2
+            orders = np.minimum(orders, 24)
+            for order in np.unique(orders):
+                items = [distant[k] for k in np.nonzero(orders == order)[0]]
+                rule = boundaryDistantRule(int(order), mdim, mdim - 1)
+                runBucket(rule, items, False, useDet=False)
+
+    def getDenseCross(self):
+        raise NotImplementedError('interior x boundary coupling lands with '
+                                  'inhomogeneous Dirichlet problems')
+
+    def _addZeroExterior(self, acc, sign=1.0):
+        """Surface (Gauss-theorem) term into an accumulator."""
         dm, mesh = self.dm, self.mesh
         kernel = self.kernel
         surface = mesh.get_surface_mesh()
@@ -337,7 +889,7 @@ class nonlocalBuilder:
                         (sdetfac * svols[j] if mdim >= 2 else 1.0) * sign
                     if useNormals:
                         nm[out_k] = surface.normals[j]
-                A = runner.run(A, rule, PHI, vi1, vi2, dr, vs, normals=nm)
+                runner.run(acc, rule, PHI, vi1, vi2, dr, vs, normals=nm)
 
         # distant surface pairs
         di, dj, orders = binfo['distant']
@@ -350,8 +902,55 @@ class nonlocalBuilder:
             vs = vols[ii] * (svols[jj] if mdim >= 2 else 1.0) * sign
             vi2 = scells[jj] if mdim >= 2 else scells[jj].reshape(-1, 1)
             nm = surface.normals[jj] if useNormals else None
-            A = runner.run(A, rule, PHI, cells[ii], vi2, dr, vs, normals=nm)
-        return A
+            runner.run(acc, rule, PHI, cells[ii], vi2, dr, vs, normals=nm)
+
+
+
+
+def _cellSetBoundary(mesh, cellSet):
+    """Facets of the boundary of a cell subset, with outward normals
+    (ref nonlocalAssembly boundaryVertices/boundaryEdges helpers).
+    Returns (facets [F, mdim], normals [F, dim])."""
+    cells = mesh.cells[np.asarray(cellSet)]
+    mdim = mesh.manifold_dim
+    verts = mesh.vertices
+    if mdim == 1:
+        f = cells.ravel()
+        uniq, counts = np.unique(f, return_counts=True)
+        bnd = uniq[counts == 1]
+        facets = bnd.reshape(-1, 1)
+        normals = np.zeros((len(bnd), mesh.dim))
+        centers = verts[cells].mean(axis=(0, 1))
+        for k, v in enumerate(bnd):
+            # outward = away from the owning cell's center
+            own = cells[(cells == v).any(axis=1)][0]
+            other = own[own != v][0]
+            d = verts[v] - verts[other]
+            normals[k] = d / np.linalg.norm(d)
+        return facets.astype(np.int64), normals
+    elif mdim == 2:
+        edges = np.concatenate([cells[:, [0, 1]], cells[:, [1, 2]],
+                                cells[:, [2, 0]]], axis=0)
+        owner = np.tile(np.arange(len(cells)), 3)
+        se = np.sort(edges, axis=1)
+        uniq, inv, counts = np.unique(se, axis=0, return_inverse=True,
+                                      return_counts=True)
+        bmask = counts[inv] == 1
+        bedges = edges[bmask]
+        bowner = owner[bmask]
+        normals = np.zeros((len(bedges), mesh.dim))
+        for k in range(len(bedges)):
+            e = bedges[k]
+            t = verts[e[1]] - verts[e[0]]
+            n = np.array([t[1], -t[0]])
+            n /= np.linalg.norm(n)
+            cc = verts[cells[bowner[k]]].mean(axis=0)
+            mid = 0.5 * (verts[e[0]] + verts[e[1]])
+            if np.dot(n, mid - cc) < 0:
+                n = -n
+            normals[k] = n
+        return bedges.astype(np.int64), normals
+    raise NotImplementedError(mdim)
 
 
 def assembleNonlocal(dm, kernel, matrixFormat='dense', zeroExterior=True,

@@ -1,0 +1,382 @@
+"""Hierarchical (H2) matrices, TPU-native.
+
+Counterpart of /root/reference/nl/PyNucleus_nl/clusterMethodCy.pyx (tree_node,
+transferMatrixBuilder, assembleFarFieldInteractions, H2Matrix) and the tree /
+admissibility drivers in nonlocalAssembly_{SCALAR}.pxi:2541-3221.
+
+Design (SURVEY.md section 7): the ragged cluster tree is flattened into
+LEVEL-MAJOR PADDED ARRAYS so the whole matvec is a fixed sequence of batched
+einsums + segment-sums — one jit, no per-node dispatch:
+
+  upward    : c_leaf = PhiT x_leaf                      [leaves, M]
+              c_parent = sum_child T_child c_child      (batched matmul)
+  far field : y_c[i] += K_pair @ x_c[j]  per level      (batched matmul)
+  downward  : transpose of upward
+  near field: CSR matvec (exact singular quadrature, same panel engine as
+              the dense path, scattered into CSR slots)
+
+Interpolation: tensor Chebyshev (first kind) per box, order m from the
+reference's model (nonlocalAssembly pxi:2995-3000); admissibility
+eta*dist >= max(diam) with eta=3 plus horizon screening
+(clusterMethodCy.pyx:4008-4045).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import scipy.sparse as sp
+
+from ..config import REAL, INDEX
+from ..base.linear_operators import LinearOperator, CSR_LinearOperator
+
+__all__ = ['H2Matrix', 'buildClusterTree', 'treeNode', 'buildH2',
+           'chebyshevPoints', 'chebyshevLagrangeEval']
+
+
+# ------------------------------------------------------------- Chebyshev ---
+
+def chebyshevPoints(m, a=0.0, b=1.0):
+    """First-kind Chebyshev points mapped to [a, b]
+    (ref clusterMethodCy assembleFarFieldInteractions:2178)."""
+    eta = np.cos((2.0 * np.arange(m, 0, -1) - 1.0) / (2.0 * m) * np.pi)
+    return (b - a) * 0.5 * (eta + 1.0) + a
+
+
+def chebyshevLagrangeEval(m, a, b, x):
+    """L_k(x) for the Chebyshev-Lagrange basis on [a,b]; x [n] -> [m, n].
+    Uses the stable barycentric formula."""
+    nodes = chebyshevPoints(m, a, b)
+    k = np.arange(m)
+    wbar = (-1.0) ** k * np.sin((2 * k + 1) * np.pi / (2 * m))
+    x = np.asarray(x)
+    diff = x[None, :] - nodes[:, None]              # [m, n]
+    exact = np.abs(diff) < 1e-14
+    diff = np.where(exact, 1.0, diff)
+    terms = wbar[:, None] / diff
+    denom = terms.sum(axis=0)
+    L = terms / denom[None, :]
+    # exact hits
+    hit = exact.any(axis=0)
+    if hit.any():
+        L[:, hit] = exact[:, hit].astype(np.float64)
+    return L
+
+
+def tensorLagrangeEval(m, box, X):
+    """Tensor-product basis evaluation: box [dim, 2], X [n, dim] -> [M, n]
+    with M = m^dim, index ordering axis0-major (matching tensor grids)."""
+    dim = X.shape[1]
+    Ls = [chebyshevLagrangeEval(m, box[d, 0], box[d, 1], X[:, d])
+          for d in range(dim)]
+    out = Ls[0]
+    for d in range(1, dim):
+        out = (out[:, None, :] * Ls[d][None, :, :]).reshape(-1, X.shape[0])
+    return out
+
+
+def tensorChebyshevGrid(m, box):
+    """[M, dim] tensor grid over the box."""
+    dim = box.shape[0]
+    axes = [chebyshevPoints(m, box[d, 0], box[d, 1]) for d in range(dim)]
+    grids = np.meshgrid(*axes, indexing='ij')
+    return np.stack([g.ravel() for g in grids], axis=1)
+
+
+# ------------------------------------------------------------------ tree ---
+
+@dataclass
+class treeNode:
+    id: int
+    level: int
+    dofs: np.ndarray          # global dof indices owned by this node
+    box: np.ndarray           # [dim, 2]
+    parent: int = -1
+    children: list = field(default_factory=list)
+
+    @property
+    def isLeaf(self):
+        return len(self.children) == 0
+
+
+def _diam(box):
+    return float(np.linalg.norm(box[:, 1] - box[:, 0]))
+
+
+def _dist(box1, box2):
+    d = np.maximum(box1[:, 0] - box2[:, 1], box2[:, 0] - box1[:, 1])
+    return float(np.linalg.norm(np.maximum(d, 0.0)))
+
+
+def _maxDist(box1, box2):
+    d = np.maximum(np.abs(box1[:, 1] - box2[:, 0]),
+                   np.abs(box2[:, 1] - box1[:, 0]))
+    return float(np.linalg.norm(d))
+
+
+def dofSupportBoxes(dm):
+    """Bounding box of each dof's support (ref clusterMethodCy
+    getDoFBoxesAndCells:3922)."""
+    mesh = dm.mesh
+    N = dm.num_dofs
+    lo = np.full((N, mesh.dim), np.inf)
+    hi = np.full((N, mesh.dim), -np.inf)
+    V = mesh.vertices[mesh.cells]        # [C, m+1, dim]
+    cl = V.min(axis=1)
+    ch = V.max(axis=1)
+    d = dm.dofs
+    for l in range(d.shape[1]):
+        ii = d[:, l]
+        mask = ii >= 0
+        np.minimum.at(lo, ii[mask], cl[mask])
+        np.maximum.at(hi, ii[mask], ch[mask])
+    return lo, hi
+
+
+def buildClusterTree(dm, minSize, maxLevels=200):
+    """MEDIAN-split binary tree over dofs (ref tree_node.refine,
+    clusterMethodCy.pyx:354; MEDIAN refinementType is the reference default,
+    nonlocalAssembly pxi:3034)."""
+    lo, hi = dofSupportBoxes(dm)
+    centers = 0.5 * (lo + hi)
+    nodes = []
+
+    def makeBox(idx):
+        return np.stack([lo[idx].min(axis=0), hi[idx].max(axis=0)], axis=1)
+
+    def rec(idx, level, parent):
+        nid = len(nodes)
+        node = treeNode(nid, level, np.sort(idx), makeBox(idx), parent)
+        nodes.append(node)
+        if len(idx) > minSize and level < maxLevels:
+            c = centers[idx]
+            ext = c.max(axis=0) - c.min(axis=0)
+            axis = int(np.argmax(ext))
+            med = np.median(c[:, axis])
+            maskL = c[:, axis] <= med
+            # guard degenerate splits
+            if maskL.all() or not maskL.any():
+                order = np.argsort(c[:, axis])
+                half = len(idx) // 2
+                maskL = np.zeros(len(idx), dtype=bool)
+                maskL[order[:half]] = True
+            left = idx[maskL]
+            right = idx[~maskL]
+            if len(left) and len(right):
+                node.children = [rec(left, level + 1, nid),
+                                 rec(right, level + 1, nid)]
+        return nid
+
+    rec(np.arange(dm.num_dofs), 0, -1)
+    return nodes
+
+
+def admissibleClusters(kernel, nodes, eta, interpolation_order, dim):
+    """Dual-tree traversal -> (Pfar per level, Pnear leaf pairs)
+    (ref getAdmissibleClusters clusterMethodCy.pyx:4046, queryAdmissibility
+    :4008)."""
+    Pfar = {}
+    Pnear = []
+    M = interpolation_order ** dim
+
+    def rec(i, j):
+        n1, n2 = nodes[i], nodes[j]
+        dist = _dist(n1.box, n2.box)
+        if kernel.finiteHorizon:
+            hv = kernel.horizonValue
+            maxDist = _maxDist(n1.box, n2.box)
+            if not kernel.complement and dist > hv:
+                return
+            if kernel.complement and maxDist <= hv:
+                return
+            onHorizon = dist <= hv <= maxDist
+        else:
+            onHorizon = False
+        diam1 = _diam(n1.box)
+        diam2 = _diam(n2.box)
+        admissible = (eta * dist >= max(diam1, diam2) and not onHorizon and
+                      M * M <= len(n1.dofs) * len(n2.dofs))
+        if admissible:
+            Pfar.setdefault(n1.level, []).append((i, j))
+            return
+        if n1.isLeaf and n2.isLeaf:
+            Pnear.append((i, j))
+            return
+        # refine the pair: split the node with larger diameter (both if tied)
+        if n1.isLeaf:
+            for c2 in n2.children:
+                rec(i, c2)
+        elif n2.isLeaf:
+            for c1 in n1.children:
+                rec(c1, j)
+        else:
+            for c1 in n1.children:
+                for c2 in n2.children:
+                    rec(c1, c2)
+
+    rec(0, 0)
+    return Pfar, Pnear
+
+
+# ------------------------------------------------------------ H2 operator --
+
+class _H2Level:
+    """Per-level device arrays; 'size' is static metadata."""
+
+    def __init__(self, size, T=None, parentIdx=None, K=None, src=None,
+                 dst=None):
+        self.size = size
+        self.T = T
+        self.parentIdx = parentIdx
+        self.K = K
+        self.src = src
+        self.dst = dst
+
+    def __getitem__(self, key):
+        return getattr(self, key)
+
+    def __setitem__(self, key, val):
+        setattr(self, key, val)
+
+
+jax.tree_util.register_pytree_node(
+    _H2Level,
+    lambda l: ((l.T, l.parentIdx, l.K, l.src, l.dst), (l.size,)),
+    lambda aux, ch: _H2Level(aux[0], *ch))
+
+class H2Matrix(LinearOperator):
+    """Level-major padded H2 operator (pytree).
+
+    Data layout (device):
+      Anear                      CSR near field
+      leafDofs   [L, maxLeafN]   dof gather map (pad -1)
+      leafPhi    [L, maxLeafN, M]
+      leafNode   [L]             node id -> position maps per level below
+      For each tree level ell (coarse->fine):
+        T[ell]       [n_ell, M, M]   child->parent transfer (applied to each
+                                     node's coeffs, summed into parents)
+        parentIdx[ell] [n_ell]       position of parent in level ell-1
+      For each level with far-field pairs:
+        K[ell]       [p_ell, M, M]   kernel on Chebyshev grids
+        src[ell], dst[ell] [p_ell]   positions within level ell
+    """
+
+    def __init__(self, Anear, leafDofs, leafPhi, leafLevelPos, levels,
+                 num_rows, symmetric=True):
+        self.Anear = Anear
+        self.leafDofs = leafDofs
+        self.leafPhi = leafPhi
+        # static metadata: (lvlIdx, posIdx) per leaf, as hashable tuples
+        lvlIdx, posIdx = leafLevelPos
+        self.leafLevelPos = (tuple(int(v) for v in lvlIdx),
+                             tuple(int(v) for v in posIdx))
+        self.levels = levels              # list of _H2Level
+        self.num_rows = self.num_columns = num_rows
+        self.symmetric = symmetric
+
+    def isSparse(self):
+        return False
+
+    def matvec(self, x):
+        return _h2_matvec(self, x)
+
+    @property
+    def diagonal(self):
+        return self.Anear.diagonal
+
+    @property
+    def T(self):
+        if self.symmetric:
+            return self
+        raise NotImplementedError()
+
+    def getnear(self):
+        return self.Anear
+
+    def __repr__(self):
+        far = sum(lvl['K'].shape[0] for lvl in self.levels if lvl['K'] is not None)
+        return (f'<H2Matrix {self.num_rows}x{self.num_columns} '
+                f'nnz_near={self.Anear.nnz} farPairs={far} '
+                f'levels={len(self.levels)}>')
+
+
+def _h2_flatten(op):
+    children = (op.Anear, op.leafDofs, op.leafPhi, op.levels)
+    aux = (op.leafLevelPos, op.num_rows, op.symmetric)
+    return children, aux
+
+
+def _h2_unflatten(aux, children):
+    op = object.__new__(H2Matrix)
+    op.Anear, op.leafDofs, op.leafPhi, op.levels = children
+    op.leafLevelPos, op.num_rows, op.symmetric = aux
+    op.num_columns = op.num_rows
+    return op
+
+
+jax.tree_util.register_pytree_node(H2Matrix, _h2_flatten, _h2_unflatten)
+
+
+@jax.jit
+def _h2_matvec(op, x):
+    nLvl = len(op.levels)
+    M = op.leafPhi.shape[2]
+
+    # ---- leaf moments
+    xg = jnp.where(op.leafDofs >= 0, x[jnp.clip(op.leafDofs, 0)], 0.0)
+    cLeaf = jnp.einsum('lnm,ln->lm', op.leafPhi, xg)       # [L, M]
+
+    # ---- scatter leaf moments into their levels, then sweep up
+    coeffs = []
+    for ell in range(nLvl):
+        n = op.levels[ell]['size']
+        coeffs.append(jnp.zeros((n, M), dtype=x.dtype))
+    lvlIdx = np.array(op.leafLevelPos[0])
+    posIdx = np.array(op.leafLevelPos[1])
+    for ell in range(nLvl):
+        sel = np.nonzero(lvlIdx == ell)[0]
+        # static index sets built at trace time from pytree metadata
+        if len(sel):
+            coeffs[ell] = coeffs[ell].at[posIdx[sel]].add(cLeaf[sel])
+
+    for ell in range(nLvl - 1, 0, -1):
+        lvl = op.levels[ell]
+        up = jnp.einsum('nij,nj->ni', lvl['T'], coeffs[ell])
+        coeffs[ell - 1] = coeffs[ell - 1] + jax.ops.segment_sum(
+            up, lvl['parentIdx'], num_segments=op.levels[ell - 1]['size'])
+
+    # ---- far field per level (the admissible pair list contains BOTH
+    # orders (i,j) and (j,i), so no transpose application is needed)
+    out = [jnp.zeros_like(c) for c in coeffs]
+    for ell in range(nLvl):
+        lvl = op.levels[ell]
+        if lvl['K'] is not None:
+            contrib = jnp.einsum('pij,pj->pi', lvl['K'], coeffs[ell][lvl['src']])
+            out[ell] = out[ell].at[lvl['dst']].add(contrib)
+
+    # ---- sweep down
+    for ell in range(1, nLvl):
+        lvl = op.levels[ell]
+        down = out[ell - 1][lvl['parentIdx']]
+        out[ell] = out[ell] + jnp.einsum('nji,nj->ni', lvl['T'], down)
+
+    # ---- gather to leaves and scatter to dofs
+    yLeaf = jnp.zeros_like(cLeaf)
+    for ell in range(nLvl):
+        sel = np.nonzero(lvlIdx == ell)[0]
+        if len(sel):
+            yLeaf = yLeaf.at[sel].set(out[ell][posIdx[sel]])
+
+    yvals = jnp.einsum('lnm,lm->ln', op.leafPhi, yLeaf)    # [L, maxLeafN]
+    N = op.num_rows
+    flat = jnp.where(op.leafDofs >= 0, op.leafDofs, N).reshape(-1)
+    y = jax.ops.segment_sum(yvals.reshape(-1), flat, num_segments=N + 1)[:N]
+
+    # ---- near field
+    y = y + op.Anear.matvec(x)
+    return y

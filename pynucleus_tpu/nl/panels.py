@@ -77,30 +77,32 @@ def distantQuadOrder(h1, h2, d, s, target_order, num_dofs, H0,
     return order.astype(np.int64)
 
 
+def cellAdjacencyMatrix(mesh):
+    """Sparse [C, C] matrix whose (i, j) entry counts shared vertices."""
+    import scipy.sparse as sp
+    C = mesh.num_cells
+    nv = mesh.cells.shape[1]
+    X = sp.coo_matrix(
+        (np.ones(C * nv), (np.repeat(np.arange(C), nv), mesh.cells.ravel())),
+        shape=(C, mesh.num_vertices)).tocsr()
+    Adj = (X @ X.T).tocsr()
+    Adj.sort_indices()
+    return Adj
+
+
 def _cellAdjacency(cells, num_vertices):
-    """Pairs of cells sharing >= 1 vertex (i < j), plus shared-vertex info.
-    Returns (pairs [K,2], firstShared [K] local-vertex index pairs packed)."""
-    nv = cells.shape[1]
+    """Pairs of cells sharing >= 1 vertex (i < j)."""
+    import scipy.sparse as sp
     C = cells.shape[0]
-    # vertex -> cells incidence
-    flat_v = cells.ravel()
-    flat_c = np.repeat(np.arange(C, dtype=np.int64), nv)
-    order = np.argsort(flat_v, kind='stable')
-    sv = flat_v[order]
-    sc = flat_c[order]
-    starts = np.searchsorted(sv, np.arange(num_vertices))
-    ends = np.searchsorted(sv, np.arange(num_vertices) + 1)
-    pairs = set()
-    for v in range(num_vertices):
-        cs = sc[starts[v]:ends[v]]
-        if len(cs) > 1:
-            cs = np.sort(cs)
-            for a in range(len(cs)):
-                for b in range(a + 1, len(cs)):
-                    pairs.add((int(cs[a]), int(cs[b])))
-    if not pairs:
+    nv = cells.shape[1]
+    X = sp.coo_matrix(
+        (np.ones(C * nv), (np.repeat(np.arange(C), nv), cells.ravel())),
+        shape=(C, num_vertices)).tocsr()
+    Adj = sp.triu((X @ X.T).tocoo(), k=1).tocoo()
+    if Adj.nnz == 0:
         return np.zeros((0, 2), dtype=np.int64)
-    return np.array(sorted(pairs), dtype=np.int64)
+    return np.stack([Adj.row.astype(np.int64), Adj.col.astype(np.int64)],
+                    axis=1)
 
 
 def _sharedVertices(cells, pairs):
@@ -129,72 +131,145 @@ def _sharedVertices(cells, pairs):
     return out
 
 
+def orderModelParams(dm, kernel, target_order=None):
+    """Scalars of the distant-panel order model (ref fractionalLaplacian1D
+    setKernel:203-233 / 2D:587-615)."""
+    mesh = dm.mesh
+    smin = max(-0.5 * (kernel.min_singularity + 1), 0.0)
+    smax = max(-0.5 * (kernel.max_singularity + 1), 0.0)
+    if target_order is None:
+        if mesh.manifold_dim == 1:
+            target_order = dm.polynomialOrder + 1 - smin
+        else:
+            target_order = 0.5
+    H0 = mesh.diam / np.sqrt(8)
+    hmin = mesh.hmin
+    num_dofs = dm.num_dofs
+    if mesh.manifold_dim == 1:
+        quad_order_diagonal = max(int(np.ceil(
+            ((target_order + 2.0) * np.log(num_dofs * H0) +
+             (2.0 * smax - 1.0) * abs(np.log(hmin / H0))) / 0.8)), 2)
+    else:
+        smax2 = max(-0.5 * (kernel.max_singularity + 2), 0.0)
+        quad_order_diagonal = max(int(np.ceil(
+            (target_order + 1.0 + smax2) / 0.43 * abs(np.log(hmin / H0)))), 4)
+    return dict(target_order=target_order, H0=H0, hmin=hmin,
+                num_dofs=num_dofs, smin=smin, smax=smax,
+                quad_order_diagonal=quad_order_diagonal)
+
+
+def distantOrders(dm, kernel, hs, centers, di, dj, mp):
+    """Quadrature orders for a list of distant pairs."""
+    mesh = dm.mesh
+    d = np.linalg.norm(centers[di] - centers[dj], axis=1)
+    if mesh.manifold_dim == 1:
+        sval = max(mp['smin'], mp['smax'])
+        return distantQuadOrder(hs[di], hs[dj], d, sval, mp['target_order'],
+                                mp['num_dofs'], mp['H0'])
+    # 2D model (ref fractionalLaplacian2D.pyx:622-641)
+    s = max(-0.5 * (kernel.max_singularity + 2), 0.0)
+    H0 = mp['H0']
+    logdh1 = np.log(d / hs[di])
+    logdh2 = np.log(d / hs[dj])
+    c = (0.5 * mp['target_order'] + 0.5) * np.log(mp['num_dofs'] * H0 ** 2)
+    l1 = np.abs(np.log(hs[di] / H0))
+    l2 = np.abs(np.log(hs[dj] / H0))
+    lmin = np.maximum(l1, l2)
+    o1 = np.ceil((c + (s - 1.0) * l2 + lmin - s * logdh2) /
+                 (np.maximum(logdh1, 0) + 0.4))
+    o2 = np.ceil((c + (s - 1.0) * l1 + lmin - s * logdh1) /
+                 (np.maximum(logdh2, 0) + 0.4))
+    return np.maximum(np.maximum(o1, o2), 2).astype(np.int64)
+
+
+def classifyPairList(dm, kernel, pi, pj, target_order=None):
+    """Classify an explicit ordered cell-pair list into id / touching /
+    distant buckets (same structure as classifyPairsDense).  Used by the
+    near-field (H2/sparse) assembly where the pair set comes from cluster
+    pairs instead of the full product."""
+    mesh = dm.mesh
+    cells = mesh.cells
+    mp = orderModelParams(dm, kernel, target_order)
+
+    pi = np.asarray(pi, dtype=np.int64)
+    pj = np.asarray(pj, dtype=np.int64)
+    idMask = pi == pj
+    ids = pi[idMask]
+
+    rest_i = pi[~idMask]
+    rest_j = pj[~idMask]
+    # shared-vertex counts via vectorized comparison (nv small)
+    c1 = cells[rest_i]
+    c2 = cells[rest_j]
+    nShared = (c1[:, :, None] == c2[:, None, :]).any(axis=2).sum(axis=1)
+    touchMask = nShared >= 1
+
+    touching_pairs = np.stack([rest_i[touchMask], rest_j[touchMask]], axis=1)
+    sharedInfo = _sharedVertices(cells, touching_pairs)
+
+    di = rest_i[~touchMask]
+    dj = rest_j[~touchMask]
+    centers = mesh.vertices[cells].mean(axis=1)
+    hs = _cellDiameter(mesh.vertices, cells)
+    if kernel.finiteHorizon and len(di):
+        dmin = _pairMinDistance(mesh.vertices, cells, di, dj)
+        keep = dmin < kernel.horizonValue
+        di, dj = di[keep], dj[keep]
+    orders = distantOrders(dm, kernel, hs, centers, di, dj, mp) \
+        if len(di) else np.zeros(0, dtype=np.int64)
+    orders = ((orders + 1) // 2) * 2
+
+    return {'id': ids,
+            'touching': (touching_pairs, sharedInfo),
+            'distant': (di, dj, orders),
+            **mp}
+
+
 def classifyPairsDense(dm, kernel, target_order=None):
     """Classify all (i <= j) cell pairs for a symmetric kernel.
 
     Returns dict with keys:
-      'id'                -> ids of identical-cell pairs
-      'vertex'/'edge'     -> (pairs, perms) touching pairs by #shared verts
-      'distant'           -> (pairs, orders) per remaining pair (or horizon-
-                              screened out)
-      plus scalars (target_order, quad_order_diagonal, H0, hmin).
+      'id'        -> ids of identical-cell pairs
+      'touching'  -> (pairs, perms) touching pairs with shared-vertex perms
+      'distant'   -> (i, j, orders) per remaining pair (horizon-screened)
+      plus the order-model scalars.
     """
     mesh = dm.mesh
     cells = mesh.cells
     C = mesh.num_cells
     verts = mesh.vertices
-    mdim = mesh.manifold_dim
-
-    p = max(dm.polynomialOrder, 1)
-    smin = max(-0.5 * (kernel.min_singularity + 1), 0.0)
-    smax = max(-0.5 * (kernel.max_singularity + 1), 0.0)
-    if target_order is None:
-        target_order = dm.polynomialOrder + 1 - smin
-    H0 = mesh.diam / np.sqrt(8)
-    hmin = mesh.hmin
-    num_dofs = dm.num_dofs
-    quad_order_diagonal = max(int(np.ceil(
-        ((target_order + 2.0) * np.log(num_dofs * H0) +
-         (2.0 * smax - 1.0) * abs(np.log(hmin / H0))) / 0.8)), 2)
+    mp = orderModelParams(dm, kernel, target_order)
 
     touching_pairs = _cellAdjacency(cells, mesh.num_vertices)
     sharedInfo = _sharedVertices(cells, touching_pairs)
 
-    # distant pairs: all (i < j) minus touching
     centers = verts[cells].mean(axis=1)                       # [C, dim]
     hs = _cellDiameter(verts, cells)                          # [C]
 
     iu, ju = np.triu_indices(C, k=1)
-    touch_set = set(map(tuple, touching_pairs.tolist()))
     mask_touch = np.zeros(len(iu), dtype=bool)
-    if touch_set:
+    if len(touching_pairs):
         keys = iu.astype(np.int64) * C + ju.astype(np.int64)
-        tkeys = np.array([a * C + b for (a, b) in touch_set], dtype=np.int64)
+        tkeys = touching_pairs[:, 0] * C + touching_pairs[:, 1]
         mask_touch = np.isin(keys, tkeys)
     di = iu[~mask_touch]
     dj = ju[~mask_touch]
 
-    d = np.linalg.norm(centers[di] - centers[dj], axis=1)
-
     # horizon screening (extreme distances; ref getPanelType + IGNORED)
-    if kernel.finiteHorizon:
+    if kernel.finiteHorizon and len(di):
         dmin = _pairMinDistance(verts, cells, di, dj)
         keep = dmin < kernel.horizonValue
-        di, dj, d = di[keep], dj[keep], d[keep]
+        di, dj = di[keep], dj[keep]
 
-    sval = max(smin, smax)
-    orders = distantQuadOrder(hs[di], hs[dj], d, sval, target_order,
-                              num_dofs, H0)
-    # round up to even to bound bucket count
+    orders = distantOrders(dm, kernel, hs, centers, di, dj, mp) \
+        if len(di) else np.zeros(0, dtype=np.int64)
     orders = ((orders + 1) // 2) * 2
 
     return {
         'id': np.arange(C, dtype=np.int64),
         'touching': (touching_pairs, sharedInfo),
         'distant': (di, dj, orders),
-        'target_order': target_order,
-        'quad_order_diagonal': quad_order_diagonal,
-        'H0': H0, 'hmin': hmin,
+        **mp,
     }
 
 

@@ -76,3 +76,35 @@ def test_runFractional_solver_consistency():
     _, mS1 = runFractional(base + ['--solverType', 'lu'])
     _, mS2 = runFractional(base + ['--solverType', 'cg-mg'])
     assert abs(mS1.Hs_error - mS2.Hs_error) < 1e-6
+
+
+def test_runFractional_H2():
+    """H2 format matches the reference's H2 cache (interval s=0.75 P1 lu)."""
+    d, mS = runFractional(['--domain', 'interval', '--s', 'const(0.75)',
+                           '--problem', 'constant', '--element', 'P1',
+                           '--solverType', 'lu', '--matrixFormat', 'H2'])
+    got = d.outputGroups['errors'].toDict()
+    expected = {'Hs error': 0.041849732677658555,
+                'L2 error': 0.001458788789368659,
+                'L2 error interpolated': 0.001089628333551184,
+                'Linf error interpolated': 0.0009871148528776685}
+    for label, val in expected.items():
+        assert np.isclose(got[label], val, rtol=3e-2, atol=1e-8), \
+            (label, got[label], val)
+
+
+def test_h2_matvec_against_dense():
+    import jax.numpy as jnp
+    from pynucleus_tpu.fem import simpleInterval, P1_DoFMap
+    from pynucleus_tpu.nl import getFractionalKernel
+    from pynucleus_tpu.nl.assembly import nonlocalBuilder
+    m = simpleInterval(-1., 1.).refine()
+    for _ in range(5):
+        m = m.refine()
+    dm = P1_DoFMap(m)
+    kernel = getFractionalKernel(1, 0.25)
+    Ad = nonlocalBuilder(dm, kernel).getDense()
+    Ah = nonlocalBuilder(dm, kernel).getH2()
+    x = jnp.asarray(np.random.RandomState(3).rand(dm.num_dofs))
+    rel = float(jnp.linalg.norm(Ad @ x - Ah @ x) / jnp.linalg.norm(Ad @ x))
+    assert rel < 1e-4, rel

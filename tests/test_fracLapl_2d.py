@@ -73,8 +73,7 @@ def test_square_exterior_term():
     import jax.numpy as jnp
     from pynucleus_tpu.fem import uniformSquare, P1_DoFMap
     from pynucleus_tpu.nl import getFractionalKernel
-    from pynucleus_tpu.nl.assembly import nonlocalBuilder
-    from pynucleus_tpu.config import REAL
+    from pynucleus_tpu.nl.assembly import nonlocalBuilder, DenseAccumulator
 
     s = 0.6
     m = uniformSquare(N=3, ax=0, ay=0, bx=1, by=1).refine()
@@ -82,7 +81,9 @@ def test_square_exterior_term():
     kernel = getFractionalKernel(2, s)
     b = nonlocalBuilder(dm, kernel)
     N = dm.num_dofs
-    Aext = b._addZeroExterior(np.zeros((N + 1, N + 1), dtype=REAL))[:N, :N]
+    acc = DenseAccumulator(N)
+    b._addZeroExterior(acc)
+    Aext = acc.A[:N, :N]
     u = np.ones(N)
     quadform = float(u @ Aext @ u)
     assert np.isclose(quadform, 1.3408, rtol=5e-3), quadform
