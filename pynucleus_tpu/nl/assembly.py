@@ -73,6 +73,39 @@ def _bucket_contrib(vertices, vertIdx1, vertIdx2, volsym,
     return t @ PSIP                               # [P, nPSI*nPSI]  (MXU)
 
 
+@partial(jax.jit, static_argnames=('kernel', 'nPSI'),
+         donate_argnums=(0,))
+def _bucket_natural_scatter(A, vertices, cellsArr, dofsArr, volsArr,
+                            di, dj, symfac, bary_x, bary_y, w, PSIP,
+                            kernel=None, nPSI=None):
+    # Fused distant/id bucket for NATURALLY-ORDERED pairs: gathers geometry
+    # on device (only pair indices cross the host-device link), evaluates the
+    # panel quadrature, and scatter-adds into the dense accumulator.  One
+    # device call per chunk -- built for the high-latency TPU tunnel.
+    N = A.shape[0] - 1
+    v1 = vertices[cellsArr[di]]
+    v2 = vertices[cellsArr[dj]]
+    x = jnp.einsum('pvd,vq->pqd', v1, bary_x)
+    y = jnp.einsum('pvd,vq->pqd', v2, bary_y)
+    r2 = jnp.sum((x - y) ** 2, axis=-1)
+    g = _radial_eval(kernel, r2)
+    if kernel.finiteHorizon or kernel.complement:
+        g = g * kernel.interaction.jaxIndicator(x, y, kernel.horizonValue ** 2)
+    vols = volsArr[di] * volsArr[dj] * symfac
+    t = (g * w[None, :]) * vols[:, None]
+    M = t @ PSIP                                   # [P, nPSI^2]
+    dpe = dofsArr.shape[1]
+    if nPSI == dpe:
+        dr = dofsArr[di]
+    else:
+        dr = jnp.concatenate([dofsArr[di], dofsArr[dj]], axis=1)
+    rows = jnp.where(dr >= 0, dr, N)
+    P = rows.shape[0]
+    rb = jnp.broadcast_to(rows[:, :, None], (P, nPSI, nPSI)).reshape(-1)
+    cb = jnp.broadcast_to(rows[:, None, :], (P, nPSI, nPSI)).reshape(-1)
+    return A.at[rb, cb].add(M.reshape(-1))
+
+
 def _psi_prod(PSI):
     """PSIP[q, I*n+J] = PSI[I,q]*PSI[J,q]."""
     n, Q = PSI.shape
@@ -109,6 +142,39 @@ class DenseAccumulator:
     def result(self):
         from ..base.linear_operators import Dense_LinearOperator
         return Dense_LinearOperator(jnp.asarray(self.A[:self.N, :self.N]))
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=('nPSI',))
+def _device_scatter_rows(A, dofRows, M, mask, nPSI):
+    """Broadcast local (nPSI x nPSI) entries to (row, col) pairs ON DEVICE —
+    only the compact dofRows/mask arrays cross the host-device link."""
+    N = A.shape[0] - 1
+    rows = jnp.where(dofRows >= 0, dofRows, N)
+    P = rows.shape[0]
+    rb = jnp.broadcast_to(rows[:, :, None], (P, nPSI, nPSI))
+    if mask is not None:
+        rb = jnp.where(mask, rb, N)
+    cb = jnp.broadcast_to(rows[:, None, :], (P, nPSI, nPSI))
+    return A.at[rb.reshape(-1), cb.reshape(-1)].add(M.reshape(-1))
+
+
+class DeviceDenseAccumulator:
+    """Device-resident dense accumulator: contributions never leave the
+    accelerator (the TPU fast path; scatter-add is efficient there)."""
+
+    def __init__(self, N, dtype=None):
+        self.N = N
+        self.dtype = dtype or REAL
+        self.A = jnp.zeros((N + 1, N + 1), dtype=self.dtype)
+
+    def deviceAddRows(self, dofRows, M, mask, nPSI):
+        self.A = _device_scatter_rows(
+            self.A, jnp.asarray(dofRows, dtype=INDEX), M,
+            jnp.asarray(mask) if mask is not None else None, nPSI)
+
+    def result(self):
+        from ..base.linear_operators import Dense_LinearOperator
+        return Dense_LinearOperator(self.A[:self.N, :self.N])
 
 
 class CSRAccumulator:
@@ -173,10 +239,48 @@ class _BucketRunner:
     scatter path can be enabled.  The heavy quadrature math always runs on
     device."""
 
-    def __init__(self, vertices, kernel, useNormals=False):
-        self.vertices = jnp.asarray(vertices)
+    def __init__(self, vertices, kernel, useNormals=False, dtype=None,
+                 cells=None, dofs=None, vols=None):
+        # dtype=float32 selects the fast TPU path (f64 is emulated on TPU);
+        # quadrature tables and geometry are cast once.
+        self.dtype = dtype or REAL
+        self.vertices = jnp.asarray(vertices, dtype=self.dtype)
         self.kernel = kernel
         self.useNormals = useNormals
+        # device-resident mesh data for the natural-pair fast path
+        self.cellsDev = jnp.asarray(cells, dtype=INDEX) if cells is not None else None
+        self.dofsDev = jnp.asarray(dofs, dtype=INDEX) if dofs is not None else None
+        self.volsDev = jnp.asarray(vols, dtype=self.dtype) if vols is not None else None
+
+    def runNatural(self, acc, rule, PSI, di, dj, symfac):
+        # Fast path for id/distant buckets in natural dof order with a
+        # device accumulator: only (di, dj) cross the link.
+        P = len(di)
+        if P == 0:
+            return
+        PSIP = jnp.asarray(_psi_prod(PSI), dtype=self.dtype)
+        bary_x = jnp.asarray(rule.bary_x, dtype=self.dtype)
+        bary_y = jnp.asarray(rule.bary_y, dtype=self.dtype)
+        w = jnp.asarray(rule.w, dtype=self.dtype)
+        nPSI = PSI.shape[0]
+        Q = rule.num_nodes
+        maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)), 256)
+        start = 0
+        while start < P:
+            chunk = min(maxP, P - start)
+            csize = _chunk_size(chunk)
+            sl = slice(start, start + chunk)
+            dip = _pad(np.asarray(di[sl]), csize, fill=0)
+            djp = _pad(np.asarray(dj[sl]), csize, fill=0)
+            sf = np.full(csize, float(symfac))
+            sf[chunk:] = 0.0
+            acc.A = _bucket_natural_scatter(
+                acc.A, self.vertices, self.cellsDev, self.dofsDev,
+                self.volsDev, jnp.asarray(dip, dtype=INDEX),
+                jnp.asarray(djp, dtype=INDEX),
+                jnp.asarray(sf, dtype=self.dtype),
+                bary_x, bary_y, w, PSIP, kernel=self.kernel, nPSI=nPSI)
+            start += chunk
 
     def run(self, acc, rule, PSI, vertIdx1, vertIdx2, dofRows, volsym,
             normals=None, entryMask=None):
@@ -186,10 +290,10 @@ class _BucketRunner:
         P = vertIdx1.shape[0]
         if P == 0:
             return
-        PSIP = jnp.asarray(_psi_prod(PSI))
-        bary_x = jnp.asarray(rule.bary_x)
-        bary_y = jnp.asarray(rule.bary_y)
-        w = jnp.asarray(rule.w)
+        PSIP = jnp.asarray(_psi_prod(PSI), dtype=self.dtype)
+        bary_x = jnp.asarray(rule.bary_x, dtype=self.dtype)
+        bary_y = jnp.asarray(rule.bary_y, dtype=self.dtype)
+        w = jnp.asarray(rule.w, dtype=self.dtype)
         nPSI = PSI.shape[0]
         Q = rule.num_nodes
         # bound the [P, Q] intermediate: ~32M elements per launch
@@ -201,22 +305,30 @@ class _BucketRunner:
             sl = slice(start, start + chunk)
             vi1 = _pad(vertIdx1[sl], csize)
             vi2 = _pad(vertIdx2[sl], csize)
-            vs = _pad(volsym[sl], csize, fill=0.0)
+            vs = _pad(volsym[sl], csize, fill=0.0).astype(self.dtype)
             nm = None
             if self.useNormals:
-                nm = jnp.asarray(_pad(normals[sl], csize, fill=0.0))
+                nm = jnp.asarray(_pad(normals[sl], csize, fill=0.0),
+                                 dtype=self.dtype)
             M = _bucket_contrib(
                 self.vertices, jnp.asarray(vi1, dtype=INDEX),
                 jnp.asarray(vi2, dtype=INDEX), jnp.asarray(vs),
                 bary_x, bary_y, w, PSIP,
                 normals=nm, kernel=self.kernel, useNormals=self.useNormals)
-            M = np.asarray(M[:chunk]).reshape(chunk, nPSI, nPSI)
-            dr = dofRows[sl]
-            rb = np.broadcast_to(dr[:, :, None], M.shape)
-            cb = np.broadcast_to(dr[:, None, :], M.shape)
-            if entryMask is not None:
-                rb = np.where(entryMask[sl], rb, -1)
-            acc.add(rb.reshape(-1), cb.reshape(-1), M.reshape(-1))
+            dr = _pad(dofRows[sl], csize, fill=-1)
+            if hasattr(acc, 'deviceAddRows'):
+                em = None
+                if entryMask is not None:
+                    em = _pad(entryMask[sl], csize, fill=False)
+                acc.deviceAddRows(dr, M, em, nPSI)
+            else:
+                shape3 = (chunk, nPSI, nPSI)
+                rb = np.broadcast_to(dr[:chunk, :, None], shape3)
+                cb = np.broadcast_to(dr[:chunk, None, :], shape3)
+                if entryMask is not None:
+                    rb = np.where(entryMask[sl], rb, -1)
+                Mh = np.asarray(M[:chunk]).reshape(shape3)
+                acc.add(rb.reshape(-1), cb.reshape(-1), Mh.reshape(-1))
             start += chunk
 
 
@@ -279,7 +391,10 @@ class nonlocalBuilder:
         dofs = dm.dofs
         dpe = dm.dofs_per_element
         mdim = mesh.manifold_dim
-        runner = _BucketRunner(mesh.vertices, kernel)
+        runner = _BucketRunner(mesh.vertices, kernel,
+                               dtype=self.params.get('dtype'),
+                               cells=cells, dofs=dofs, vols=vols)
+        fast = hasattr(acc, 'deviceAddRows') and maskLookup is None
 
         # The singularity-cancelling rules are normalized to the collapsed
         # (x1 >= x2 >= ...) parametrization, whose Jacobian to physical space
@@ -294,11 +409,15 @@ class nonlocalBuilder:
         if len(ids):
             ruleId = info['ruleId']
             PSI = ruleId.buildPSI(dm, nSharedVertices=mdim + 1)
-            em = None
-            if maskLookup is not None:
-                em = np.stack([maskLookup[(c, c)][:dpe, :dpe] for c in ids])
-            runner.run(acc, ruleId, PSI, cells[ids], cells[ids], dofs[ids],
-                       dets[ids] ** 2, entryMask=em)
+            if fast:
+                # det normalization folded via symfac = detfac^2
+                runner.runNatural(acc, ruleId, PSI, ids, ids, detfac ** 2)
+            else:
+                em = None
+                if maskLookup is not None:
+                    em = np.stack([maskLookup[(c, c)][:dpe, :dpe] for c in ids])
+                runner.run(acc, ruleId, PSI, cells[ids], cells[ids], dofs[ids],
+                           dets[ids] ** 2, entryMask=em)
 
         # --- touching panels (shared vertex / shared edge in 2D)
         pairs, sharedInfo = info['touching']
@@ -341,15 +460,18 @@ class nonlocalBuilder:
         # a few buckets: rounding up only improves accuracy)
         di, dj, orders = info['distant']
         if len(orders):
-            omax = orders.max()
-            orders = np.where(orders > 20, omax, orders)
-            orders = np.where((orders > 12) & (orders <= 20),
-                              min(20, omax), orders)
+            omax = int(orders.max())
+            orders = np.where(orders > 16, omax, orders)
+            orders = np.where((orders > 8) & (orders <= 16),
+                              min(16, omax), orders)
         for order in np.unique(orders):
             sel = orders == order
             ii, jj = di[sel], dj[sel]
             rule = distantRule(int(order), mdim)
             PSI = rule.buildPSI(dm, nSharedVertices=0)
+            if fast:
+                runner.runNatural(acc, rule, PSI, ii, jj, 2.0)
+                continue
             dr = np.concatenate([dofs[ii], dofs[jj]], axis=1)
             vs = vols[ii] * vols[jj] * 2.0
             em = None
@@ -366,7 +488,10 @@ class nonlocalBuilder:
         N = dm.num_dofs
         info = self._makeRules(classifyPairsDense(
             dm, self.kernel, target_order=self.params.get('target_order')))
-        acc = DenseAccumulator(N)
+        if jax.devices()[0].platform == 'cpu':
+            acc = DenseAccumulator(N)
+        else:
+            acc = DeviceDenseAccumulator(N, dtype=self.params.get('dtype'))
         self._runPairBuckets(acc, info)
         if self.zeroExterior:
             self._addZeroExterior(acc)
@@ -706,7 +831,8 @@ class nonlocalBuilder:
         detfac = {1: 1.0, 2: 2.0, 3: 6.0}[mdim]
         bkernel = kernel.getModifiedKernel(horizon=np.inf).getBoundaryKernel()
         useNormals = mdim >= 2
-        runner = _BucketRunner(verts, bkernel, useNormals=useNormals)
+        runner = _BucketRunner(verts, bkernel, useNormals=useNormals,
+                               dtype=self.params.get('dtype'))
         from .panels import orderModelParams
         mpb = orderModelParams(dm, bkernel, self.params.get('target_order'))
         qd = mpb['quad_order_diagonal']
@@ -848,7 +974,8 @@ class nonlocalBuilder:
         useNormals = mdim >= 2
         detfac = {1: 1.0, 2: 2.0, 3: 6.0}[mdim]
         sdetfac = {1: 1.0, 2: 1.0, 3: 2.0}[mdim]  # (m-1)! for surface simplex
-        runner = _BucketRunner(mesh.vertices, bkernel, useNormals=useNormals)
+        runner = _BucketRunner(mesh.vertices, bkernel, useNormals=useNormals,
+                               dtype=self.params.get('dtype'))
 
         # touching (cell shares vertex/edge with surface simplex), grouped by
         # number of shared vertices (2D: vertex vs edge panels)

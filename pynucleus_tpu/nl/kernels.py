@@ -385,6 +385,22 @@ class Kernel:
         k = self.getModifiedKernel(interaction=ball2Complement())
         return k
 
+    def _key(self):
+        """Value identity: kernels with equal parameters hash equal, so jitted
+        assembly kernels (which close over the kernel as a static argument)
+        are compiled once per kernel VALUE, not per python object."""
+        return (type(self).__name__, self.dim, self.kernelType,
+                self.horizonValue, self.scalingValue, self.singularityValue,
+                self.boundary, self.symmetric, self.temperedLambda,
+                self.exponentParam, self.monomialPower, self.variance,
+                type(self.interaction).__name__, self.complement)
+
+    def __eq__(self, other):
+        return isinstance(other, Kernel) and self._key() == other._key()
+
+    def __hash__(self):
+        return hash(self._key())
+
     def __repr__(self):
         return (f'kernel({self.kernelType}, d={self.dim}, '
                 f'horizon={self.horizonValue}, C={self.scalingValue:.6g}, '

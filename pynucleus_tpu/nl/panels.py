@@ -320,15 +320,17 @@ def classifyBoundaryPairs(dm, surface, kernel, target_order=None):
             ((target_order + 1.0) * np.log(num_dofs * H0) +
              (2.0 * smax - 1.0) * abs(np.log(hmin / H0))) / 0.8)), 2)
 
-    # all pairs
+    # all pairs; touching = cell contains a vertex of the surface simplex
+    # (vectorized: the python perm construction only runs on touching pairs)
     ci = np.repeat(np.arange(C, dtype=np.int64), S)
     sj = np.tile(np.arange(S, dtype=np.int64), C)
+    c1v = cells[ci]                                   # [P, nv]
+    c2v = scells[sj]                                  # [P, nvS]
+    touch_mask = (c1v[:, :, None] == c2v[:, None, :]).any(axis=(1, 2))
 
-    # touching = cell contains a vertex of the surface simplex
     touching = []
     perms = []
-    touch_mask = np.zeros(len(ci), dtype=bool)
-    for k in range(len(ci)):
+    for k in np.nonzero(touch_mask)[0]:
         c1 = cells[ci[k]]
         c2 = scells[sj[k]]
         shared1, shared2 = [], []
@@ -342,14 +344,12 @@ def classifyBoundaryPairs(dm, surface, kernel, target_order=None):
                     shared2.append(b)
                     used2.add(b)
                     break
-        if shared1:
-            touch_mask[k] = True
-            rest1 = [a for a in range(len(c1)) if a not in shared1]
-            rest2 = [b for b in range(len(c2)) if b not in used2]
-            touching.append((ci[k], sj[k]))
-            perms.append((len(shared1),
-                          np.array(shared1 + rest1, dtype=np.int64),
-                          np.array(shared2 + rest2, dtype=np.int64)))
+        rest1 = [a for a in range(len(c1)) if a not in shared1]
+        rest2 = [b for b in range(len(c2)) if b not in used2]
+        touching.append((ci[k], sj[k]))
+        perms.append((len(shared1),
+                      np.array(shared1 + rest1, dtype=np.int64),
+                      np.array(shared2 + rest2, dtype=np.int64)))
 
     di, dj = ci[~touch_mask], sj[~touch_mask]
     centers1 = verts[cells].mean(axis=1)[di]
