@@ -269,100 +269,89 @@ class cg_solver(krylov_solver):
                                  use2norm=self.use2norm, use_prec=use_prec)
         res = np.asarray(res)
         self.residuals = list(res[~np.isnan(res)])
-        self.iterations = int(iters)
+        # reference convention (solvers.pyx:329-455): returns the loop index
+        # at the convergence check, i.e. steps-1 when converged early
+        it = int(iters)
+        self.iterations = it - 1 if (it < maxiter and it > 0) else it
         return x
 
 
 def _gmres_cycle(A, M, b, x0, tol, restart, use_prec, flexible):
-    """One restart cycle of MGS-Arnoldi GMRES with masking; returns (x, resnorm, iters)."""
+    """One restart cycle of right-preconditioned MGS-Arnoldi GMRES.
+
+    Runs the full restart length with masking after convergence (static
+    shapes for jit); the least-squares solve uses only the active columns by
+    keeping converged columns as identity rows.  Returns (x, resnorm, k)."""
     n = b.shape[0]
     dtype = b.dtype
 
     r = b - A.matvec(x0)
-    if use_prec and not flexible:
-        r = M.matvec(r)
     beta = jnp.linalg.norm(r)
 
-    # Krylov basis V [restart+1, n], Hessenberg H [restart+1, restart]
     V = jnp.zeros((restart + 1, n), dtype=dtype)
     V = V.at[0].set(jnp.where(beta > 0, r / beta, r))
-    Z = jnp.zeros((restart, n), dtype=dtype) if (use_prec and flexible) else None
+    Z = jnp.zeros((restart, n), dtype=dtype)
     H = jnp.zeros((restart + 1, restart), dtype=dtype)
-    # Givens rotations
-    cs = jnp.zeros((restart,), dtype=dtype)
+    cs = jnp.ones((restart,), dtype=dtype)
     sn = jnp.zeros((restart,), dtype=dtype)
     g = jnp.zeros((restart + 1,), dtype=dtype).at[0].set(beta)
 
     def body(j, carry):
-        V, Z, H, cs, sn, g, resnorm, done = carry
+        V, Z, H, cs, sn, g, resnorm, k, done = carry
 
         def step(args):
             V, Z, H, cs, sn, g = args
             v = V[j]
-            if use_prec:
-                z = M.matvec(v)
-                w = A.matvec(z)
-                if flexible:
-                    pass
-            else:
-                z = v
-                w = A.matvec(v)
-            if use_prec and not flexible:
-                w = M.matvec(w)
-            # MGS
+            z = M.matvec(v) if use_prec else v
+            w = A.matvec(z)
+
             def ortho(i, wh):
                 w, hcol = wh
-                hij = jnp.vdot(V[i], w)
-                w = w - hij * V[i]
-                return (w, hcol.at[i].set(hij))
-            w, hcol = lax.fori_loop(0, j + 1, ortho,
-                                    (w, jnp.zeros((restart + 1,), dtype=dtype)))
+                hij = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
+                return (w - hij * V[i], hcol.at[i].set(hij))
+            w, hcol = lax.fori_loop(
+                0, restart, ortho,
+                (w, jnp.zeros((restart + 1,), dtype=dtype)))
             hnorm = jnp.linalg.norm(w)
             hcol = hcol.at[j + 1].set(hnorm)
-            Vn = V.at[j + 1].set(jnp.where(hnorm > 0, w / hnorm, w))
-            Zn = Z.at[j].set(z) if Z is not None else None
-            # apply existing Givens rotations to hcol
+            Vn = V.at[j + 1].set(jnp.where(hnorm > 1e-300, w / hnorm, w))
+            Zn = Z.at[j].set(z)
+
             def rot(i, hc):
-                t = cs[i] * hc[i] + sn[i] * hc[i + 1]
-                hc = hc.at[i + 1].set(-sn[i] * hc[i] + cs[i] * hc[i + 1])
-                return hc.at[i].set(t)
-            hcol = lax.fori_loop(0, j, rot, hcol)
-            # new rotation
+                hi = jnp.where(i < j, cs[i] * hc[i] + sn[i] * hc[i + 1], hc[i])
+                hi1 = jnp.where(i < j, -sn[i] * hc[i] + cs[i] * hc[i + 1],
+                                hc[i + 1])
+                return hc.at[i].set(hi).at[i + 1].set(hi1)
+            hcol = lax.fori_loop(0, restart, rot, hcol)
             denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
             c = jnp.where(denom > 0, hcol[j] / denom, 1.0)
-            s = jnp.where(denom > 0, hcol[j + 1] / denom, 0.0)
+            s_ = jnp.where(denom > 0, hcol[j + 1] / denom, 0.0)
             hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
-            gn = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
-            Hn = H.at[:, j].set(hcol[:restart + 1])
-            return (Vn, Zn, Hn, cs.at[j].set(c), sn.at[j].set(s), gn,
-                    jnp.abs(gn[j + 1]))
+            gn = g.at[j + 1].set(-s_ * g[j]).at[j].set(c * g[j])
+            Hn = H.at[:, j].set(hcol)
+            return Vn, Zn, Hn, cs.at[j].set(c), sn.at[j].set(s_), gn
 
-        V2, Z2, H2, cs2, sn2, g2, resnorm2 = lax.cond(
-            done, lambda a: (a[0], a[1], a[2], a[3], a[4], a[5], resnorm),
-            step, (V, Z, H, cs, sn, g))
+        V2, Z2, H2, cs2, sn2, g2 = lax.cond(
+            done, lambda a: a, step, (V, Z, H, cs, sn, g))
+        resnorm2 = jnp.where(done, resnorm, jnp.abs(g2[j + 1]))
+        k2 = jnp.where(done, k, j + 1)
         done2 = done | (resnorm2 <= tol)
-        return (V2, Z2, H2, cs2, sn2, g2, resnorm2, done2)
+        return (V2, Z2, H2, cs2, sn2, g2, resnorm2, k2, done2)
 
-    V, Z, H, cs, sn, g, resnorm, done = lax.fori_loop(
-        0, restart, body, (V, Z, H, cs, sn, g, beta, beta <= tol))
+    V, Z, H, cs, sn, g, resnorm, k, done = lax.fori_loop(
+        0, restart, body,
+        (V, Z, H, cs, sn, g, beta, jnp.int32(0), beta <= tol))
 
-    # back substitution on the full restart-size system (masked zeros are
-    # identity rows by construction of H's diagonal being 0 after 'done');
-    # to stay safe we solve for effective k = restart with regularized diag.
+    # back substitution on the k-active upper-triangular system; inactive
+    # columns have H[i, i] = 0 -> replace by identity with zero rhs
+    active = jnp.arange(restart) < k
     Hd = H[:restart, :restart]
-    diag_safe = jnp.where(jnp.abs(jnp.diagonal(Hd)) > 0, jnp.diagonal(Hd), 1.0)
-    Hd = Hd + jnp.diag(diag_safe - jnp.diagonal(Hd))
-    y = jax.scipy.linalg.solve_triangular(Hd, g[:restart], lower=False)
-    if use_prec and flexible:
-        dx = Z.T @ y
-    else:
-        update = V[:restart].T @ y
-        dx = update
-    if use_prec and not flexible:
-        # left-preconditioned: update already in solution space
-        pass
-    x = x0 + dx
-    return x, resnorm
+    Hd = jnp.where(active[None, :] & active[:, None], Hd, 0.0)
+    Hd = Hd + jnp.diag(jnp.where(active, 0.0, 1.0))
+    grhs = jnp.where(active, g[:restart], 0.0)
+    y = jax.scipy.linalg.solve_triangular(Hd, grhs, lower=False)
+    dx = (Z.T @ y) if use_prec else (V[:restart].T @ y)
+    return x0 + dx, resnorm, k
 
 
 class gmres_solver(krylov_solver):
@@ -386,11 +375,11 @@ class gmres_solver(krylov_solver):
         x = x0
         total_iters = 0
         for cycle in range(max(self.restarts, 1)):
-            x, resnorm = _gmres_cycle(self.A, M, b, x, tol, restart,
-                                      use_prec, self.flexible)
+            x, resnorm, k = _gmres_cycle(self.A, M, b, x, tol, restart,
+                                         use_prec, self.flexible)
             resnorm = float(resnorm)
             residuals.append(resnorm)
-            total_iters += restart
+            total_iters += int(k)
             if resnorm <= tol:
                 break
         # report true residual
@@ -450,7 +439,8 @@ class bicgstab_solver(krylov_solver):
         M = self.prec if use_prec else Diagonal_LinearOperator(jnp.ones_like(b))
         x, iters, resnorm = _bicgstab_core(self.A, M, b, x0, tol,
                                            self.maxIter, use_prec=use_prec)
-        self.iterations = int(iters)
+        it = int(iters)
+        self.iterations = it - 1 if (it < self.maxIter and it > 0) else it
         self.residuals = [float(resnorm)]
         return x
 

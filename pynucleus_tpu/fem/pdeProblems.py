@@ -1,0 +1,80 @@
+"""Local PDE driver problems (diffusion/Helmholtz).
+
+Counterpart of /root/reference/fem/PyNucleus_fem/pdeProblems.py:15-331.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..base.utilsFem import problem, generates
+from .meshes import meshFactory, simpleInterval, uniformSquare
+from .functions import Lambda, constant
+
+__all__ = ['diffusionProblem', 'helmholtzProblem']
+
+
+class diffusionProblem(problem):
+    """-div(diffusivity grad u) + reaction u = rhs with known solutions
+    (ref pdeProblems.py:15)."""
+
+    def setDriverArgs(self):
+        p = self.driver.addGroup('problem')
+        self.setDriverFlag('domain', 'square',
+                           acceptedValues=['interval', 'square'], group=p)
+        self.setDriverFlag('problem', 'sin',
+                           acceptedValues=['reac-sin', 'poly', 'cos'], group=p)
+        self.setDriverFlag('noRef', -1, argInterpreter=int, group=p)
+        self.setDriverFlag('element', 'P1',
+                           acceptedValues=['P1', 'P2', 'P3'], group=p)
+
+    def processCmdline(self, params):
+        if params.get('noRef', -1) is None or params.get('noRef', -1) <= 0:
+            domain, element = params['domain'], params['element']
+            if domain in ('interval', 'unitInterval'):
+                params['noRef'] = {'P1': 15, 'P2': 14, 'P3': 13}[element]
+            else:
+                params['noRef'] = {'P1': 9, 'P2': 8, 'P3': 7}[element]
+        super().processCmdline(params)
+
+    @generates(['dim', 'mesh0', 'diffusivity', 'reaction', 'rhsFun',
+                'exactSolution', 'L2ex', 'H10ex', 'boundaryCond'])
+    def processProblem(self, domain, problem):
+        self.diffusivity = None
+        self.reaction = None
+        self.boundaryCond = None
+        if domain in ('interval', 'unitInterval'):
+            self.dim = 1
+            self.mesh0 = simpleInterval(0.0, 1.0)
+            if problem == 'sin':
+                self.rhsFun = Lambda(lambda x: np.pi ** 2 * np.sin(np.pi * x[0]))
+                self.exactSolution = Lambda(lambda x: np.sin(np.pi * x[0]))
+                self.L2ex = 0.5
+                self.H10ex = np.pi ** 2 / 2
+            else:
+                raise NotImplementedError(problem)
+        elif domain in ('square', 'unitSquare'):
+            self.dim = 2
+            self.mesh0 = uniformSquare(N=2, ax=0., ay=0., bx=1., by=1.)
+            if problem == 'sin':
+                self.rhsFun = Lambda(
+                    lambda x: 2 * np.pi ** 2 * np.sin(np.pi * x[0]) * np.sin(np.pi * x[1]))
+                self.exactSolution = Lambda(
+                    lambda x: np.sin(np.pi * x[0]) * np.sin(np.pi * x[1]))
+                self.L2ex = 0.25
+                self.H10ex = 2 * np.pi ** 2 / 4
+            elif problem == 'poly':
+                self.rhsFun = Lambda(
+                    lambda x: 32 * x[0] * (1 - x[0]) + 32 * x[1] * (1 - x[1]))
+                self.exactSolution = Lambda(
+                    lambda x: 16 * x[0] * x[1] * (1 - x[0]) * (1 - x[1]))
+                self.L2ex = 256 / 900
+                self.H10ex = 256 / 45
+            else:
+                raise NotImplementedError(problem)
+        else:
+            raise NotImplementedError(domain)
+
+
+class helmholtzProblem(problem):
+    def setDriverArgs(self):
+        raise NotImplementedError('lands with the complex/Helmholtz layer')

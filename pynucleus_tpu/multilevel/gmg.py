@@ -217,15 +217,19 @@ class multigrid(iterative_solver):
         levels = self.hierarchyList
         As, Ps, Dinvs = [], [], []
         omega = 2.0 / 3.0
+        pre = post = 1
         if isinstance(self.smootherType, tuple):
             omega = self.smootherType[1].get('omega', omega)
+            pre = self.smootherType[1].get('presmoothingSteps', 1)
+            post = self.smootherType[1].get('postsmoothingSteps', 1)
         for lvlNo, lvl in enumerate(levels):
             As.append(lvl['A'])
             Ps.append(lvl.get('P', None) if lvlNo > 0 else None)
             Dinvs.append(1.0 / lvl['A'].diagonal)
         A0 = jnp.asarray(levels[0]['A'].toarray())
         lu, piv = jax.scipy.linalg.lu_factor(A0)
-        self.levels = _mgLevels(As, Ps, Dinvs, omega, lu, piv)
+        self.levels = _mgLevels(As, Ps, Dinvs, omega, lu, piv,
+                                preSteps=pre, postSteps=post)
         self.initialized = True
 
     def solve(self, b, x=None):
