@@ -441,3 +441,26 @@ class fe_vector:
 
     def __repr__(self):
         return f'<fe_vector n={self.data.shape[0]} dm={type(self.dm).__name__}>'
+
+
+def interiorToFullMaps(dmInterior):
+    """(dmFull, interior->full indices, boundary->full indices): scatter an
+    interior vector (plus boundary data) into the NO_BOUNDARY full space
+    (replaces ref getFullDoFMap + R/P operators, DoFMaps.pyx:1256)."""
+    dmFull = type(dmInterior)(dmInterior.mesh, tag=NO_BOUNDARY)
+    nI = dmInterior.num_dofs
+    nB = dmInterior.num_boundary_dofs
+    i2f = np.full(nI, -1, dtype=np.int64)
+    b2f = np.full(nB, -1, dtype=np.int64)
+    dI = dmInterior.dofs
+    dF = dmFull.dofs
+    for c in range(dmInterior.mesh.num_cells):
+        for l in range(dI.shape[1]):
+            d = dI[c, l]
+            f = dF[c, l]
+            if d >= 0:
+                i2f[d] = f
+            else:
+                b2f[-d - 1] = f
+    assert (i2f >= 0).all() and (nB == 0 or (b2f >= 0).all())
+    return dmFull, i2f, b2f

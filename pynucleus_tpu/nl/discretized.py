@@ -292,3 +292,166 @@ class discretizedNonlocalProblem(problem):
         group.add('h', self.finalMesh.h)
         group.add('hmin', self.finalMesh.hmin)
         group.add('dofs', self.dmInterior.num_dofs)
+
+
+class transientModelSolution(classWithComputedDependencies):
+    """Time-series solution + errors (ref discretizedProblems.py:252-357).
+    Time quadrature uses the reference's convention fac = t_{k+1} - t_{k-1}
+    (t-span of neighbors; twice the trapezoid weight)."""
+
+    def __init__(self, discretizedProblem, u, **kwargs):
+        super().__init__()
+        self.discretizedProblem = discretizedProblem
+        self.u = u                      # list of full-dm arrays, len nT+1
+        for key in kwargs:
+            setattr(self, key, kwargs[key])
+
+    def _timeWeights(self, times):
+        fac = np.zeros(len(times))
+        fac[0] = times[1] - times[0]
+        fac[-1] = times[-1] - times[-2]
+        fac[1:-1] = times[2:] - times[:-2]
+        return fac
+
+    @generates('L2_error')
+    def computeL2error(self, u, analyticSolutionT, exactL2SquaredT,
+                       timesVector):
+        if exactL2SquaredT is None:
+            self.L2_error = None
+            return
+        dp = self.discretizedProblem
+        M = dp.massFull
+        fac = self._timeWeights(timesVector)
+        integral = 0.0
+        for k, t in enumerate(timesVector):
+            z = assembleRHS(dp.dmFull, analyticSolutionT(t))
+            integral += fac[k] * abs(
+                exactL2SquaredT(t) - 2 * float(jnp.vdot(z.data, u[k]))
+                + float(jnp.vdot(u[k], M @ u[k])))
+        self.L2_error = np.sqrt(integral)
+
+    @generates('final_L2_error')
+    def computeFinalL2error(self, u, analyticSolutionT, exactL2SquaredT,
+                            finalTime):
+        if exactL2SquaredT is None:
+            self.final_L2_error = None
+            return
+        dp = self.discretizedProblem
+        M = dp.massFull
+        z = assembleRHS(dp.dmFull, analyticSolutionT(finalTime))
+        val = abs(exactL2SquaredT(finalTime) - 2 * float(jnp.vdot(z.data, u[-1]))
+                  + float(jnp.vdot(u[-1], M @ u[-1])))
+        self.final_L2_error = np.sqrt(val)
+
+    @generates('L2_norm')
+    def computeL2norm(self, u, timesVector):
+        dp = self.discretizedProblem
+        M = dp.massFull
+        fac = self._timeWeights(timesVector)
+        integral = sum(fac[k] * abs(float(jnp.vdot(u[k], M @ u[k])))
+                       for k in range(len(timesVector)))
+        self.L2_norm = np.sqrt(integral)
+
+    def reportErrors(self, group):
+        group.add('L^2(0,T; L^2(Omega)) norm', self.L2_norm, rTol=3e-2,
+                  aTol=1e-8)
+        if self.L2_error is not None:
+            group.add('L^2(0,T; L^2(Omega)) error', self.L2_error, rTol=3e-2,
+                      aTol=1e-8)
+        if self.final_L2_error is not None:
+            group.add('L^2(Omega) error at t=finalTime', self.final_L2_error,
+                      rTol=3e-2, aTol=1e-8)
+
+
+class discretizedTransientProblem(discretizedNonlocalProblem):
+    """Transient pipeline (ref discretizedProblems.py:721-943)."""
+
+    def setDriverArgs(self):
+        super().setDriverArgs()
+        self.setDriverFlag('timeStepperType', acceptedValues=['Crank-Nicolson',
+                                                              'Implicit Euler'])
+        self.setDriverFlag('theta', 0.5)
+
+    @generates(['dt', 'numTimeSteps', 'timesVector'])
+    def determineTimeSteps(self, finalMesh, finalTime, timeStepperType):
+        h = finalMesh.h
+        dt = np.sqrt(h) if timeStepperType == 'Crank-Nicolson' else h
+        numTimeSteps = int(np.around(finalTime / dt))
+        self.dt = finalTime / numTimeSteps
+        self.numTimeSteps = numTimeSteps
+        self.timesVector = np.linspace(0, finalTime, numTimeSteps + 1)
+
+    @generates(['dmFull', 'i2f', 'massFull'])
+    def buildFullSpace(self, dmInterior):
+        from ..fem.dofmaps import interiorToFullMaps
+        dmFull, i2f, b2f = interiorToFullMaps(dmInterior)
+        self.dmFull = dmFull
+        self.i2f = i2f
+        self.massFull = assembleMass(dmFull)
+
+    def residual(self, t, u, ut, residual, coeff_A=1., coeff_B=1.,
+                 coeff_g=1., coeff_residual=0., forcingVector=None):
+        """coeff_A*M@ut + coeff_B*A@u - coeff_g*g(t), accumulated
+        (ref discretizedProblems.py:788-822)."""
+        out = residual.data * coeff_residual
+        if coeff_A != 0 and ut is not None:
+            out = out + coeff_A * (self.massInterior @ ut.data)
+        if coeff_B != 0 and u is not None:
+            out = out + coeff_B * (self.A @ u.data)
+        if coeff_g != 0:
+            if forcingVector is None:
+                force = self.continuumProblem.rhsT(t)
+                g = assembleRHS(self.dmInterior, force, qOrder=3).data
+            else:
+                g = forcingVector.data if hasattr(forcingVector, 'data') \
+                    else jnp.asarray(forcingVector)
+            out = out - coeff_g * g
+        residual.assign(out)
+
+    def solverBuilder(self, t, alpha, beta):
+        from ..base.linear_operators import TimeStepperLinearOperator
+        needAll = 'mg' in self.solverType
+        hierarchy = self.hierarchy
+        newH = []
+        for lvl in range(len(hierarchy)):
+            entry = {}
+            if 'A' in hierarchy[lvl]:
+                Mh = assembleMass(self.dmHierarchy[lvl]) if needAll or \
+                    lvl == len(hierarchy) - 1 else None
+                entry['A'] = TimeStepperLinearOperator(
+                    Mh, hierarchy[lvl]['A'], facS=beta, facM=alpha)
+            for key in ('P', 'R'):
+                if key in hierarchy[lvl]:
+                    entry[key] = hierarchy[lvl][key]
+            newH.append(entry)
+        s = solverFactory.build(self.solverType, hierarchy=newH, setup=True)
+        if isinstance(s, iterative_solver):
+            s.tolerance = self.tol
+            s.maxIter = self.maxiter
+        return s
+
+    @generates('stepper')
+    def buildTimeStepper(self, timeStepperType, dt, dmInterior, theta):
+        from ..base.timestepping import timestepperFactory
+        kwargs = {'theta': theta} if timeStepperType == 'Crank-Nicolson' else {}
+        self.stepper = timestepperFactory(
+            timeStepperType, dm=dmInterior, residual=self.residual,
+            solverBuilder=self.solverBuilder, dt=dt, **kwargs)
+
+    @generates('modelSolution')
+    def solve(self, numTimeSteps, dt, finalTime, timesVector, stepper,
+              dmInterior, i2f, dmFull):
+        initial = self.continuumProblem.initial
+        uI = dmInterior.interpolate(initial)
+        u = []
+        full0 = jnp.zeros(dmFull.num_dofs).at[jnp.asarray(i2f)].set(uI.data)
+        u.append(full0)
+        t = 0.0
+        for k in range(numTimeSteps):
+            t = stepper(t, dt, uI)
+            u.append(jnp.zeros(dmFull.num_dofs).at[jnp.asarray(i2f)].set(uI.data))
+        assert abs(t - finalTime) < 1e-10, (t, finalTime)
+        self.modelSolution = transientModelSolution(
+            self, u, timesVector=timesVector, dt=dt, finalTime=finalTime,
+            exactL2SquaredT=self.continuumProblem.exactL2SquaredT,
+            analyticSolutionT=self.continuumProblem.analyticSolutionT)

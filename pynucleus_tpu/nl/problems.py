@@ -445,3 +445,31 @@ class nonlocalPoissonProblem(nonlocalBaseProblem):
         self.interactionIndicator = info['interaction']
         self.fluxIndicator = constant(0.0)
         self.problemDescription = problem
+
+
+class transientFractionalProblem(fractionalLaplacianProblem):
+    """Transient heat problem with manufactured solution u(t,x) =
+    cos(t) u_steady(x) (ref nonlocalProblems.py:1627)."""
+
+    def setDriverArgs(self):
+        super().setDriverArgs()
+        self.setDriverFlag('finalTime', 1.0)
+
+    @generates(['analyticSolutionT', 'exactL2SquaredT', 'rhsT', 'initial'])
+    def processTransient(self, kernel, dim, domain, problem):
+        # trigger the stationary problem setup
+        steadyRHS = self.rhs
+        steadyAnalytic = self.analyticSolution
+        steadyL2sq = self.exactL2Squared
+        if steadyAnalytic is not None:
+            self.analyticSolutionT = lambda t: np.cos(t) * steadyAnalytic
+            self.rhsT = lambda t: (-np.sin(t)) * steadyAnalytic + np.cos(t) * steadyRHS
+            self.initial = steadyAnalytic
+        else:
+            self.analyticSolutionT = None
+            self.rhsT = lambda t: np.cos(t) * steadyRHS
+            self.initial = constant(0.0)
+        if steadyL2sq is not None:
+            self.exactL2SquaredT = lambda t: np.cos(t) ** 2 * steadyL2sq
+        else:
+            self.exactL2SquaredT = None
