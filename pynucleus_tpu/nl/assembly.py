@@ -38,10 +38,14 @@ __all__ = ['assembleNonlocal', 'nonlocalBuilder']
 MAX_PAIRS_PER_LAUNCH = 1 << 18
 
 
-def _radial_eval(kernel, r2):
-    """gamma evaluated from squared distance, NaN-safe at r2=0 (padding)."""
+def _radial_eval(kernel, r2, x=None, y=None):
+    """gamma evaluated NaN-safe at r2=0 (padding).  Variable-order kernels
+    evaluate s(x, y) and the pointwise normalization on device."""
     r2safe = jnp.where(r2 > 0, r2, 1.0)
-    val = kernel._radialJax(r2safe)
+    if x is not None and hasattr(kernel, 'evalXY'):
+        val = kernel.evalXY(x, y, r2safe)
+    else:
+        val = kernel._radialJax(r2safe)
     return jnp.where(r2 > 0, val, 0.0)
 
 
@@ -58,7 +62,7 @@ def _bucket_contrib(vertices, vertIdx1, vertIdx2, volsym,
     x = jnp.einsum('pvd,vq->pqd', v1, bary_x)     # [P, Q, dim]
     y = jnp.einsum('pvd,vq->pqd', v2, bary_y)
     r2 = jnp.sum((x - y) ** 2, axis=-1)
-    g = _radial_eval(kernel, r2)
+    g = _radial_eval(kernel, r2, x, y)
     if kernel.finiteHorizon or kernel.complement:
         ind = kernel.interaction.jaxIndicator(x, y, kernel.horizonValue ** 2)
         g = g * ind
@@ -88,7 +92,7 @@ def _bucket_natural_scatter(A, vertices, cellsArr, dofsArr, volsArr,
     x = jnp.einsum('pvd,vq->pqd', v1, bary_x)
     y = jnp.einsum('pvd,vq->pqd', v2, bary_y)
     r2 = jnp.sum((x - y) ** 2, axis=-1)
-    g = _radial_eval(kernel, r2)
+    g = _radial_eval(kernel, r2, x, y)
     if kernel.finiteHorizon or kernel.complement:
         g = g * kernel.interaction.jaxIndicator(x, y, kernel.horizonValue ** 2)
     vols = volsArr[di] * volsArr[dj] * symfac
@@ -104,6 +108,28 @@ def _bucket_natural_scatter(A, vertices, cellsArr, dofsArr, volsArr,
     rb = jnp.broadcast_to(rows[:, :, None], (P, nPSI, nPSI)).reshape(-1)
     cb = jnp.broadcast_to(rows[:, None, :], (P, nPSI, nPSI)).reshape(-1)
     return A.at[rb, cb].add(M.reshape(-1))
+
+
+@partial(jax.jit, static_argnames=('kernel',))
+def _bucket_contrib_nonsym(vertices, vertIdx1, vertIdx2, volsym,
+                           bary_x, bary_y, w, PHIxPSI, PHIyPSI, kernel=None):
+    """Nonsymmetric local matrices (ref fractionalLaplacian1D_nonsym eval
+    :549-603): M = t1 @ (PHIx_I PSI_J) - t2 @ (PHIy_I PSI_J) with
+    t1 = w gamma(x,y) vol, t2 = w gamma(y,x) vol."""
+    v1 = vertices[vertIdx1]
+    v2 = vertices[vertIdx2]
+    x = jnp.einsum('pvd,vq->pqd', v1, bary_x)
+    y = jnp.einsum('pvd,vq->pqd', v2, bary_y)
+    r2 = jnp.sum((x - y) ** 2, axis=-1)
+    g1 = _radial_eval(kernel, r2, x, y)
+    g2 = _radial_eval(kernel, r2, y, x)
+    if kernel.finiteHorizon or kernel.complement:
+        ind = kernel.interaction.jaxIndicator(x, y, kernel.horizonValue ** 2)
+        g1 = g1 * ind
+        g2 = g2 * ind
+    t1 = (g1 * w[None, :]) * volsym[:, None]
+    t2 = (g2 * w[None, :]) * volsym[:, None]
+    return t1 @ PHIxPSI - t2 @ PHIyPSI
 
 
 def _psi_prod(PSI):
@@ -283,13 +309,24 @@ class _BucketRunner:
             start += chunk
 
     def run(self, acc, rule, PSI, vertIdx1, vertIdx2, dofRows, volsym,
-            normals=None, entryMask=None):
+            normals=None, entryMask=None, PHI=None):
         """acc: DenseAccumulator or CSRAccumulator.  entryMask [P, nPSI,
         nPSI] bool restricts which local entries scatter (cluster-pair masks,
-        ref IndexManager getElemSymMaskCluster)."""
+        ref IndexManager getElemSymMaskCluster).  PHI=(PHIx, PHIy) selects the
+        NONSYMMETRIC local matrix."""
         P = vertIdx1.shape[0]
         if P == 0:
             return
+        nonsym = PHI is not None
+        if nonsym:
+            PHIx, PHIy = PHI
+            nn, Q_ = PSI.shape
+            PHIxPSI = jnp.asarray(
+                (PHIx[:, None, :] * PSI[None, :, :]).reshape(nn * nn, Q_).T.copy(),
+                dtype=self.dtype)
+            PHIyPSI = jnp.asarray(
+                (PHIy[:, None, :] * PSI[None, :, :]).reshape(nn * nn, Q_).T.copy(),
+                dtype=self.dtype)
         PSIP = jnp.asarray(_psi_prod(PSI), dtype=self.dtype)
         bary_x = jnp.asarray(rule.bary_x, dtype=self.dtype)
         bary_y = jnp.asarray(rule.bary_y, dtype=self.dtype)
@@ -310,11 +347,17 @@ class _BucketRunner:
             if self.useNormals:
                 nm = jnp.asarray(_pad(normals[sl], csize, fill=0.0),
                                  dtype=self.dtype)
-            M = _bucket_contrib(
-                self.vertices, jnp.asarray(vi1, dtype=INDEX),
-                jnp.asarray(vi2, dtype=INDEX), jnp.asarray(vs),
-                bary_x, bary_y, w, PSIP,
-                normals=nm, kernel=self.kernel, useNormals=self.useNormals)
+            if nonsym:
+                M = _bucket_contrib_nonsym(
+                    self.vertices, jnp.asarray(vi1, dtype=INDEX),
+                    jnp.asarray(vi2, dtype=INDEX), jnp.asarray(vs),
+                    bary_x, bary_y, w, PHIxPSI, PHIyPSI, kernel=self.kernel)
+            else:
+                M = _bucket_contrib(
+                    self.vertices, jnp.asarray(vi1, dtype=INDEX),
+                    jnp.asarray(vi2, dtype=INDEX), jnp.asarray(vs),
+                    bary_x, bary_y, w, PSIP,
+                    normals=nm, kernel=self.kernel, useNormals=self.useNormals)
             dr = _pad(dofRows[sl], csize, fill=-1)
             if hasattr(acc, 'deviceAddRows'):
                 em = None
@@ -350,114 +393,168 @@ class nonlocalBuilder:
 
     # ------------------------------------------------------------- helpers
     def _makeRules(self, info):
-        dm, kernel, mesh = self.dm, self.kernel, self.mesh
+        """Attach default rules (constant-singularity shim; variable kernels
+        build per-s rules inside _runPairBuckets)."""
+        info.update(self._makeRulesFor(self.kernel.getSingularityValue()
+                                       if not self.kernel.variable else
+                                       self.kernel.max_singularity,
+                                       info['quad_order_diagonal']))
+        return info
+
+    def _makeRulesFor(self, sing, quad_order_diagonal):
+        """Panel rules for one singularity value (variable-order kernels get
+        one rule set per distinct s(center1, center2))."""
+        dm, mesh = self.dm, self.mesh
         mdim = mesh.manifold_dim
         p = max(dm.polynomialOrder, 1)
         continuous = dm.polynomialOrder >= 1
-        sing = kernel.getSingularityValue()
+        out = {}
         if mdim == 1:
-            info['ruleId'] = sameCellRule1D(sing, 2 * p)
-            info['ruleVertex'] = vertexRule1D(
-                sing, info['quad_order_diagonal'], 2 * p,
-                continuous=continuous)
+            out['ruleId'] = sameCellRule1D(sing, 2 * p)
+            out['ruleVertex'] = vertexRule1D(sing, quad_order_diagonal, 2 * p,
+                                             continuous=continuous)
         else:
             from .quad_singular_2d import (sameCellRule2DSS, edgeRule2DSS,
                                            vertexRule2DSS)
+            kernel = self.kernel
             smax = max(-0.5 * (kernel.max_singularity + 2), 0.0)
             target = self.params.get('target_order') or 0.5
             H0 = mesh.diam / np.sqrt(8)
             lg = abs(np.log(mesh.hmin / H0))
             qdV = max(int(np.ceil((target + 1.0 + smax) / 0.7 * lg)), 4)
-            qd = info['quad_order_diagonal']
             radial = max(p - 1, 1)
-            info['ruleId'] = sameCellRule2DSS(sing, 2 * p, qd,
-                                              radialOrder=radial)
-            info['ruleEdge'] = edgeRule2DSS(sing, 2 * p, qd,
-                                            continuous=continuous,
-                                            radialOrder=radial)
-            info['ruleVertex'] = vertexRule2DSS(sing, 2 * p, qdV,
-                                                continuous=continuous,
-                                                radialOrder=radial)
-        return info
+            out['ruleId'] = sameCellRule2DSS(sing, 2 * p, quad_order_diagonal,
+                                             radialOrder=radial)
+            out['ruleEdge'] = edgeRule2DSS(sing, 2 * p, quad_order_diagonal,
+                                           continuous=continuous,
+                                           radialOrder=radial)
+            out['ruleVertex'] = vertexRule2DSS(sing, 2 * p, qdV,
+                                               continuous=continuous,
+                                               radialOrder=radial)
+        return out
+
+    def _pairSingularities(self, pi, pj):
+        """Per-pair kernel singularity from the cell-center fractional order
+        (ref getPanelType evalParams, nonlocalOperator pxi:504-520)."""
+        kernel = self.kernel
+        if not kernel.variable:
+            return np.full(len(pi), kernel.getSingularityValue())
+        mesh = self.mesh
+        centers = mesh.vertices[mesh.cells].mean(axis=1)
+        sv = kernel.s(centers[pi], centers[pj])
+        return (1.0 if kernel.boundary else 0.0) - kernel.dim - 2 * np.asarray(sv)
 
     def _runPairBuckets(self, acc, info, maskLookup=None):
         """Run id / touching / distant buckets of a classification dict into
         an accumulator.  maskLookup: optional dict (i, j) -> bool
         [2dpe, 2dpe] entry mask in natural (cell-i dofs, cell-j dofs) order
-        (cluster-pair masking for the H2 near field)."""
+        (cluster-pair masking for the H2 near field).
+
+        Symmetric kernels: unordered pairs, off-diagonal factor 2
+        (ref addToMatrixElemElemSym(contrib, 2.)).  Nonsymmetric kernels:
+        the nonsym local matrix is evaluated for BOTH orderings with factor 1
+        (ref getDense swapCells branch, pxi:1415-1427)."""
         dm, kernel, mesh = self.dm, self.kernel, self.mesh
         vols = mesh.simplexVolumes()
         cells = mesh.cells
         dofs = dm.dofs
         dpe = dm.dofs_per_element
         mdim = mesh.manifold_dim
+        sym = kernel.symmetric
         runner = _BucketRunner(mesh.vertices, kernel,
                                dtype=self.params.get('dtype'),
                                cells=cells, dofs=dofs, vols=vols)
-        fast = hasattr(acc, 'deviceAddRows') and maskLookup is None
+        fast = hasattr(acc, 'deviceAddRows') and maskLookup is None and sym
 
-        # The singularity-cancelling rules are normalized to the collapsed
-        # (x1 >= x2 >= ...) parametrization, whose Jacobian to physical space
-        # is the simplex DETERMINANT = m! * volume (validated by Monte Carlo
-        # against direct integration).  Distant rules use Sum(w)=1 simplex
-        # rules, i.e. plain volumes.
         detfac = {1: 1.0, 2: 2.0, 3: 6.0}[mdim]
         dets = vols * detfac
+        qd = info['quad_order_diagonal']
+        ruleCache = {}
 
-        # --- identical-cell panels
+        def rulesFor(sing):
+            key = round(float(sing), 12)
+            if key not in ruleCache:
+                ruleCache[key] = self._makeRulesFor(sing, qd)
+            return ruleCache[key]
+
+        # --- identical-cell panels, grouped by singularity
         ids = info['id']
         if len(ids):
-            ruleId = info['ruleId']
-            PSI = ruleId.buildPSI(dm, nSharedVertices=mdim + 1)
-            if fast:
-                # det normalization folded via symfac = detfac^2
-                runner.runNatural(acc, ruleId, PSI, ids, ids, detfac ** 2)
-            else:
+            sings = self._pairSingularities(ids, ids)
+            for sing in np.unique(np.round(sings, 12)):
+                sel = np.isclose(sings, sing)
+                idsS = ids[sel]
+                ruleId = rulesFor(sing)['ruleId']
+                PSI = ruleId.buildPSI(dm, nSharedVertices=mdim + 1)
+                PHI = ruleId.buildPHI(dm, nSharedVertices=mdim + 1) \
+                    if not sym else None
+                if fast and kernel.symmetric and not kernel.variable:
+                    runner.runNatural(acc, ruleId, PSI, idsS, idsS,
+                                      detfac ** 2)
+                    continue
                 em = None
                 if maskLookup is not None:
-                    em = np.stack([maskLookup[(c, c)][:dpe, :dpe] for c in ids])
-                runner.run(acc, ruleId, PSI, cells[ids], cells[ids], dofs[ids],
-                           dets[ids] ** 2, entryMask=em)
+                    em = np.stack([maskLookup[(c, c)][:dpe, :dpe]
+                                   for c in idsS])
+                runner.run(acc, ruleId, PSI, cells[idsS], cells[idsS],
+                           dofs[idsS], dets[idsS] ** 2, entryMask=em, PHI=PHI)
 
-        # --- touching panels (shared vertex / shared edge in 2D)
+        # --- touching panels, grouped by (#shared vertices, singularity)
         pairs, sharedInfo = info['touching']
-        byShared = {}
-        for k in range(len(pairs)):
-            byShared.setdefault(sharedInfo[k][0], []).append(k)
-        for nS, idxs in byShared.items():
+        if len(pairs):
+            sings = self._pairSingularities(pairs[:, 0], pairs[:, 1])
+            byKey = {}
+            for k in range(len(pairs)):
+                key = (sharedInfo[k][0], round(float(sings[k]), 12))
+                byKey.setdefault(key, []).append(k)
+        else:
+            byKey = {}
+        for (nS, sing), idxs in byKey.items():
+            rules = rulesFor(sing)
             if mdim == 1:
-                rule = info['ruleVertex']
+                rule = rules['ruleVertex']
             else:
-                rule = info['ruleVertex'] if nS == 1 else info['ruleEdge']
+                rule = rules['ruleVertex'] if nS == 1 else rules['ruleEdge']
             PSI = rule.buildPSI(dm, nSharedVertices=nS)
+            PHI = rule.buildPHI(dm, nSharedVertices=nS) if not sym else None
             sharedMask = rule.sharedDofMask(dm, nS)
             P = len(idxs)
             nv = mdim + 1
-            vi1 = np.zeros((P, nv), dtype=np.int64)
-            vi2 = np.zeros((P, nv), dtype=np.int64)
-            dr = np.zeros((P, 2 * dpe), dtype=np.int64)
-            vs = np.zeros(P)
-            em = np.zeros((P, 2 * dpe, 2 * dpe), dtype=bool) \
+            reps = 1 if sym else 2
+            vi1 = np.zeros((reps * P, nv), dtype=np.int64)
+            vi2 = np.zeros((reps * P, nv), dtype=np.int64)
+            dr = np.zeros((reps * P, 2 * dpe), dtype=np.int64)
+            vs = np.zeros(reps * P)
+            em = np.zeros((reps * P, 2 * dpe, 2 * dpe), dtype=bool) \
                 if maskLookup is not None else None
             for out_k, k in enumerate(idxs):
                 i, j = pairs[k]
                 _, perm1, perm2 = sharedInfo[k]
-                vi1[out_k] = cells[i][perm1]
-                vi2[out_k] = cells[j][perm2]
                 ld1 = permuteLocalDofs(dm, perm1)
                 ld2 = permuteLocalDofs(dm, perm2)
+                vi1[out_k] = cells[i][perm1]
+                vi2[out_k] = cells[j][perm2]
                 dr[out_k, :dpe] = dofs[i][ld1]
                 dr[out_k, dpe:] = dofs[j][ld2]
-                # zero rows (duplicated shared dofs) -> dump slot
                 dr[out_k, dpe:][sharedMask] = -1
-                vs[out_k] = dets[i] * dets[j] * 2.0
+                vs[out_k] = dets[i] * dets[j] * (2.0 if sym else 1.0)
                 if em is not None:
                     ldFull = np.concatenate([ld1, dpe + ld2])
                     em[out_k] = maskLookup[(i, j)][np.ix_(ldFull, ldFull)]
-            runner.run(acc, rule, PSI, vi1, vi2, dr, vs, entryMask=em)
+                if not sym:
+                    o2 = P + out_k
+                    vi1[o2] = cells[j][perm2]
+                    vi2[o2] = cells[i][perm1]
+                    dr[o2, :dpe] = dofs[j][ld2]
+                    dr[o2, dpe:] = dofs[i][ld1]
+                    dr[o2, dpe:][sharedMask] = -1
+                    vs[o2] = dets[i] * dets[j]
+                    if em is not None:
+                        ldFull2 = np.concatenate([ld2, dpe + ld1])
+                        em[o2] = maskLookup[(i, j)][np.ix_(ldFull2, ldFull2)]
+            runner.run(acc, rule, PSI, vi1, vi2, dr, vs, entryMask=em, PHI=PHI)
 
-        # --- distant panels, bucketed by quad order (high orders merged into
-        # a few buckets: rounding up only improves accuracy)
+        # --- distant panels, bucketed by quad order (high orders merged)
         di, dj, orders = info['distant']
         if len(orders):
             omax = int(orders.max())
@@ -469,18 +566,26 @@ class nonlocalBuilder:
             ii, jj = di[sel], dj[sel]
             rule = distantRule(int(order), mdim)
             PSI = rule.buildPSI(dm, nSharedVertices=0)
+            PHI = rule.buildPHI(dm, nSharedVertices=0) if not sym else None
             if fast:
                 runner.runNatural(acc, rule, PSI, ii, jj, 2.0)
                 continue
-            dr = np.concatenate([dofs[ii], dofs[jj]], axis=1)
-            vs = vols[ii] * vols[jj] * 2.0
+            if sym:
+                iiA, jjA = ii, jj
+                fac = 2.0
+            else:
+                iiA = np.concatenate([ii, jj])
+                jjA = np.concatenate([jj, ii])
+                fac = 1.0
+            dr = np.concatenate([dofs[iiA], dofs[jjA]], axis=1)
+            vs = vols[iiA] * vols[jjA] * fac
             em = None
             if maskLookup is not None:
-                em = np.stack([maskLookup[(a, b)]
-                               for a, b in zip(ii.tolist(), jj.tolist())]) \
-                    if len(ii) else None
-            runner.run(acc, rule, PSI, cells[ii], cells[jj], dr, vs,
-                       entryMask=em)
+                em = np.stack([maskLookup[(min(a, b), max(a, b))]
+                               for a, b in zip(iiA.tolist(), jjA.tolist())]) \
+                    if len(iiA) else None
+            runner.run(acc, rule, PSI, cells[iiA], cells[jjA], dr, vs,
+                       entryMask=em, PHI=PHI)
 
     def getDense(self, trySparsification=False):
         from .panels import classifyPairsDense
@@ -563,6 +668,12 @@ class nonlocalBuilder:
     def getH2(self, returnNearField=False):
         """Hierarchical operator: cluster tree, Chebyshev far field, exact
         near field (ref getH2 nonlocalAssembly pxi:3094)."""
+        if self.kernel.variable:
+            # needs the jump-interface surface terms of ref
+            # assembleClusters:2032-2108; lands with the interface problems
+            raise NotImplementedError(
+                'H2 for variable-order kernels requires interface jump '
+                'integrals; use matrixFormat=dense')
         from .panels import classifyPairList
         from .h2 import (buildClusterTree, admissibleClusters, H2Matrix,
                          tensorChebyshevGrid, tensorLagrangeEval, _H2Level)

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 from scipy.special import gamma as Gamma
 
+import jax
 import jax.numpy as jnp
 
 from ..base.factory import factory
@@ -70,6 +71,13 @@ class constFractionalOrder(fractionalOrderBase):
     def __call__(self, X, Y):
         return np.full(np.asarray(X).shape[:-1], self.value)
 
+    def jaxEval(self, x, y):
+        return jnp.full(jnp.broadcast_shapes(x.shape[:-1], y.shape[:-1]),
+                        self.value)
+
+    def _key(self):
+        return (type(self).__name__, self.value)
+
     def __repr__(self):
         return f'const({self.value})'
 
@@ -111,6 +119,17 @@ class leftRightFractionalOrder(fractionalOrderBase):
         return np.where(xl & yl, self.sll,
                         np.where(~xl & ~yl, self.srr,
                                  np.where(xl, self.slr, self.srl)))
+
+    def jaxEval(self, x, y):
+        xl = x[..., 0] < self.interface
+        yl = y[..., 0] < self.interface
+        return jnp.where(xl & yl, self.sll,
+                         jnp.where(~xl & ~yl, self.srr,
+                                   jnp.where(xl, self.slr, self.srl)))
+
+    def _key(self):
+        return (type(self).__name__, self.sll, self.srr, self.slr, self.srl,
+                self.interface)
 
     def __repr__(self):
         return f'twoDomain({self.sll},{self.srr})'
@@ -319,6 +338,13 @@ class Kernel:
         return self.horizonValue ** 2
 
     # --- device evaluation ------------------------------------------------
+    def evalXY(self, x, y, r2):
+        """gamma from positions and squared distance (device).  Constant
+        kernels ignore (x, y); variable-order fractional kernels evaluate
+        s(x, y) and the pointwise normalization
+        (ref kernelNormalization.pyx variableFractionalLaplacianScaling)."""
+        return self._radialJax(r2)
+
     def _radialJax(self, r2):
         """Radial profile g(r2) WITHOUT the interaction-domain indicator."""
         C = self.scalingValue
@@ -348,7 +374,7 @@ class Kernel:
     def jaxEval(self, x, y, applyIndicator=True):
         """gamma(x, y) for x, y [..., dim] jnp arrays (device, traceable)."""
         r2 = jnp.sum((x - y) ** 2, axis=-1)
-        val = self._radialJax(r2)
+        val = self.evalXY(x, y, r2)
         if self.phiJax is not None:
             val = val * self.phiJax(x, y)
         if applyIndicator and self.finiteHorizon:
@@ -414,7 +440,8 @@ class FractionalKernel(Kernel):
                  normalized=True, boundary=False, temperedLambda=0.0):
         self.s = s
         self.variableOrder = not type(s) is constFractionalOrder
-        sval = s.value if hasattr(s, 'value') else float(s)
+        sval = s.value if hasattr(s, 'value') else \
+            (0.5 * (s.min + s.max) if not np.isscalar(s) else float(s))
         if scaling is None:
             if normalized:
                 scaling = constantFractionalLaplacianScaling(
@@ -428,16 +455,49 @@ class FractionalKernel(Kernel):
                          temperedLambda=temperedLambda)
         self.variable = self.variableOrder and not isinstance(
             s, variableConstFractionalOrder)
+        self.min_singularity = (1 if boundary else 0) - dim - 2 * s.max
+        self.max_singularity = (1 if boundary else 0) - dim - 2 * s.min
 
     @property
     def sValue(self):
         return self.s.value
 
+    def evalXY(self, x, y, r2):
+        if not self.variable:
+            return self._radialJax(r2)
+        from jax.scipy.special import gammaln
+        sv = self.s.jaxEval(x, y)
+        d = self.dim
+        # C(d,s)/2 = 2^{2s} s Gamma(s+d/2) / (pi^{d/2} Gamma(1-s)) / 2
+        # (ref kernelNormalization.pyx:355-360; infinite horizon)
+        if self.horizonValue == np.inf:
+            C = (2.0 ** (2 * sv) * sv / np.pi ** (0.5 * d) * 0.5 *
+                 jnp.exp(gammaln(sv + 0.5 * d) - gammaln(1.0 - sv)))
+        else:
+            C = (2.0 - 2 * sv) * self.horizonValue ** (2 * sv - 2.0) * d \
+                * np.exp(float(jax.scipy.special.gammaln(0.5 * d))) \
+                / np.pi ** (0.5 * d) * 0.5
+        if self.boundary:
+            # boundary kernel: C/s * r^{1-d-2s}
+            return (C / sv) * r2 ** (0.5 * (1.0 - d) - sv)
+        return C * r2 ** (-0.5 * d - sv)
+
+    def _key(self):
+        base = super()._key()
+        skey = self.s._key() if hasattr(self.s, '_key') else \
+            ('s', getattr(self.s, 'value', None))
+        return base + (self.variableOrder, self.variable) + skey
+
     def getBoundaryKernel(self):
         # scaling <- scaling / s ; boundary singularity = 1 - d - 2s
+        # (variable-order boundary kernels evaluate C(s)/s pointwise in
+        # evalXY, so the constant scaling below is only used when not
+        # variable)
+        scal = (self.scalingValue / self.s.value
+                if hasattr(self.s, 'value') else 1.0)
         k = FractionalKernel(self.dim, self.s, horizon=self.horizonValue,
                              interaction=None, boundary=True,
-                             scaling=self.scalingValue / self.s.value,
+                             scaling=scal,
                              temperedLambda=self.temperedLambda)
         return k
 

@@ -307,7 +307,10 @@ class fractionalLaplacianProblem(nonlocalBaseProblem):
                 kk = kernel
 
                 def fun(x):
-                    sv = kk.s.value
+                    # pointwise s(x, x) for variable orders
+                    # (ref nonlocalProblems.py:713-725 evalParams_py)
+                    sv = float(np.asarray(kk.s(np.asarray(x)[None, :],
+                                               np.asarray(x)[None, :]))[0])
                     return (2.0 ** (2 * sv) * Gamma(sv + 0.5) * Gamma(beta + 1.)
                             / np.sqrt(np.pi) / Gamma(beta + 1. - sv)
                             * hyp2f1(sv + 0.5, -beta + sv, 0.5, x[0] ** 2))

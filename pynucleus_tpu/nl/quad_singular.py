@@ -224,3 +224,31 @@ def vertexRule2D(*a, **kw):
 
 def boundaryEdgeRule2D(*a, **kw):
     raise NotImplementedError('lands with the 2D milestone')
+
+
+def _buildPHI(rule, dm, nSharedVertices=0):
+    """(PHIx, PHIy) [nPSI, Q] for the NONSYMMETRIC local matrix
+    (ref nonlocalOperator addQuadRule_nonSym pxi:602-665 and the 1D/2D
+    _nonsym getNearQuadRule PHI3 tables):
+      contrib[I,J] = sum_q w [g1(q) PHIx[I,q] - g2(q) PHIy[I,q]]
+                             * (PHIx[J,q] - PHIy[J,q])
+    Row convention matches buildPSI (cell1 dofs, then cell2 dofs; shared dofs
+    live on the cell1 row, cell2 duplicates zero)."""
+    import numpy as np
+    phi_x = dm.evalPhi(rule.bary_x.T)
+    phi_y = dm.evalPhi(rule.bary_y.T)
+    dpe = phi_x.shape[0]
+    mask = rule.sharedDofMask(dm, nSharedVertices)
+    if mask.all():
+        return phi_x, phi_y
+    PHIx = np.zeros((2 * dpe, rule.num_nodes))
+    PHIy = np.zeros((2 * dpe, rule.num_nodes))
+    PHIx[:dpe] = phi_x
+    PHIy[dpe:] = phi_y
+    if mask.any():
+        PHIy[:dpe][mask] = phi_y[mask]
+        PHIy[dpe:][mask] = 0.0
+    return PHIx, PHIy
+
+
+PanelRule.buildPHI = _buildPHI

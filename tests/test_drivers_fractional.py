@@ -108,3 +108,33 @@ def test_h2_matvec_against_dense():
     x = jnp.asarray(np.random.RandomState(3).rand(dm.num_dofs))
     rel = float(jnp.linalg.norm(Ad @ x - Ah @ x) / jnp.linalg.norm(Ad @ x))
     assert rel < 1e-4, rel
+
+
+VARIABLE_CONFIGS = [
+    (['--domain', 'interval', '--s', 'varconst(0.75)', '--problem', 'constant',
+      '--element', 'P1', '--solverType', 'cg-jacobi', '--matrixFormat', 'dense'],
+     {'Hs error': 0.041842962898268554,
+      'L2 error': 0.0014584869817160686,
+      'Linf error interpolated': 0.0009870492444583046}),
+    (['--domain', 'interval', '--s', 'constantNonSym(0.25)', '--problem',
+      'constant', '--element', 'P1', '--solverType', 'gmres-jacobi',
+      '--matrixFormat', 'dense'],
+     {'Hs error': 0.09611243700814974,
+      'L2 error': 0.0266553185536795,
+      'Linf error interpolated': 0.04664216828925677}),
+    (['--domain', 'interval', '--s', 'twoDomainNonSym(0.25,0.75)', '--problem',
+      'knownSolution', '--element', 'P1', '--solverType', 'lu',
+      '--matrixFormat', 'dense'],
+     {'L2 error': 0.0020560901451394443,
+      'Linf error interpolated': 0.003599161364716205}),
+]
+
+
+@pytest.mark.parametrize('argv,expected', VARIABLE_CONFIGS,
+                         ids=['varconst', 'constantNonSym', 'twoDomainNonSym'])
+def test_runFractional_variableOrder(argv, expected):
+    d, mS = runFractional(argv)
+    got = d.outputGroups['errors'].toDict()
+    for label, val in expected.items():
+        assert np.isclose(got[label], val, rtol=3e-2, atol=1e-8), \
+            (label, got[label], val)
