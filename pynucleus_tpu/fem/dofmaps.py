@@ -103,6 +103,7 @@ def _lagrange_shape_functions(order, mdim):
     V = monomials(nodes)           # [ndof, nmono]
     assert V.shape[0] == V.shape[1], (V.shape, order, mdim)
     Vinv = np.linalg.inv(V)
+    expsArr = np.array(exps, dtype=np.float64)   # [nmono, m+1]
 
     def phi(b):
         return (monomials(b) @ Vinv).T          # [ndof, Q]
@@ -123,6 +124,8 @@ def _lagrange_shape_functions(order, mdim):
         # [Q, nmono, m+1] @ Vinv -> per dof
         return np.einsum('qmk,mn->nqk', out, Vinv)
 
+    phi.monomialExps = expsArr
+    phi.Vinv = Vinv
     return phi, dphi, nodes
 
 
@@ -276,6 +279,19 @@ class DoFMap:
 
     def cell2dof(self, cellNo, dofNo):
         return int(self.dofs[cellNo, dofNo])
+
+    def jaxEvalPhi(self, bary):
+        """Device shape-function evaluation phi[..., ndof] from barycentric
+        coordinates bary [..., m+1] (used by cut-cell quadrature where nodes
+        are data-dependent)."""
+        import jax.numpy as jnp
+        if self.polynomialOrder == 0:
+            return jnp.ones(bary.shape[:-1] + (1,))
+        exps = self.evalPhi.monomialExps          # [nmono, m+1]
+        Vinv = self.evalPhi.Vinv                  # [nmono, ndof]
+        mono = jnp.prod(bary[..., None, :] **
+                        jnp.asarray(exps)[None, :, :], axis=-1)
+        return mono @ jnp.asarray(Vinv)
 
     # ---------------------------------------------------------- interpolation
     def getDoFCoordinates(self):

@@ -440,12 +440,15 @@ def intervalWithInteraction(a=-1.0, b=1.0, horizon=0.1, h=None, strictInteractio
     """[a-horizon, b+horizon] with vertices at a, b; interaction-zone vertices
     tagged DIRICHLET_EXTERIOR (ref fem mesh.py:247)."""
     if h is None:
-        numCells = 1
-        hh = (b - a)
-    else:
-        numCells = int(np.ceil((b - a) / h))
-        hh = (b - a) / numCells
-    numInt = max(int(np.ceil(horizon / hh)), 1) if horizon > 0 else 0
+        # match the reference default (ref fem mesh.py:248): the interior
+        # mesh size equals the horizon, so that after uniform refinement the
+        # horizon stays an exact multiple of h.  This keeps the kinks of the
+        # horizon-cut integrand on mesh nodes, making the cut-pair quadrature
+        # exact for polynomial data.
+        h = horizon if horizon > 0 else (b - a)
+    numCells = int(np.ceil((b - a) / h - 1e-8))
+    hh = (b - a) / numCells
+    numInt = max(int(np.ceil(horizon / hh - 1e-8)), 1) if horizon > 0 else 0
     left = a - horizon + (horizon / numInt) * np.arange(numInt) if numInt else np.zeros((0,))
     mid = a + hh * np.arange(numCells + 1)
     right = b + (horizon / numInt) * np.arange(1, numInt + 1) if numInt else np.zeros((0,))

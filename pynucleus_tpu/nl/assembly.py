@@ -35,6 +35,10 @@ from .quad_singular import (sameCellRule1D, vertexRule1D, distantRule,
 
 __all__ = ['assembleNonlocal', 'nonlocalBuilder']
 
+# sentinel for 'dropped' local entries; boundary dofs are encoded -dof-1, so
+# -1 is a REAL boundary dof and must not be used as a drop marker
+DROP = np.iinfo(np.int32).min // 2
+
 MAX_PAIRS_PER_LAUNCH = 1 << 18
 
 
@@ -132,6 +136,43 @@ def _bucket_contrib_nonsym(vertices, vertIdx1, vertIdx2, volsym,
     return t1 @ PHIxPSI - t2 @ PHIyPSI
 
 
+@partial(jax.jit, static_argnames=('kernel', 'dpe'))
+def _bucket_cut1d(vertices, vi1, vi2, vols1, tq, wq, ur, wr,
+                  exps, Vinv, horizon, kernel=None, dpe=None):
+    # 1D horizon-cut pairs by EXACT interval clipping (the 1D analogue of
+    # the reference's retriangulation mode, interactionDomains.pyx
+    # ball2_retriangulation): for each x-node the y-integration runs over
+    # K2 intersect [x-horizon, x+horizon].  Shape functions at the
+    # transformed y-nodes are evaluated on device.  M [P, (2*dpe)^2].
+    v10 = vertices[vi1[:, 0], 0]
+    v11 = vertices[vi1[:, 1], 0]
+    v20 = vertices[vi2[:, 0], 0]
+    v21 = vertices[vi2[:, 1], 0]
+    x = v10[:, None] + tq[None, :] * (v11 - v10)[:, None]        # [P, Qx]
+    lo2 = jnp.minimum(v20, v21)
+    hi2 = jnp.maximum(v20, v21)
+    lo = jnp.maximum(lo2[:, None], x - horizon)                  # [P, Qx]
+    hi = jnp.minimum(hi2[:, None], x + horizon)
+    ln = jnp.maximum(hi - lo, 0.0)                               # [P, Qx]
+    y = lo[:, :, None] + ur[None, None, :] * ln[:, :, None]      # [P, Qx, Qy]
+    bx = jnp.stack([1 - tq, tq], axis=-1)                        # [Qx, 2]
+    monoX = jnp.prod(bx[:, None, :] ** exps[None, :, :], axis=-1)
+    PHIx = monoX @ Vinv                                          # [Qx, dpe]
+    t2 = (y - v20[:, None, None]) / (v21 - v20)[:, None, None]
+    by = jnp.stack([1 - t2, t2], axis=-1)                        # [P,Qx,Qy,2]
+    monoY = jnp.prod(by[..., None, :] ** exps[None, None, None, :, :],
+                     axis=-1)
+    PHIy = monoY @ Vinv                                          # [P,Qx,Qy,dpe]
+    r2 = (x[:, :, None] - y) ** 2
+    g = _radial_eval(kernel, r2, x[:, :, None, None], y[..., None])
+    wfac = (wq[None, :, None] * wr[None, None, :]) * ln[:, :, None] \
+        * vols1[:, None, None]                                   # [P,Qx,Qy]
+    PSIx = jnp.broadcast_to(PHIx[None, :, None, :], PHIy.shape)  # [P,Qx,Qy,dpe]
+    PSI = jnp.concatenate([PSIx, -PHIy], axis=-1)                # [P,Qx,Qy,2dpe]
+    M = jnp.einsum('pqr,pqri,pqrj->pij', g * wfac, PSI, PSI)
+    return M.reshape(M.shape[0], -1)
+
+
 def _psi_prod(PSI):
     """PSIP[q, I*n+J] = PSI[I,q]*PSI[J,q]."""
     n, Q = PSI.shape
@@ -201,6 +242,28 @@ class DeviceDenseAccumulator:
     def result(self):
         from ..base.linear_operators import Dense_LinearOperator
         return Dense_LinearOperator(self.A[:self.N, :self.N])
+
+
+class BCAccumulator:
+    """Accumulate the interior x boundary coupling A_BC (ref getFracLapl
+    with dm2=dmBC; boundary dofs are encoded as negative ids -d-1)."""
+
+    def __init__(self, N, NB):
+        self.N = N
+        self.NB = NB
+        self.A = np.zeros((N + 1, NB + 1), dtype=REAL)
+
+    def add(self, rows, cols, vals):
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        keep = (rows >= 0) & (cols < 0) & (cols > DROP // 2)
+        r = np.where(keep, rows, self.N)
+        c = np.where(keep, -cols - 1, self.NB)
+        np.add.at(self.A, (r, c), vals)
+
+    def result(self):
+        from ..base.linear_operators import Dense_LinearOperator
+        return Dense_LinearOperator(jnp.asarray(self.A[:self.N, :self.NB]))
 
 
 class CSRAccumulator:
@@ -369,7 +432,7 @@ class _BucketRunner:
                 rb = np.broadcast_to(dr[:chunk, :, None], shape3)
                 cb = np.broadcast_to(dr[:chunk, None, :], shape3)
                 if entryMask is not None:
-                    rb = np.where(entryMask[sl], rb, -1)
+                    rb = np.where(entryMask[sl], rb, DROP)
                 Mh = np.asarray(M[:chunk]).reshape(shape3)
                 acc.add(rb.reshape(-1), cb.reshape(-1), Mh.reshape(-1))
             start += chunk
@@ -536,7 +599,7 @@ class nonlocalBuilder:
                 vi2[out_k] = cells[j][perm2]
                 dr[out_k, :dpe] = dofs[i][ld1]
                 dr[out_k, dpe:] = dofs[j][ld2]
-                dr[out_k, dpe:][sharedMask] = -1
+                dr[out_k, dpe:][sharedMask] = DROP
                 vs[out_k] = dets[i] * dets[j] * (2.0 if sym else 1.0)
                 if em is not None:
                     ldFull = np.concatenate([ld1, dpe + ld2])
@@ -547,7 +610,7 @@ class nonlocalBuilder:
                     vi2[o2] = cells[i][perm1]
                     dr[o2, :dpe] = dofs[j][ld2]
                     dr[o2, dpe:] = dofs[i][ld1]
-                    dr[o2, dpe:][sharedMask] = -1
+                    dr[o2, dpe:][sharedMask] = DROP
                     vs[o2] = dets[i] * dets[j]
                     if em is not None:
                         ldFull2 = np.concatenate([ld2, dpe + ld1])
@@ -586,6 +649,80 @@ class nonlocalBuilder:
                     if len(iiA) else None
             runner.run(acc, rule, PSI, cells[iiA], cells[jjA], dr, vs,
                        entryMask=em, PHI=PHI)
+
+        # --- horizon-cut pairs (finite horizon only)
+        ci, cj, cutOrders = info.get('cut', (np.zeros(0, dtype=np.int64),) * 3)
+        if len(ci):
+            self._runCutPairs(acc, ci, cj, cutOrders, maskLookup)
+
+    def _runCutPairs(self, acc, ci, cj, orders, maskLookup=None):
+        # Exact 1D interval clipping for pairs cut by the horizon; 2D falls
+        # back to the (discontinuous) indicator quadrature with a boosted
+        # order.
+        dm, kernel, mesh = self.dm, self.kernel, self.mesh
+        mdim = mesh.manifold_dim
+        dpe = dm.dofs_per_element
+        cells = mesh.cells
+        dofs = dm.dofs
+        vols = mesh.simplexVolumes()
+        if mdim != 1 or not kernel.symmetric:
+            # fallback: indicator mode (barycenter-type accuracy)
+            runner = _BucketRunner(mesh.vertices, kernel,
+                                   dtype=self.params.get('dtype'))
+            sym = kernel.symmetric
+            for order in np.unique(orders):
+                sel = orders == order
+                ii, jj = ci[sel], cj[sel]
+                rule = distantRule(int(order), mdim)
+                PSI = rule.buildPSI(dm, nSharedVertices=0)
+                PHI = rule.buildPHI(dm, nSharedVertices=0) if not sym else None
+                if sym:
+                    iiA, jjA, fac = ii, jj, 2.0
+                else:
+                    iiA = np.concatenate([ii, jj])
+                    jjA = np.concatenate([jj, ii])
+                    fac = 1.0
+                dr = np.concatenate([dofs[iiA], dofs[jjA]], axis=1)
+                vs = vols[iiA] * vols[jjA] * fac
+                em = None
+                if maskLookup is not None:
+                    em = np.stack([maskLookup[(min(a, b), max(a, b))]
+                                   for a, b in zip(iiA.tolist(), jjA.tolist())])
+                runner.run(acc, rule, PSI, cells[iiA], cells[jjA], dr, vs,
+                           entryMask=em, PHI=PHI)
+            return
+        from ..fem.quadrature import gauss01
+        exps = jnp.asarray(dm.evalPhi.monomialExps) \
+            if dm.polynomialOrder > 0 else jnp.zeros((1, 2))
+        Vinv = jnp.asarray(dm.evalPhi.Vinv) \
+            if dm.polynomialOrder > 0 else jnp.ones((1, 1))
+        vertices = jnp.asarray(mesh.vertices)
+        for order in np.unique(orders):
+            sel = orders == order
+            ii, jj = ci[sel], cj[sel]
+            tq, wq = gauss01(int(order))
+            ur, wr = gauss01(int(order))
+            # both orderings, factor 1 each (the clipped domain is not
+            # symmetric in (x, y))
+            iiA = np.concatenate([ii, jj])
+            jjA = np.concatenate([jj, ii])
+            M = _bucket_cut1d(vertices,
+                              jnp.asarray(cells[iiA], dtype=INDEX),
+                              jnp.asarray(cells[jjA], dtype=INDEX),
+                              jnp.asarray(vols[iiA]),
+                              jnp.asarray(tq), jnp.asarray(wq),
+                              jnp.asarray(ur), jnp.asarray(wr),
+                              exps, Vinv, kernel.horizonValue,
+                              kernel=kernel, dpe=dpe)
+            M = np.asarray(M).reshape(len(iiA), 2 * dpe, 2 * dpe)
+            dr = np.concatenate([dofs[iiA], dofs[jjA]], axis=1)
+            rb = np.broadcast_to(dr[:, :, None], M.shape)
+            cb = np.broadcast_to(dr[:, None, :], M.shape)
+            if maskLookup is not None:
+                em = np.stack([maskLookup[(min(a, b), max(a, b))]
+                               for a, b in zip(iiA.tolist(), jjA.tolist())])
+                rb = np.where(em, rb, DROP)
+            acc.add(rb.reshape(-1), cb.reshape(-1), M.reshape(-1))
 
     def getDense(self, trySparsification=False):
         from .panels import classifyPairsDense
@@ -654,6 +791,9 @@ class nonlocalBuilder:
         di, dj, _ = info['distant']
         if len(di):
             addPairs(di, dj)
+        ci, cj, _ = info.get('cut', (np.zeros(0, dtype=np.int64),) * 3)
+        if len(ci):
+            addPairs(ci, cj)
         rows = np.concatenate(rows)
         cols = np.concatenate(cols)
         S = sp.coo_matrix((np.ones(len(rows)), (rows, cols)),
@@ -674,6 +814,17 @@ class nonlocalBuilder:
             raise NotImplementedError(
                 'H2 for variable-order kernels requires interface jump '
                 'integrals; use matrixFormat=dense')
+        if self.kernel.finiteHorizon:
+            # With a finite horizon the operator support is |x-y| < delta, so
+            # the matrix IS sparse (bandwidth ~ (delta/h)^d).  The reference
+            # still compresses within-horizon far cluster pairs
+            # (clusterMethodCy.pyx:4019-4033: dist>delta -> ZERO, cut ->
+            # INADMISSIBLE/near, else eta-admissibility), but on TPU the exact
+            # CSR near field with a batched segment-sum matvec is both exact
+            # and faster than rank-structured blocks at these horizon/h
+            # ratios, so finite-horizon H2 delegates to the sparse format.
+            A = self.getSparse()
+            return (A, None) if returnNearField else A
         from .panels import classifyPairList
         from .h2 import (buildClusterTree, admissibleClusters, H2Matrix,
                          tensorChebyshevGrid, tensorLagrangeEval, _H2Level)
@@ -1064,8 +1215,19 @@ class nonlocalBuilder:
                 runBucket(rule, items, False, useDet=False)
 
     def getDenseCross(self):
-        raise NotImplementedError('interior x boundary coupling lands with '
-                                  'inhomogeneous Dirichlet problems')
+        """A_BC: interior x boundary coupling for inhomogeneous Dirichlet
+        volume constraints (ref buildBCoperator discretizedProblems.py:511 ->
+        getFracLapl(dmInterior, dm2=dmBC)).  Runs the same panel machinery;
+        the accumulator keeps (interior row, boundary col) entries."""
+        from .panels import classifyPairsDense
+        dm = self.dm
+        info = self._makeRules(classifyPairsDense(
+            dm, self.kernel, target_order=self.params.get('target_order')))
+        acc = BCAccumulator(dm.num_dofs, dm.num_boundary_dofs)
+        self._runPairBuckets(acc, info)
+        if self.zeroExterior:
+            self._addZeroExterior(acc)
+        return acc.result()
 
     def _addZeroExterior(self, acc, sign=1.0):
         """Surface (Gauss-theorem) term into an accumulator."""

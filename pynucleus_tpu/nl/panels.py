@@ -211,17 +211,27 @@ def classifyPairList(dm, kernel, pi, pj, target_order=None):
     dj = rest_j[~touchMask]
     centers = mesh.vertices[cells].mean(axis=1)
     hs = _cellDiameter(mesh.vertices, cells)
+    ci = cj = np.zeros(0, dtype=np.int64)
     if kernel.finiteHorizon and len(di):
         dmin = _pairMinDistance(mesh.vertices, cells, di, dj)
-        keep = dmin < kernel.horizonValue
-        di, dj = di[keep], dj[keep]
+        dmax = _pairMaxDistance(mesh.vertices, cells, di, dj)
+        hv = kernel.horizonValue
+        keep = dmin < hv
+        cut = keep & (dmax >= hv)
+        ci, cj = di[cut], dj[cut]
+        full = keep & ~cut
+        di, dj = di[full], dj[full]
     orders = distantOrders(dm, kernel, hs, centers, di, dj, mp) \
         if len(di) else np.zeros(0, dtype=np.int64)
     orders = ((orders + 1) // 2) * 2
+    cutOrders = distantOrders(dm, kernel, hs, centers, ci, cj, mp) \
+        if len(ci) else np.zeros(0, dtype=np.int64)
+    cutOrders = np.minimum(((cutOrders + 1) // 2) * 2 + 2, 16)
 
     return {'id': ids,
             'touching': (touching_pairs, sharedInfo),
             'distant': (di, dj, orders),
+            'cut': (ci, cj, cutOrders),
             **mp}
 
 
@@ -255,20 +265,33 @@ def classifyPairsDense(dm, kernel, target_order=None):
     di = iu[~mask_touch]
     dj = ju[~mask_touch]
 
-    # horizon screening (extreme distances; ref getPanelType + IGNORED)
+    # horizon screening (extreme distances; ref getPanelType + IGNORED);
+    # pairs CUT by the horizon get exact interval clipping (1D) instead of
+    # the discontinuous-indicator quadrature (ref interactionDomains
+    # retriangulation)
+    ci = cj = np.zeros(0, dtype=np.int64)
     if kernel.finiteHorizon and len(di):
         dmin = _pairMinDistance(verts, cells, di, dj)
-        keep = dmin < kernel.horizonValue
-        di, dj = di[keep], dj[keep]
+        dmax = _pairMaxDistance(verts, cells, di, dj)
+        hv = kernel.horizonValue
+        keep = dmin < hv
+        cut = keep & (dmax >= hv)
+        ci, cj = di[cut], dj[cut]
+        full = keep & ~cut
+        di, dj = di[full], dj[full]
 
     orders = distantOrders(dm, kernel, hs, centers, di, dj, mp) \
         if len(di) else np.zeros(0, dtype=np.int64)
     orders = ((orders + 1) // 2) * 2
+    cutOrders = distantOrders(dm, kernel, hs, centers, ci, cj, mp) \
+        if len(ci) else np.zeros(0, dtype=np.int64)
+    cutOrders = np.minimum(((cutOrders + 1) // 2) * 2 + 2, 16)
 
     return {
         'id': np.arange(C, dtype=np.int64),
         'touching': (touching_pairs, sharedInfo),
         'distant': (di, dj, orders),
+        'cut': (ci, cj, cutOrders),
         **mp,
     }
 
@@ -281,6 +304,13 @@ def _cellDiameter(verts, cells):
         for j in range(i + 1, m + 1):
             h = np.maximum(h, np.linalg.norm(V[:, i] - V[:, j], axis=1))
     return h
+
+
+def _pairMaxDistance(verts, cells, di, dj):
+    V1 = verts[cells[di]]
+    V2 = verts[cells[dj]]
+    D = V1[:, :, None, :] - V2[:, None, :, :]
+    return np.sqrt((D ** 2).sum(axis=-1)).max(axis=(1, 2))
 
 
 def _pairMinDistance(verts, cells, di, dj):

@@ -197,7 +197,7 @@ class nonlocalBaseProblem(problem):
             'peridynamic', 'gaussian', 'exponential'], group=p)
         self.setDriverFlag('s', 'const(0.75)', help='fractional order', group=p)
         self.setDriverFlag('horizon', float(np.inf), group=p)
-        self.setDriverFlag('interaction', acceptedValues=['fullSpace', 'ball2',
+        self.setDriverFlag('interaction', acceptedValues=['ball2', 'fullSpace',
                                                           'ballInf', 'ellipse'],
                            group=p)
         self.setDriverFlag('normalized', True, group=p)
@@ -213,7 +213,9 @@ class nonlocalBaseProblem(problem):
         self.dim = dim
         inter = None
         if horizon != np.inf:
-            inter = {'fullSpace': fullSpace(), 'ball2': ball2(),
+            # interaction='fullSpace' requires an infinite horizon (ref
+            # nonlocalProblems.py:499-500); finite horizons default to ball2.
+            inter = {'ball2': ball2(),
                      'ballInf': ballInf()}.get(interaction, ball2())
         if kernelType == 'fractional':
             self.kernel = getFractionalKernel(dim, sFun, horizon=horizon,
@@ -382,7 +384,12 @@ class fractionalLaplacianProblem(nonlocalBaseProblem):
 
 
 class nonlocalPoissonProblem(nonlocalBaseProblem):
-    """Finite-horizon nonlocal Poisson (ref nonlocalProblems.py:913)."""
+    """Finite-horizon nonlocal Poisson (ref nonlocalProblems.py:913).
+
+    poly-Dirichlet is the quadratic patch test: for any normalized kernel the
+    nonlocal operator reproduces -Laplacian on quadratics, so
+    u = 1 - x^2 (extended into the collar as Dirichlet data) is solved to
+    machine precision (ref cache values ~1e-13)."""
 
     def setDriverArgs(self):
         super().setDriverArgs()
@@ -393,18 +400,17 @@ class nonlocalPoissonProblem(nonlocalBaseProblem):
         self.setDriverFlag('domain', acceptedValues=['interval', 'square',
                                                      'disc'], group=p)
         self.setDriverFlag('problem', acceptedValues=['poly-Dirichlet',
-                                                      'poly-Neumann',
+                                                      'constant',
                                                       'gaussian',
-                                                      'exponential',
-                                                      'constant'], group=p)
-        self.setDriverFlag('element', acceptedValues=['P1', 'P2', 'P3', 'P0'],
+                                                      'exponential'], group=p)
+        self.setDriverFlag('element', acceptedValues=['P1', 'P0', 'P2'],
                            group=p)
         self.setDriverFlag('noRef', -1, group=p)
 
     def processCmdline(self, params):
         noRef = params.get('noRef', -1)
         if noRef is None or noRef <= 0:
-            params['noRef'] = {'interval': 8, 'square': 2, 'disc': 2}[
+            params['noRef'] = {'interval': 8, 'square': 2, 'disc': 4}[
                 params['domain']]
         super().processCmdline(params)
 
@@ -416,38 +422,43 @@ class nonlocalPoissonProblem(nonlocalBaseProblem):
         self.analyticSolution = None
         self.exactHsSquared = None
         self.exactL2Squared = None
-        horizon = kernel.horizonValue
-        if problem.endswith('Neumann'):
-            self.boundaryCondition = NEUMANN
-        else:
+        self.dirichletData = None
+        if problem in ('poly-Dirichlet',):
             self.boundaryCondition = DIRICHLET
-
-        if problem.startswith('poly'):
-            # u(x) = 1 - prod (x_i^2-ish): classic patch test with quadratic
-            # solution for which the nonlocal operator equals the Laplacian
-            if dim == 1:
-                self.analyticSolution = Lambda(lambda x: 1.0 - x[0] ** 2)
-                self.rhs = constant(2.0)
-                self.exactL2Squared = None
-                self.dirichletData = self.analyticSolution
-            else:
-                self.analyticSolution = Lambda(
-                    lambda x: 1.0 - x[0] ** 2 - x[1] ** 2)
-                self.rhs = constant(4.0)
-                self.dirichletData = self.analyticSolution
         else:
-            raise NotImplementedError(problem)
+            self.boundaryCondition = HOMOGENEOUS_DIRICHLET
 
         mesh, info = nonlocalMeshFactory.build(
-            self.driver.params['domain'], kernel=kernel,
-            boundaryCondition=self.boundaryCondition)
+            domain, kernel=kernel, boundaryCondition=self.boundaryCondition)
         self.mesh = mesh
-        self.tag = info['tag']
         self.zeroExterior = info['zeroExterior']
-        self.domainIndicator = info['domain']
-        self.interactionIndicator = info['interaction']
+        domainIndicator = info['domain']
+        boundaryIndicator = info['boundary']
+        interactionIndicator = info['interaction']
+        self.domainIndicator = domainIndicator
+        self.interactionIndicator = interactionIndicator
         self.fluxIndicator = constant(0.0)
-        self.problemDescription = problem
+        # dofs are interior where the domain indicator is positive
+        # (ref discretizedProblems buildMeshHierarchy: tag = domainIndicator
+        # + fluxIndicator)
+        self.tag = domainIndicator
+
+        if problem == 'poly-Dirichlet':
+            self.problemDescription = 'quadratic patch test, Dirichlet collar'
+            self.rhs = constant(2.0 * dim)
+            self.dirichletData = Lambda(
+                lambda x: 1 - np.sum(np.asarray(x) ** 2))
+            if kernel.kernelType != FRACTIONAL or                     hasattr(kernel.s, 'value'):
+                self.analyticSolution = Lambda(
+                    lambda x: 1 - np.sum(np.asarray(x) ** 2))
+        elif problem == 'constant':
+            self.problemDescription = 'constant forcing, homogeneous collar'
+            self.rhs = constant(1.0)
+        elif problem in ('gaussian', 'exponential'):
+            self.problemDescription = f'{problem} kernel smoke problem'
+            self.rhs = constant(1.0)
+        else:
+            raise NotImplementedError(problem)
 
 
 class transientFractionalProblem(fractionalLaplacianProblem):
