@@ -484,6 +484,10 @@ class SumOperator(LinearOperator):
     def diagonal(self):
         return self.facA * self.A.diagonal + self.facB * self.B.diagonal
 
+    def toarray(self):
+        return (self.facA * self.A.toarray()
+                + self.facB * self.B.toarray())
+
 
 _register(SumOperator, ('A', 'B', 'facA', 'facB'), ())
 

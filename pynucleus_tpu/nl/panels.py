@@ -213,14 +213,8 @@ def classifyPairList(dm, kernel, pi, pj, target_order=None):
     hs = _cellDiameter(mesh.vertices, cells)
     ci = cj = np.zeros(0, dtype=np.int64)
     if kernel.finiteHorizon and len(di):
-        dmin = _pairMinDistance(mesh.vertices, cells, di, dj)
-        dmax = _pairMaxDistance(mesh.vertices, cells, di, dj)
-        hv = kernel.horizonValue
-        keep = dmin < hv
-        cut = keep & (dmax >= hv)
-        ci, cj = di[cut], dj[cut]
-        full = keep & ~cut
-        di, dj = di[full], dj[full]
+        di, dj, ci, cj = _horizonScreen(mesh.vertices, cells, centers,
+                                        di, dj, kernel.horizonValue)
     orders = distantOrders(dm, kernel, hs, centers, di, dj, mp) \
         if len(di) else np.zeros(0, dtype=np.int64)
     orders = ((orders + 1) // 2) * 2
@@ -271,14 +265,8 @@ def classifyPairsDense(dm, kernel, target_order=None):
     # retriangulation)
     ci = cj = np.zeros(0, dtype=np.int64)
     if kernel.finiteHorizon and len(di):
-        dmin = _pairMinDistance(verts, cells, di, dj)
-        dmax = _pairMaxDistance(verts, cells, di, dj)
-        hv = kernel.horizonValue
-        keep = dmin < hv
-        cut = keep & (dmax >= hv)
-        ci, cj = di[cut], dj[cut]
-        full = keep & ~cut
-        di, dj = di[full], dj[full]
+        di, dj, ci, cj = _horizonScreen(verts, cells, centers, di, dj,
+                                        kernel.horizonValue)
 
     orders = distantOrders(dm, kernel, hs, centers, di, dj, mp) \
         if len(di) else np.zeros(0, dtype=np.int64)
@@ -304,6 +292,35 @@ def _cellDiameter(verts, cells):
         for j in range(i + 1, m + 1):
             h = np.maximum(h, np.linalg.norm(V[:, i] - V[:, j], axis=1))
     return h
+
+
+def _horizonScreen(verts, cells, centers, di, dj, hv):
+    """Split non-touching pairs into fully-within-horizon (di, dj) and
+    horizon-cut (ci, cj); pairs entirely beyond the horizon are dropped
+    (ref getPanelType IGNORED, interactionDomains ball2:getRelativePosition).
+
+    A cheap center-distance screen with cell radii r = max|v - center|
+    bounds dc - ri - rj <= dmin <= dmax <= dc + ri + rj, so the exact
+    O(nv^2) vertex-pair distances are only computed on the ambiguous band
+    around the horizon -- avoids materializing [P, nv, nv, dim] temporaries
+    for all cell pairs."""
+    radii = np.linalg.norm(
+        verts[cells] - centers[:, None, :], axis=-1).max(axis=1)
+    dc = np.linalg.norm(centers[di] - centers[dj], axis=-1)
+    rsum = radii[di] + radii[dj]
+    sureIgnored = dc - rsum >= hv          # implies dmin >= hv
+    sureInside = dc + rsum < hv            # implies dmax < hv
+    band = ~(sureIgnored | sureInside)
+    bi, bj = di[band], dj[band]
+    dmin = _pairMinDistance(verts, cells, bi, bj)
+    dmax = _pairMaxDistance(verts, cells, bi, bj)
+    keep = dmin < hv
+    cut = keep & (dmax >= hv)
+    bandFull = keep & ~cut
+    full = np.zeros(len(di), dtype=bool)
+    full[~band] = sureInside[~band]
+    full[band] = bandFull
+    return di[full], dj[full], bi[cut], bj[cut]
 
 
 def _pairMaxDistance(verts, cells, di, dj):

@@ -24,7 +24,8 @@ from .kernels import (getFractionalKernel, getIntegrableKernel,
                       fractionalOrderFactory, constFractionalOrder,
                       variableConstFractionalOrder,
                       constantNonSymFractionalOrder, leftRightFractionalOrder,
-                      fullSpace, ball2, ballInf, FRACTIONAL)
+                      fullSpace, ball2, ballInf, FRACTIONAL, INDICATOR,
+                      PERIDYNAMIC)
 
 __all__ = ['nonlocalMeshFactory', 'fractionalLaplacianProblem',
            'nonlocalPoissonProblem', 'nonlocalBaseProblem',
@@ -394,12 +395,16 @@ class nonlocalPoissonProblem(nonlocalBaseProblem):
     def setDriverArgs(self):
         super().setDriverArgs()
         if hasattr(self.driver, 'parser'):
+            # runNonlocal defaults: constant kernel, horizon 0.2, s=0.4
+            # (ref nonlocalProblems.py:335 base default 'const(0.4)';
+            # poly-Neumann needs s<0.5 for a non-singular flux)
             self.driver.parser.set_defaults(kernelType='constant', horizon=0.2,
-                                            s='const(0.75)')
+                                            s='const(0.4)')
         p = self.driver.addGroup('problem')
         self.setDriverFlag('domain', acceptedValues=['interval', 'square',
                                                      'disc'], group=p)
         self.setDriverFlag('problem', acceptedValues=['poly-Dirichlet',
+                                                      'poly-Neumann',
                                                       'constant',
                                                       'gaussian',
                                                       'exponential'], group=p)
@@ -425,6 +430,8 @@ class nonlocalPoissonProblem(nonlocalBaseProblem):
         self.dirichletData = None
         if problem in ('poly-Dirichlet',):
             self.boundaryCondition = DIRICHLET
+        elif problem in ('poly-Neumann', 'zeroFlux'):
+            self.boundaryCondition = NEUMANN
         else:
             self.boundaryCondition = HOMOGENEOUS_DIRICHLET
 
@@ -451,6 +458,53 @@ class nonlocalPoissonProblem(nonlocalBaseProblem):
             if kernel.kernelType != FRACTIONAL or                     hasattr(kernel.s, 'value'):
                 self.analyticSolution = Lambda(
                     lambda x: 1 - np.sum(np.asarray(x) ** 2))
+        elif problem == 'poly-Neumann':
+            # Quadratic patch test with the exact nonlocal flux prescribed on
+            # the interaction collar (ref nonlocalProblems.py:1191-1225).
+            # The flux g(x) = 2 int_{Omega} gamma(x,y)(u(x)-u(y)) dy for
+            # u = 1-x^2 has closed 1D forms per kernel family; s<1/2 keeps it
+            # integrable for the fractional kernel.
+            if domain != 'interval':
+                raise NotImplementedError(
+                    'poly-Neumann flux formulas are 1D (interval) only')
+            self.problemDescription = 'quadratic patch test, Neumann collar'
+            self.fluxIndicator = boundaryIndicator + interactionIndicator
+            self.interactionIndicator = constant(0.0)
+            self.tag = NO_BOUNDARY  # every dof is a free dof
+            C = kernel.scalingValue  # includes the 1/2 symmetrization factor
+            delta = kernel.horizonValue
+            if kernel.kernelType == FRACTIONAL:
+                sBase = kernel.s.value
+                assert sBase < 0.5, 'poly-Neumann flux needs s < 1/2'
+
+                def fluxFun(x):
+                    dist = 1 + delta - abs(x[0])
+                    return 2 * C * (
+                        (2 * abs(x[0]) / (1 - 2 * sBase))
+                        * (dist ** (1 - 2 * sBase) - delta ** (1 - 2 * sBase))
+                        + 1 / (2 - 2 * sBase)
+                        * (dist ** (2 - 2 * sBase) + delta ** (2 - 2 * sBase)))
+            elif kernel.kernelType == PERIDYNAMIC:
+                def fluxFun(x):
+                    dist = 1 + delta - abs(x[0])
+                    return 2 * C * (2 * abs(x[0]) * (1 - abs(x[0]))
+                                    + 0.5 * (dist ** 2 + delta ** 2))
+            elif kernel.kernelType == INDICATOR:
+                def fluxFun(x):
+                    dist = 1 + delta - abs(x[0])
+                    return 2 * C * (abs(x[0]) * (dist ** 2 - delta ** 2)
+                                    + (dist ** 3 + delta ** 3) / 3.0)
+            else:
+                raise NotImplementedError(
+                    (problem, kernel.kernelType))
+            flux = Lambda(fluxFun)
+            fluxInd = self.fluxIndicator
+            domInd = domainIndicator
+            self.rhs = Lambda(lambda x: 2.0 * domInd(x)
+                              + flux(x) * fluxInd(x))
+            self.dirichletData = Lambda(lambda x: 1 - x[0] ** 2)
+            if kernel.kernelType != FRACTIONAL or hasattr(kernel.s, 'value'):
+                self.analyticSolution = Lambda(lambda x: 1 - x[0] ** 2)
         elif problem == 'constant':
             self.problemDescription = 'constant forcing, homogeneous collar'
             self.rhs = constant(1.0)
