@@ -297,7 +297,7 @@ def _gmres_cycle(A, M, b, x0, tol, restart, use_prec, flexible):
     g = jnp.zeros((restart + 1,), dtype=dtype).at[0].set(beta)
 
     def body(j, carry):
-        V, Z, H, cs, sn, g, resnorm, k, done = carry
+        V, Z, H, cs, sn, g, resnorm, k, done, hist = carry
 
         def step(args):
             V, Z, H, cs, sn, g = args
@@ -335,12 +335,15 @@ def _gmres_cycle(A, M, b, x0, tol, restart, use_prec, flexible):
             done, lambda a: a, step, (V, Z, H, cs, sn, g))
         resnorm2 = jnp.where(done, resnorm, jnp.abs(g2[j + 1]))
         k2 = jnp.where(done, k, j + 1)
+        hist2 = jnp.where(done, hist[j], resnorm2)
+        hist = hist.at[j].set(hist2)
         done2 = done | (resnorm2 <= tol)
-        return (V2, Z2, H2, cs2, sn2, g2, resnorm2, k2, done2)
+        return (V2, Z2, H2, cs2, sn2, g2, resnorm2, k2, done2, hist)
 
-    V, Z, H, cs, sn, g, resnorm, k, done = lax.fori_loop(
+    hist0 = jnp.full((restart,), jnp.nan, dtype=dtype)
+    V, Z, H, cs, sn, g, resnorm, k, done, hist = lax.fori_loop(
         0, restart, body,
-        (V, Z, H, cs, sn, g, beta, jnp.int32(0), beta <= tol))
+        (V, Z, H, cs, sn, g, beta, jnp.int32(0), beta <= tol, hist0))
 
     # back substitution on the k-active upper-triangular system; inactive
     # columns have H[i, i] = 0 -> replace by identity with zero rhs
@@ -351,7 +354,7 @@ def _gmres_cycle(A, M, b, x0, tol, restart, use_prec, flexible):
     grhs = jnp.where(active, g[:restart], 0.0)
     y = jax.scipy.linalg.solve_triangular(Hd, grhs, lower=False)
     dx = (Z.T @ y) if use_prec else (V[:restart].T @ y)
-    return x0 + dx, resnorm, k
+    return x0 + dx, resnorm, k, hist
 
 
 class gmres_solver(krylov_solver):
@@ -371,22 +374,32 @@ class gmres_solver(krylov_solver):
         restart = self.maxIter if self.maxIter > 0 else 20
         use_prec = self.prec is not None
         M = self.prec if use_prec else Diagonal_LinearOperator(jnp.ones_like(b))
-        residuals = []
+        # residual history starts with the unpreconditioned initial
+        # residual, then the Givens residual estimate per Arnoldi step
+        # (matches the reference's resHist, solvers.pyx gmres)
+        residuals = [float(jnp.linalg.norm(b - self.A.matvec(x0)))]
         x = x0
         total_iters = 0
+        resnorm = residuals[0]
         for cycle in range(max(self.restarts, 1)):
-            x, resnorm, k = _gmres_cycle(self.A, M, b, x, tol, restart,
-                                         use_prec, self.flexible)
+            x, resnorm, k, hist = _gmres_cycle(self.A, M, b, x, tol, restart,
+                                               use_prec, self.flexible)
             resnorm = float(resnorm)
-            residuals.append(resnorm)
-            total_iters += int(k)
+            k = int(k)
+            histArr = np.asarray(hist)[:k]
+            residuals.extend(float(v) for v in histArr[~np.isnan(histArr)])
+            total_iters += k
             if resnorm <= tol:
                 break
-        # report true residual
         r = b - self.A.matvec(x)
         self.residuals = residuals
         self.explicitResidual = float(jnp.linalg.norm(r))
-        self.iterations = total_iters
+        # converged solves report steps-1 like the reference's counter
+        # (solvers.pyx: the final check decrements on early exit)
+        if resnorm <= tol and total_iters > 0:
+            self.iterations = total_iters - 1
+        else:
+            self.iterations = total_iters
         return x
 
 

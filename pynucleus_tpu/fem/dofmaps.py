@@ -18,6 +18,10 @@ from ..base.factory import factory
 from .meshes import simplexMesh, NO_BOUNDARY, PHYSICAL
 from .quadrature import simplexDuffy
 
+# canonical local faces of a tetrahedron; the order fixes the P3 face-dof
+# layout in localNodes and in DoFMap numbering
+LOCAL_FACES_3D = ((0, 1, 2), (0, 1, 3), (1, 2, 3), (0, 2, 3))
+
 __all__ = ['DoFMap', 'P0_DoFMap', 'P1_DoFMap', 'P2_DoFMap', 'P3_DoFMap',
            'dofmapFactory', 'fe_vector', 'str2DoFMap']
 
@@ -72,16 +76,21 @@ def _lagrange_shape_functions(order, mdim):
             # reorder: for order 3 we want per-edge pairs contiguous
         if order == 3 and mdim == 2:
             nodes.append(np.full(mdim + 1, 1.0 / (mdim + 1)))
+        if order == 3 and mdim == 3:
+            # one dof per face (barycenter); order matches LOCAL_FACES_3D
+            for f in LOCAL_FACES_3D:
+                nodes.append(sum(verts[i] for i in f) / 3.0)
     nodes = np.array(nodes)
 
-    if order == 3 and mdim == 2:
+    if order == 3 and mdim >= 2:
         # rearrange so edge dofs come in pairs per edge: (e0a,e0b,e1a,e1b,...)
         nv = mdim + 1
         ne = len(edges)
+        nf = 1 if mdim == 2 else 4   # 2D: cell bubble; 3D: face dofs
         idx = list(range(nv))
         for k in range(ne):
             idx.extend([nv + k, nv + ne + k])
-        idx.append(nv + 2 * ne)
+        idx.extend(range(nv + 2 * ne, nv + 2 * ne + nf))
         nodes = nodes[idx]
 
     # Lagrange basis via Vandermonde in barycentric monomials of degree=order
@@ -162,13 +171,13 @@ class DoFMap:
             self.dofs_per_vertex = 1
             self.dofs_per_edge = p - 1
             self.dofs_per_cell = 0
-            if p >= 3:
-                raise NotImplementedError('P3 in 3D')
-        self.dofs_per_face = 0
+        self.dofs_per_face = 1 if (mdim == 3 and p == 3) else 0
         nv = mdim + 1
         ne = {1: 0, 2: 3, 3: 6}[mdim]
+        nf = 4 if mdim == 3 else 0
         self.dofs_per_element = (nv * self.dofs_per_vertex +
-                                 ne * self.dofs_per_edge + self.dofs_per_cell)
+                                 ne * self.dofs_per_edge +
+                                 nf * self.dofs_per_face + self.dofs_per_cell)
         assert self.dofs_per_element == self.localNodes.shape[0], \
             (self.dofs_per_element, self.localNodes.shape)
 
@@ -216,11 +225,16 @@ class DoFMap:
         numBdofs = -1
         vertexDof = {}
         edgeDof = {}
+        faceDof = {}
 
         if mdim >= 2 and self.dofs_per_edge > 0:
             # local edges per cell (order must match localNodes edge order)
             localEdges = [(0, 1), (1, 2), (2, 0)] if mdim == 2 else \
                 [(0, 1), (1, 2), (2, 0), (0, 3), (1, 3), (2, 3)]
+        if mdim == 3 and self.dofs_per_face > 0:
+            if indicator is None:
+                bFaces = set(map(tuple, np.sort(
+                    mesh.boundaryFaces, axis=1).tolist()))
 
         for i in range(nc):
             k = 0
@@ -264,6 +278,22 @@ class DoFMap:
                     for d in ds_local:
                         dofs[i, k] = d
                         k += 1
+            if mdim == 3 and self.dofs_per_face > 0:
+                for lf in LOCAL_FACES_3D:
+                    tri = tuple(sorted(int(cells[i, v]) for v in lf))
+                    if tri not in faceDof:
+                        if indicator is None:
+                            isB = tri in bFaces
+                        else:
+                            isB = not inside[i, k]
+                        if isB:
+                            faceDof[tri] = numBdofs
+                            numBdofs -= 1
+                        else:
+                            faceDof[tri] = numDoFs
+                            numDoFs += 1
+                    dofs[i, k] = faceDof[tri]
+                    k += 1
             for _ in range(self.dofs_per_cell):
                 if indicator is None or inside[i, k]:
                     dofs[i, k] = numDoFs

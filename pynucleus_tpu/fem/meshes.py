@@ -23,10 +23,37 @@ NO_BOUNDARY = np.iinfo(np.int32).min
 DIRICHLET_EXTERIOR = 1  # tag for interaction-domain (exterior) vertices
 DIRICHLET_INTERIOR = 2
 
-__all__ = ['simplexMesh', 'meshFactory', 'simpleInterval', 'intervalWithInteraction',
+__all__ = ['simplexMesh', 'meshFactory', 'simpleInterval', 'simpleBox',
+           'intervalWithInteraction',
            'simpleSquare', 'uniformSquare', 'squareWithInteractions', 'circle',
            'discWithInteraction', 'PHYSICAL', 'INTERIOR', 'NO_BOUNDARY',
            'gradedIntervalTransform', 'doubleIntervalWithInteractions']
+
+
+def _octahedronSplit(verts, m01, m02, m03, m12, m13, m23):
+    """Split the interior octahedron of a red-refined tetrahedron into 4
+    sub-tets along its shortest interior diagonal, per cell (vectorized;
+    behavior of ref meshCy.pyx:1395-1430)."""
+    d0 = ((verts[m01] - verts[m23]) ** 2).sum(axis=1)   # v01-v23
+    d1 = ((verts[m02] - verts[m13]) ** 2).sum(axis=1)   # v02-v13
+    d2 = ((verts[m03] - verts[m12]) ** 2).sum(axis=1)   # v03-v12
+    choice = np.where((d0 < d1) & (d0 < d2), 0,
+                      np.where(d1 < d2, 1, 2))          # [C]
+    # candidate splits [3 choices][4 tets] of vertex tuples
+    cands = [
+        [(m01, m12, m02, m23), (m01, m23, m03, m13),
+         (m01, m02, m03, m23), (m01, m13, m12, m23)],
+        [(m01, m02, m03, m13), (m01, m12, m02, m13),
+         (m02, m03, m13, m23), (m02, m13, m12, m23)],
+        [(m01, m13, m12, m03), (m03, m23, m13, m12),
+         (m03, m23, m12, m02), (m01, m12, m02, m03)],
+    ]
+    out = []
+    for t in range(4):
+        stacked = np.stack([np.stack(cands[c][t], axis=1)
+                            for c in range(3)], axis=0)  # [3, C, 4]
+        out.append(stacked[choice, np.arange(len(choice))])
+    return out
 
 
 class simplexMesh:
@@ -184,6 +211,12 @@ class simplexMesh:
             self.computeBoundary()
         return self._boundaryEdgeTags
 
+    @property
+    def boundaryFaces(self):
+        if self._boundaryFaces is None:
+            self.computeBoundary()
+        return self._boundaryFaces
+
     def tagBoundaryVertices(self, tagFunc):
         bv = self.boundaryVertices
         self._boundaryVertexTags = np.array(
@@ -309,11 +342,11 @@ class simplexMesh:
             np.stack([v[1], m01, m12, m13], axis=1),
             np.stack([v[2], m02, m12, m23], axis=1),
             np.stack([v[3], m03, m13, m23], axis=1),
-            # octahedron split along m01-m23 diagonal
-            np.stack([m01, m02, m03, m23], axis=1),
-            np.stack([m01, m02, m12, m23], axis=1),
-            np.stack([m01, m03, m13, m23], axis=1),
-            np.stack([m01, m12, m13, m23], axis=1)], axis=0)
+            # octahedron split along the SHORTEST interior diagonal
+            # (ref meshCy.pyx:1395-1430: shortest-interior-edge refinement
+            # instead of Bey's fixed choice) -- keeps shape regularity under
+            # repeated refinement for arbitrary tet geometry.
+            *_octahedronSplit(newV, m01, m02, m03, m12, m13, m23)], axis=0)
         lookup = {'edges': uniq, 'newIdx': newIdx}
         return simplexMesh(newV, newC, dim=self.dim), lookup
 
@@ -457,6 +490,32 @@ def intervalWithInteraction(a=-1.0, b=1.0, horizon=0.1, h=None, strictInteractio
     cells = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
     m = simplexMesh(verts, cells, dim=1)
     return m
+
+
+def simpleBox(ax=0.0, ay=0.0, az=0.0, bx=1.0, by=1.0, bz=1.0):
+    """Unit box as 6 tetrahedra: the Kuhn triangulation along the main
+    diagonal -- one tet per permutation sigma of the axes, walking from
+    (0,0,0) to (1,1,1) taking unit steps in the order sigma
+    (ref fem mesh.py:757 uses the same decomposition as an explicit table)."""
+    from itertools import permutations
+    lo = np.array([ax, ay, az])
+    hi = np.array([bx, by, bz])
+    corners = np.array([[(i >> a) & 1 for a in range(3)]
+                        for i in range(8)], dtype=REAL)
+    vertices = lo + corners * (hi - lo)
+
+    def vid(step):  # step is a 0/1 vector
+        return int(step[0]) + 2 * int(step[1]) + 4 * int(step[2])
+
+    cells = []
+    for perm in permutations(range(3)):
+        step = np.zeros(3, dtype=np.int64)
+        tet = [vid(step)]
+        for axis in perm:
+            step[axis] = 1
+            tet.append(vid(step))
+        cells.append(tet)
+    return simplexMesh(vertices, np.array(cells, dtype=INDEX), dim=3)
 
 
 def simpleSquare(ax=0.0, ay=0.0, bx=1.0, by=1.0):
@@ -605,6 +664,8 @@ meshFactory = factory()
 meshFactory.register('simpleInterval', simpleInterval, aliases=['interval'])
 meshFactory.register('unitInterval', simpleInterval, params={'a': 0., 'b': 1.})
 meshFactory.register('intervalWithInteraction', intervalWithInteraction)
+meshFactory.register('simpleBox', simpleBox,
+                     aliases=['unitBox', 'cube', 'unitCube'])
 meshFactory.register('simpleSquare', simpleSquare)
 meshFactory.register('unitSquare', uniformSquare, params={'N': 2})
 meshFactory.register('square', uniformSquare,

@@ -20,18 +20,22 @@ class diffusionProblem(problem):
     def setDriverArgs(self):
         p = self.driver.addGroup('problem')
         self.setDriverFlag('domain', 'square',
-                           acceptedValues=['interval', 'square'], group=p)
+                           acceptedValues=['interval', 'square', 'cube'],
+                           group=p)
         self.setDriverFlag('problem', 'sin',
                            acceptedValues=['reac-sin', 'poly', 'cos'], group=p)
         self.setDriverFlag('noRef', -1, argInterpreter=int, group=p)
         self.setDriverFlag('element', 'P1',
                            acceptedValues=['P1', 'P2', 'P3'], group=p)
+        self.setDriverFlag('symmetric', False, group=p)
 
     def processCmdline(self, params):
         if params.get('noRef', -1) is None or params.get('noRef', -1) <= 0:
             domain, element = params['domain'], params['element']
             if domain in ('interval', 'unitInterval'):
                 params['noRef'] = {'P1': 15, 'P2': 14, 'P3': 13}[element]
+            elif domain in ('cube', 'unitCube', 'gradedCube'):
+                params['noRef'] = {'P1': 6, 'P2': 5, 'P3': 4}[element]
             else:
                 params['noRef'] = {'P1': 9, 'P2': 8, 'P3': 7}[element]
         super().processCmdline(params)
@@ -69,6 +73,21 @@ class diffusionProblem(problem):
                     lambda x: 16 * x[0] * x[1] * (1 - x[0]) * (1 - x[1]))
                 self.L2ex = 256 / 900
                 self.H10ex = 256 / 45
+            else:
+                raise NotImplementedError(problem)
+        elif domain in ('cube', 'unitCube'):
+            self.dim = 3
+            from .meshes import simpleBox
+            self.mesh0 = simpleBox()
+            if problem == 'sin':
+                self.rhsFun = Lambda(
+                    lambda x: 3 * np.pi ** 2 * np.sin(np.pi * x[0])
+                    * np.sin(np.pi * x[1]) * np.sin(np.pi * x[2]))
+                self.exactSolution = Lambda(
+                    lambda x: np.sin(np.pi * x[0]) * np.sin(np.pi * x[1])
+                    * np.sin(np.pi * x[2]))
+                self.L2ex = 0.125
+                self.H10ex = 3 * np.pi ** 2 / 8
             else:
                 raise NotImplementedError(problem)
         else:

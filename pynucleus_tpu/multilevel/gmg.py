@@ -183,8 +183,11 @@ def _mg_solve(levels, b, x0, tol, maxiter, gamma=1):
 
 @partial(jax.jit, static_argnames=('gamma', 'maxiter'))
 def _fmg_solve(levels, b, gamma=1, maxiter=1):
-    """Full multigrid: coarsen rhs, solve coarsest, prolong+cycle upwards
-    (ref multigrid pxi:331-368)."""
+    """Full multigrid pass: coarsen rhs to every level, exact solve on the
+    coarsest, then prolong + one cycle per intermediate level; at the FINEST
+    level only prolongation + postsmoothing (ref multigrid pxi FMG branch:
+    the last level does P.matvec then smoother.eval(postsmoother=True), no
+    full cycle)."""
     nl = len(levels.As) - 1
     rhss = [None] * (nl + 1)
     rhss[nl] = b
@@ -192,10 +195,16 @@ def _fmg_solve(levels, b, gamma=1, maxiter=1):
         rhss[l] = levels.Ps[l + 1].rmatvec(rhss[l + 1])
     x = jax.scipy.linalg.lu_solve((levels.coarse_lu, levels.coarse_piv),
                                   rhss[0])
-    for l in range(1, nl + 1):
+    for l in range(1, nl):
         x = levels.Ps[l].matvec(x)
         r = rhss[l] - levels.As[l].matvec(x)
         x = x + _vcycle(levels, l, r, jnp.zeros_like(x), gamma)
+    x = levels.Ps[nl].matvec(x)
+    A = levels.As[nl]
+    Dinv = levels.Dinvs[nl]
+    om = levels.omega
+    for _ in range(levels.postSteps):
+        x = x + om * (Dinv * (b - A.matvec(x)))
     return x
 
 
@@ -233,24 +242,29 @@ class multigrid(iterative_solver):
         self.initialized = True
 
     def solve(self, b, x=None):
+        """Host-driven iteration over jitted cycles, recording the residual
+        history (ref multigrid pxi solve loop: FMG counts as iteration 1 and
+        seeds the V-cycle loop; residuals list starts with the residual
+        before the first V-cycle)."""
         b = jnp.asarray(b)
         tol = self._tol(b)
-        x0 = self.x0 if self.x0 is not None else jnp.zeros_like(b)
-        gamma = 2 if self.cycle == 'W' else 1
+        gamma = 2 if self.cycle in ('W', 'FMG_W') else 1
         if self.cycle in ('FMG_V', 'FMG_W'):
-            x = _fmg_solve(self.levels, b, gamma=2 if self.cycle == 'FMG_W' else 1)
-            r = float(jnp.linalg.norm(b - self.A.matvec(x)))
-            self.residuals = [r]
-            self.iterations = 1
-            # continue with V-cycles until tol
-            x, iters, rn = _mg_solve(self.levels, b, x, tol, self.maxIter)
-            self.iterations += int(iters)
-            self.residuals.append(float(rn))
-            return x
-        x, iters, rn = _mg_solve(self.levels, b, x0, tol, self.maxIter,
-                                 gamma=gamma)
-        self.iterations = int(iters)
-        self.residuals = [float(rn)]
+            x = _fmg_solve(self.levels, b, gamma=gamma)
+            iters = 1
+        else:
+            x = self.x0 if self.x0 is not None else jnp.zeros_like(b)
+            iters = 0
+        A = self.A
+        rn = float(jnp.linalg.norm(b - A.matvec(x)))
+        residuals = [rn]
+        while rn > tol and iters < self.maxIter:
+            iters += 1
+            x = x + _mg_apply(self.levels, b - A.matvec(x), gamma=gamma)
+            rn = float(jnp.linalg.norm(b - A.matvec(x)))
+            residuals.append(rn)
+        self.iterations = iters
+        self.residuals = residuals
         return x
 
     def asPreconditioner(self, maxIter=1, cycle='V'):

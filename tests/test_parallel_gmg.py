@@ -1,0 +1,97 @@
+"""runParallelGMG regression tests against the reference caches
+(tests/cache_runParallelGMG.py--*).  The 1-rank and 4-rank reference caches
+agree to solver tolerance, so a single sharding-agnostic run covers both.
+
+Iteration counts are exact; rates use the cache tolerance aTol=1e-2; errors
+rTol=4 (matching the reference's outputGroup tolerances)."""
+import numpy as np
+import pytest
+
+from drivers.runParallelGMG import main as runParallelGMG
+
+
+CACHES = {
+    ('interval', 'P1'): {
+        'iterations': {'MG': 6, 'FMG': 5, 'PCG': 3, 'PGMRES': 3,
+                       'PBICGSTAB': 2, 'FMG-PCG': 2, 'FMG-PGMRES': 2},
+        'rates': {'MG': 0.049099444405778306, 'FMG': 0.02700477186888465,
+                  'PCG': 0.002753242733377948, 'PGMRES': 0.002568348642045146,
+                  'FMG-PCG': 0.00012398350674816368,
+                  'FMG-PGMRES': 0.00011126556266466207},
+        'errors': {'L^2 error': 3.161013638317052e-08,
+                   'H^1_0 error': 6.148245111522337e-05},
+    },
+    ('interval', 'P2'): {
+        'iterations': {'MG': 6, 'FMG': 3, 'PCG': 3, 'PGMRES': 4,
+                       'PBICGSTAB': 2, 'FMG-PCG': 1, 'FMG-PGMRES': 1},
+    },
+    ('interval', 'P3'): {
+        'iterations': {'MG': 7, 'FMG': 1, 'PCG': 2, 'PGMRES': 4,
+                       'PBICGSTAB': 2, 'FMG-PCG': 1, 'FMG-PGMRES': 1},
+    },
+    ('square', 'P1'): {
+        'iterations': {'MG': 5, 'FMG': 5, 'PCG': 3, 'PGMRES': 3,
+                       'PBICGSTAB': 1, 'FMG-PCG': 2, 'FMG-PGMRES': 2},
+        'errors': {'L^2 error': 5.623609198033212e-06,
+                   'H^1_0 error': 0.006820143193758394},
+    },
+    ('square', 'P2'): {
+        'iterations': {'MG': 10, 'FMG': 8, 'PCG': 6, 'PGMRES': 6,
+                       'PBICGSTAB': 3, 'FMG-PCG': 5, 'FMG-PGMRES': 5},
+    },
+    ('square', 'P3'): {
+        'iterations': {'MG': 14, 'FMG': 10, 'PCG': 7, 'PGMRES': 7,
+                       'PBICGSTAB': 4, 'FMG-PCG': 4, 'FMG-PGMRES': 5},
+    },
+    # cube: our Kuhn-triangulated box and the reference's explicit tet table
+    # give different (equally shape-regular) meshes, so iteration counts can
+    # differ by one (itsTol)
+    ('cube', 'P1'): {
+        'iterations': {'MG': 4, 'FMG': 4, 'PCG': 3, 'PGMRES': 2,
+                       'PBICGSTAB': 1, 'FMG-PCG': 3, 'FMG-PGMRES': 2},
+        'itsTol': 1,
+    },
+    ('cube', 'P2'): {
+        'iterations': {'MG': 11, 'FMG': 11, 'PCG': 7, 'PGMRES': 6,
+                       'PBICGSTAB': 3, 'FMG-PCG': 6, 'FMG-PGMRES': 5},
+        'itsTol': 1,
+    },
+    ('cube', 'P3'): {
+        'iterations': {'MG': 18, 'FMG': 17, 'PCG': 8, 'PGMRES': 8,
+                       'PBICGSTAB': 4, 'FMG-PCG': 8, 'FMG-PGMRES': 7},
+        'itsTol': 1,
+    },
+}
+
+
+def _check(domain, element):
+    d = runParallelGMG(['--domain', domain, '--element', element])
+    ref = CACHES[(domain, element)]
+    its = d.outputGroups['iterations'].toDict()
+    tol = ref.get('itsTol', 0)
+    for label, n in ref['iterations'].items():
+        assert abs(its['Number of iterations ' + label] - n) <= tol, \
+            (label, its)
+    if 'rates' in ref:
+        rates = d.outputGroups['rates'].toDict()
+        for label, r in ref['rates'].items():
+            assert np.isclose(rates['Rate of convergence ' + label], r,
+                              atol=1e-2), (label, rates)
+    if 'errors' in ref:
+        errs = d.outputGroups['errors'].toDict()
+        for label, e in ref['errors'].items():
+            assert np.isclose(errs[label], e, rtol=4.0), (label, errs)
+
+
+def test_interval_P1():
+    _check('interval', 'P1')
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('domain,element',
+                         [('interval', 'P2'), ('interval', 'P3'),
+                          ('square', 'P1'), ('square', 'P2'),
+                          ('square', 'P3'), ('cube', 'P1'),
+                          ('cube', 'P2'), ('cube', 'P3')])
+def test_parallel_gmg(domain, element):
+    _check(domain, element)
