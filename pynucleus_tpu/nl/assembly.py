@@ -808,12 +808,17 @@ class nonlocalBuilder:
     def getH2(self, returnNearField=False):
         """Hierarchical operator: cluster tree, Chebyshev far field, exact
         near field (ref getH2 nonlocalAssembly pxi:3094)."""
-        if self.kernel.variable:
-            # needs the jump-interface surface terms of ref
-            # assembleClusters:2032-2108; lands with the interface problems
+        if self.kernel.variable and not (hasattr(self.kernel.s, 'value')
+                                         and self.kernel.symmetric):
+            # spatially VARYING orders need the jump-interface surface terms
+            # of ref assembleClusters:2032-2108 (lands with the interface
+            # problems), and nonsymmetric kernels need the shifted 'cluster
+            # exterior' surface evaluation.  Spatially-constant symmetric
+            # 'variable' flavors (varconst) have no jumps and go through.
             raise NotImplementedError(
-                'H2 for variable-order kernels requires interface jump '
-                'integrals; use matrixFormat=dense')
+                'H2 for spatially varying or nonsymmetric variable-order '
+                'kernels requires interface jump integrals; use '
+                'matrixFormat=dense')
         if self.kernel.finiteHorizon:
             # With a finite horizon the operator support is |x-y| < delta, so
             # the matrix IS sparse (bandwidth ~ (delta/h)^d).  The reference

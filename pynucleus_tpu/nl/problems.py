@@ -162,7 +162,8 @@ nonlocalMeshFactory.register('disc', circle, discWithInteraction, 2,
                              aliases=['circle', 'unitDisc'])
 nonlocalMeshFactory.register('square', uniformSquare, squareWithInteractions,
                              2, squareIndicators,
-                             paramsNonOverlapping={'N': 3, 'ax': -1., 'ay': -1.,
+                             paramsNonOverlapping={'N': 2, 'M': 2,
+                                                   'ax': -1., 'ay': -1.,
                                                    'bx': 1., 'by': 1.},
                              paramsOverlapping={'ax': -1., 'ay': -1.,
                                                 'bx': 1., 'by': 1.})
@@ -368,6 +369,19 @@ class fractionalLaplacianProblem(nonlocalBaseProblem):
                     lambda x: max(1. - x[0] ** 2 - x[1] ** 2, 0.) ** beta)
                 self.exactL2Squared = np.pi * Gamma(1 + 2 * beta) \
                     / Gamma(2 + 2 * beta) * radius ** 2
+            else:
+                raise NotImplementedError(problem)
+        elif domain == 'square':
+            if problem == 'constant':
+                # no closed-form solution on the square; matvec/solve tests
+                # use the sin interpolant as probe vector
+                # (ref testDistOp.py:117-128)
+                self.problemDescription = 'constant rhs, homogeneous Dirichlet'
+                self.rhs = constant(1.0)
+            elif problem == 'sin':
+                self.problemDescription = 'sin rhs, homogeneous Dirichlet'
+                self.rhs = Lambda(
+                    lambda x: np.sin(np.pi * x[0]) * np.sin(np.pi * x[1]))
             else:
                 raise NotImplementedError(problem)
         else:
