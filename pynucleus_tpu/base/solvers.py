@@ -317,17 +317,25 @@ def _gmres_cycle(A, M, b, x0, tol, restart, use_prec, flexible):
             Vn = V.at[j + 1].set(jnp.where(hnorm > 1e-300, w / hnorm, w))
             Zn = Z.at[j].set(z)
 
+            # complex-safe Givens: G = [[c, s], [-conj(s), conj(c)]] with
+            # c = conj(a)/r, s = conj(b)/r eliminates b and is unitary; for
+            # real data this reduces to the classical rotation
             def rot(i, hc):
                 hi = jnp.where(i < j, cs[i] * hc[i] + sn[i] * hc[i + 1], hc[i])
-                hi1 = jnp.where(i < j, -sn[i] * hc[i] + cs[i] * hc[i + 1],
+                hi1 = jnp.where(i < j,
+                                -jnp.conj(sn[i]) * hc[i]
+                                + jnp.conj(cs[i]) * hc[i + 1],
                                 hc[i + 1])
                 return hc.at[i].set(hi).at[i + 1].set(hi1)
             hcol = lax.fori_loop(0, restart, rot, hcol)
-            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
-            c = jnp.where(denom > 0, hcol[j] / denom, 1.0)
-            s_ = jnp.where(denom > 0, hcol[j + 1] / denom, 0.0)
-            hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
-            gn = g.at[j + 1].set(-s_ * g[j]).at[j].set(c * g[j])
+            denom = jnp.sqrt(jnp.abs(hcol[j]) ** 2
+                             + jnp.abs(hcol[j + 1]) ** 2)
+            c = jnp.where(denom > 0, jnp.conj(hcol[j]) / denom,
+                          jnp.ones((), dtype=dtype))
+            s_ = jnp.where(denom > 0, jnp.conj(hcol[j + 1]) / denom,
+                           jnp.zeros((), dtype=dtype))
+            hcol = hcol.at[j].set(denom.astype(dtype)).at[j + 1].set(0.0)
+            gn = g.at[j + 1].set(-jnp.conj(s_) * g[j]).at[j].set(c * g[j])
             Hn = H.at[:, j].set(hcol)
             return Vn, Zn, Hn, cs.at[j].set(c), sn.at[j].set(s_), gn
 

@@ -21,6 +21,7 @@ from .dofmaps import DoFMap, fe_vector
 from .quadrature import simplexDuffy
 
 __all__ = ['assembleMass', 'assembleStiffness', 'assembleRHS',
+           'assembleSurfaceMass', 'assembleSurfaceRHS',
            'assembleSurfaceMass', 'buildSparsityPattern', 'scatterToCSR']
 
 
@@ -180,14 +181,112 @@ def assembleRHS(dm: DoFMap, fun, qOrder=None):
     vol, _ = _geometry(mesh)
     V = mesh.vertices[mesh.cells]
     X = np.einsum('qk,ckd->cqd', bary, V)      # [C, Q, dim]
-    fvals = fun(X.reshape(-1, mesh.dim)).reshape(X.shape[0], X.shape[1])
+    fvals = np.asarray(fun(X.reshape(-1, mesh.dim))).reshape(
+        X.shape[0], X.shape[1])
     bloc = np.einsum('c,q,cq,iq->ci', vol, w, fvals, PHI)   # [C, dpe]
-    b = np.zeros(dm.num_dofs, dtype=REAL)
+    b = np.zeros(dm.num_dofs,
+                 dtype=np.complex128 if np.iscomplexobj(fvals) else REAL)
     d = dm.dofs
     mask = d >= 0
     np.add.at(b, d[mask], bloc[mask])
     return fe_vector(jnp.asarray(b), dm)
 
 
-def assembleSurfaceMass(dm: DoFMap, surface):
-    raise NotImplementedError('surface mass lands with the Neumann problems')
+def _vertexDofMap(dm):
+    # vertex id -> volume dof (interior >= 0; boundary < 0), P1/P2/P3 keep
+    # vertex dofs in the leading local slots
+    nv = dm.mesh.manifold_dim + 1
+    vdof = np.full(dm.mesh.num_vertices, np.iinfo(np.int64).min,
+                   dtype=np.int64)
+    vdof[dm.mesh.cells[:, :nv].reshape(-1)] = \
+        dm.dofs[:, :nv].reshape(-1)
+    return vdof
+
+
+def _boundaryFacets(mesh):
+    m = mesh.manifold_dim
+    if m == 1:
+        return mesh.boundaryVertices.reshape(-1, 1)
+    if m == 2:
+        return mesh.boundaryEdges
+    return mesh.boundaryFaces
+
+
+def assembleSurfaceMass(dm: DoFMap, facets=None):
+    """Boundary mass matrix MB_ij = int_{boundary} phi_i phi_j over the
+    physical boundary facets, in VOLUME dof numbering (P1; ref
+    femCy.assembleSurfaceMass).  Dense output [N, N]."""
+    assert dm.polynomialOrder == 1, 'surface mass implemented for P1'
+    mesh = dm.mesh
+    m = mesh.manifold_dim
+    if facets is None:
+        facets = _boundaryFacets(mesh)
+    import scipy.sparse as sp
+    vdof = _vertexDofMap(dm)
+    N = dm.num_dofs
+    if m == 1:
+        # the boundary of an interval: point masses
+        ii = vdof[facets.reshape(-1)]
+        ii = ii[ii >= 0]
+        return sp.coo_matrix((np.ones(len(ii)), (ii, ii)),
+                             shape=(N, N)).tocsr()
+    V = mesh.vertices[facets]                     # [F, m, dim]
+    if m == 2:
+        meas = np.linalg.norm(V[:, 1] - V[:, 0], axis=1)
+        loc = np.array([[2.0, 1.0], [1.0, 2.0]]) / 6.0
+    else:
+        e1 = V[:, 1] - V[:, 0]
+        e2 = V[:, 2] - V[:, 0]
+        meas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+        loc = (np.ones((3, 3)) + np.eye(3)) / 12.0
+    dr = vdof[facets]                             # [F, m]
+    rows, cols, vals = [], [], []
+    for a in range(facets.shape[1]):
+        for b_ in range(facets.shape[1]):
+            r, c = dr[:, a], dr[:, b_]
+            keep = (r >= 0) & (c >= 0)
+            rows.append(r[keep])
+            cols.append(c[keep])
+            vals.append(meas[keep] * loc[a, b_])
+    return sp.coo_matrix((np.concatenate(vals),
+                          (np.concatenate(rows), np.concatenate(cols))),
+                         shape=(N, N)).tocsr()
+
+
+def assembleSurfaceRHS(dm: DoFMap, fun, facets=None, qOrder=3):
+    """Boundary load vector b_i = int_{boundary} g phi_i (P1; complex g
+    supported; ref getSurfaceDoFMap + assembleRHS on the surface mesh)."""
+    assert dm.polynomialOrder == 1
+    mesh = dm.mesh
+    m = mesh.manifold_dim
+    if facets is None:
+        facets = _boundaryFacets(mesh)
+    vdof = _vertexDofMap(dm)
+    b = np.zeros(dm.num_dofs, dtype=np.complex128)
+
+    def ev(x):
+        return complex(np.asarray(fun(x)).ravel()[0])
+
+    if m == 1:
+        for v in facets.reshape(-1):
+            i = vdof[v]
+            if i >= 0:
+                b[i] += ev(mesh.vertices[v])
+        return b
+    from .quadrature import simplexDuffy
+    bary, w = simplexDuffy(qOrder, m - 1)         # facet simplex
+    V = mesh.vertices[facets]                     # [F, m, dim]
+    X = np.einsum('qk,fkd->fqd', bary, V)
+    gv = np.asarray([ev(x) for x in X.reshape(-1, mesh.dim)],
+                    dtype=np.complex128).reshape(X.shape[0], X.shape[1])
+    if m == 2:
+        meas = np.linalg.norm(V[:, 1] - V[:, 0], axis=1)
+    else:
+        meas = 0.5 * np.linalg.norm(np.cross(V[:, 1] - V[:, 0],
+                                             V[:, 2] - V[:, 0]), axis=1)
+    # P1 facet shape functions = barycentric coordinates
+    bloc = np.einsum('f,q,fq,qk->fk', meas, w, gv, bary)
+    dr = vdof[facets]
+    keep = dr >= 0
+    np.add.at(b, dr[keep], bloc[keep])
+    return b

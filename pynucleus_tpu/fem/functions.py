@@ -92,7 +92,10 @@ class Lambda(function):
         self.fun = fun
 
     def eval(self, X):
-        return np.array([self.fun(x) for x in X], dtype=np.float64)
+        vals = np.array([self.fun(x) for x in X])
+        if np.iscomplexobj(vals):
+            return vals.astype(np.complex128)
+        return vals.astype(np.float64)
 
 
 class monomial(function):

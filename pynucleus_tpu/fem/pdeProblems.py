@@ -95,5 +95,70 @@ class diffusionProblem(problem):
 
 
 class helmholtzProblem(problem):
+    """-Delta u - omega^2 u = f with impedance boundary condition
+    du/dn + i omega u = g (ref pdeProblems.py:238-331).  The 'wave' problem
+    manufactures u = exp(i xi.x)."""
+
     def setDriverArgs(self):
-        raise NotImplementedError('lands with the complex/Helmholtz layer')
+        p = self.driver.addGroup('problem')
+        self.setDriverFlag('domain', 'square',
+                           acceptedValues=['square', 'interval', 'cube'],
+                           group=p)
+        self.setDriverFlag('problem', 'wave',
+                           acceptedValues=['wave', 'greens'], group=p)
+        self.setDriverFlag('element', 'P1', acceptedValues=['P1'], group=p)
+        self.setDriverFlag('frequency', 40., group=p)
+        self.setDriverFlag('symmetric', False, group=p)
+
+    @generates(['dim', 'noRef', 'mesh0', 'solEx', 'rhs', 'boundaryCond'])
+    def processProblem(self, domain, problem, element, frequency, symmetric):
+        from .meshes import simpleBox
+
+        def outerNormal(x):
+            # unit outer normal of the unit box at a boundary point
+            n = np.zeros(len(x))
+            for k in range(len(x)):
+                if abs(x[k]) < 1e-12:
+                    n[k] = -1.0
+                    return n
+                if abs(x[k] - 1.0) < 1e-12:
+                    n[k] = 1.0
+                    return n
+            raise NotImplementedError(x)
+
+        if domain == 'interval':
+            self.dim = 1
+            self.noRef = 7
+            self.mesh0 = simpleInterval(0.0, 1.0)
+            xi = np.array([0.5])
+        elif domain == 'square':
+            self.dim = 2
+            self.noRef = 8
+            self.mesh0 = uniformSquare(N=2, ax=0., ay=0., bx=1., by=1.)
+            xi = np.array([0.5, 0.25])
+        elif domain == 'cube':
+            self.dim = 3
+            self.noRef = 6
+            self.mesh0 = simpleBox()
+            xi = np.array([0.75, 0.5, 0.25])
+        else:
+            raise NotImplementedError(domain)
+
+        freq = frequency
+        if problem == 'wave':
+            solEx = lambda x: np.exp(1j * np.dot(np.asarray(x), xi))
+            self.solEx = Lambda(solEx)
+            xisq = float(np.dot(xi, xi))
+            self.rhs = Lambda(lambda x: (xisq - freq ** 2) * solEx(x))
+            self.boundaryCond = Lambda(
+                lambda x: 1j * (np.dot(xi, outerNormal(x)) + freq) * solEx(x))
+        elif problem == 'greens':
+            center = np.full(self.dim, 0.5)
+            radius = 1e-2 if self.dim < 3 else 1e-1
+            self.rhs = Lambda(
+                lambda x: 1.0 + 0j
+                if np.linalg.norm(np.asarray(x) - center) < radius else 0j)
+            self.solEx = None
+            self.boundaryCond = None
+        else:
+            raise NotImplementedError(problem)
