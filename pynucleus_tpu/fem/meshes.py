@@ -635,26 +635,44 @@ def discWithInteraction(radius=1.0, horizon=0.1, h=0.25):
     return m
 
 
-def doubleIntervalWithInteractions(a=0., b=1., c=2., horizon1=0.1, horizon2=0.1, h=None):
-    """Two touching intervals [a,b], [b,c] with interaction collars."""
+def doubleIntervalWithInteractions(a=0., b=1., c=2., horizon1=0.1,
+                                   horizon2=0.2, h=None):
+    """Two touching intervals (a,b), (b,c) with interaction collars; nodes
+    are forced at all kernel breakpoints b-h2, b-h1, b, b+h1, b+h2 so the
+    interface weights are piecewise constant per cell (ref fem
+    mesh.py:259-311)."""
+    assert horizon2 >= horizon1 >= 0
     if h is None:
-        h = min(horizon1, horizon2) if max(horizon1, horizon2) > 0 else (b - a)
-    pts = set()
-    for lo, hi in ((a, b), (b, c)):
-        n = max(int(np.ceil((hi - lo) / h)), 1)
-        pts.update(np.linspace(lo, hi, n + 1).tolist())
-    for x0, hor in ((a, horizon1), (c, horizon2)):
-        if hor > 0:
-            nH = max(int(np.ceil(hor / h)), 1)
-            for k in range(1, nH + 1):
-                pts.add(x0 - np.sign(x0 - b) * 0)  # placeholder, collars below
+        h = horizon1 if horizon1 > 0 else (horizon2 if horizon2 > 0 else 0.5)
+    elif horizon1 > 0:
+        h = min(h, horizon1, horizon2)
+    elif horizon2 > 0:
+        h = min(h, horizon2)
+
+    nodes = []
     if horizon1 > 0:
-        nH = max(int(np.ceil(horizon1 / h)), 1)
-        pts.update((a - horizon1 + (horizon1 / nH) * np.arange(nH)).tolist())
+        nodes.append(a - horizon1)
+    nodes.append(a)
     if horizon2 > 0:
-        nH = max(int(np.ceil(horizon2 / h)), 1)
-        pts.update((c + (horizon2 / nH) * np.arange(1, nH + 1)).tolist())
-    verts = np.array(sorted(pts)).reshape(-1, 1)
+        nodes.append(b - horizon2)
+        if horizon1 != horizon2:
+            nodes.append(b - horizon1)
+    nodes.append(b)
+    if horizon2 > 0:
+        if horizon1 != horizon2:
+            nodes.append(b + horizon1)
+        nodes.append(b + horizon2)
+    nodes.append(c)
+    if horizon2 > 0:
+        nodes.append(c + horizon2)
+
+    eps = 1e-8
+    segs = [np.linspace(nodes[0], nodes[1],
+                        int(np.ceil((nodes[1] - nodes[0] - eps) / h)) + 1)]
+    for i in range(1, len(nodes) - 1):
+        k = int(np.ceil((nodes[i + 1] - nodes[i] - eps) / h))
+        segs.append(np.linspace(nodes[i], nodes[i + 1], k + 1)[1:])
+    verts = np.hstack(segs).reshape(-1, 1)
     n = len(verts)
     cells = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
     return simplexMesh(verts, cells, dim=1)

@@ -527,7 +527,11 @@ class nonlocalBuilder:
         runner = _BucketRunner(mesh.vertices, kernel,
                                dtype=self.params.get('dtype'),
                                cells=cells, dofs=dofs, vols=vols)
-        fast = hasattr(acc, 'deviceAddRows') and maskLookup is None and sym
+        phi = getattr(kernel, 'phi', None)
+        centers = mesh.vertices[cells].mean(axis=1) if phi is not None \
+            else None
+        fast = hasattr(acc, 'deviceAddRows') and maskLookup is None and sym \
+            and phi is None
 
         detfac = {1: 1.0, 2: 2.0, 3: 6.0}[mdim]
         dets = vols * detfac
@@ -559,8 +563,17 @@ class nonlocalBuilder:
                 if maskLookup is not None:
                     em = np.stack([maskLookup[(c, c)][:dpe, :dpe]
                                    for c in idsS])
+                vsId = dets[idsS] ** 2
+                if phi is not None:
+                    w = phi.evalPairs(centers[idsS], centers[idsS])
+                    keepW = w != 0.0
+                    idsS, vsId = idsS[keepW], (vsId * w)[keepW]
+                    if em is not None:
+                        em = em[keepW]
+                    if len(idsS) == 0:
+                        continue
                 runner.run(acc, ruleId, PSI, cells[idsS], cells[idsS],
-                           dofs[idsS], dets[idsS] ** 2, entryMask=em, PHI=PHI)
+                           dofs[idsS], vsId, entryMask=em, PHI=PHI)
 
         # --- touching panels, grouped by (#shared vertices, singularity)
         pairs, sharedInfo = info['touching']
@@ -601,6 +614,9 @@ class nonlocalBuilder:
                 dr[out_k, dpe:] = dofs[j][ld2]
                 dr[out_k, dpe:][sharedMask] = DROP
                 vs[out_k] = dets[i] * dets[j] * (2.0 if sym else 1.0)
+                if phi is not None:
+                    vs[out_k] *= phi.evalPairs(centers[i:i + 1],
+                                               centers[j:j + 1])[0]
                 if em is not None:
                     ldFull = np.concatenate([ld1, dpe + ld2])
                     em[out_k] = maskLookup[(i, j)][np.ix_(ldFull, ldFull)]
@@ -612,6 +628,9 @@ class nonlocalBuilder:
                     dr[o2, dpe:] = dofs[i][ld1]
                     dr[o2, dpe:][sharedMask] = DROP
                     vs[o2] = dets[i] * dets[j]
+                    if phi is not None:
+                        vs[o2] *= phi.evalPairs(centers[i:i + 1],
+                                                centers[j:j + 1])[0]
                     if em is not None:
                         ldFull2 = np.concatenate([ld2, dpe + ld1])
                         em[o2] = maskLookup[(i, j)][np.ix_(ldFull2, ldFull2)]
@@ -642,6 +661,13 @@ class nonlocalBuilder:
                 fac = 1.0
             dr = np.concatenate([dofs[iiA], dofs[jjA]], axis=1)
             vs = vols[iiA] * vols[jjA] * fac
+            if phi is not None:
+                w = phi.evalPairs(centers[iiA], centers[jjA])
+                keepW = w != 0.0
+                iiA, jjA = iiA[keepW], jjA[keepW]
+                dr, vs = dr[keepW], (vs * w)[keepW]
+                if len(iiA) == 0:
+                    continue
             em = None
             if maskLookup is not None:
                 em = np.stack([maskLookup[(min(a, b), max(a, b))]
@@ -665,6 +691,9 @@ class nonlocalBuilder:
         cells = mesh.cells
         dofs = dm.dofs
         vols = mesh.simplexVolumes()
+        phi = getattr(kernel, 'phi', None)
+        centersC = mesh.vertices[cells].mean(axis=1) if phi is not None \
+            else None
         if mdim != 1 or not kernel.symmetric:
             # fallback: indicator mode (barycenter-type accuracy)
             runner = _BucketRunner(mesh.vertices, kernel,
@@ -684,6 +713,8 @@ class nonlocalBuilder:
                     fac = 1.0
                 dr = np.concatenate([dofs[iiA], dofs[jjA]], axis=1)
                 vs = vols[iiA] * vols[jjA] * fac
+                if phi is not None:
+                    vs = vs * phi.evalPairs(centersC[iiA], centersC[jjA])
                 em = None
                 if maskLookup is not None:
                     em = np.stack([maskLookup[(min(a, b), max(a, b))]
@@ -715,6 +746,9 @@ class nonlocalBuilder:
                               exps, Vinv, kernel.horizonValue,
                               kernel=kernel, dpe=dpe)
             M = np.asarray(M).reshape(len(iiA), 2 * dpe, 2 * dpe)
+            if phi is not None:
+                M = M * phi.evalPairs(centersC[iiA],
+                                      centersC[jjA])[:, None, None]
             dr = np.concatenate([dofs[iiA], dofs[jjA]], axis=1)
             rb = np.broadcast_to(dr[:, :, None], M.shape)
             cb = np.broadcast_to(dr[:, None, :], M.shape)

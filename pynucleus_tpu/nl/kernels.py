@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..base.factory import factory
 from ..fem.functions import constant as constFunction, function
 
-__all__ = ['Kernel', 'FractionalKernel', 'getFractionalKernel',
+__all__ = ['interfaceTwoPoint', 'Kernel', 'FractionalKernel', 'getFractionalKernel',
            'getIntegrableKernel', 'getKernel', 'kernelFactory',
            'constFractionalOrder', 'variableConstFractionalOrder',
            'fractionalOrderFactory', 'interactionFactory',
@@ -291,6 +291,45 @@ def constantIntegrableScaling(kType, interaction, dim, horizon,
 
 # ----------------------------------------------------------------- kernels
 
+class interfaceTwoPoint:
+    """Interface weight phi(x, y) for two-domain kernels: 1 within the own
+    subdomain, 0 within the other, 1/2 on pairs straddling the interface
+    that BOTH kernels can reach (ref twoPointFunctions.pyx:152-230).
+    Piecewise constant with breakpoints at interface and interface -/+
+    horizon2/horizon1, which the doubleIntervalWithInteractions mesh aligns
+    cells to, so evaluation at cell centers is exact per cell pair."""
+
+    def __init__(self, horizon1, horizon2, left, interface=0.0):
+        self.horizon1 = horizon1
+        self.horizon2 = horizon2
+        self.left = left
+        self.interface = interface
+        self.symmetric = True
+
+    def _key(self):
+        return ('interfaceTwoPoint', self.horizon1, self.horizon2,
+                self.left, self.interface)
+
+    def evalPairs(self, x, y):
+        """x, y [P, dim] -> weights [P] (first coordinate decides)."""
+        c = self.interface
+        x0 = np.asarray(x)[:, 0]
+        y0 = np.asarray(y)[:, 0]
+        if self.left:
+            w = np.full(len(x0), 0.5)
+            w = np.where((x0 <= c) & (y0 <= c), 1.0, w)
+            w = np.where((x0 > c) & (y0 > c), 0.0, w)
+            w = np.where((x0 <= c - self.horizon2) & (y0 > c), 1.0, w)
+            w = np.where((x0 > c) & (y0 <= c - self.horizon2), 1.0, w)
+        else:
+            w = np.full(len(x0), 0.5)
+            w = np.where((x0 >= c) & (y0 >= c), 1.0, w)
+            w = np.where((x0 < c) & (y0 < c), 0.0, w)
+            w = np.where((x0 >= c + self.horizon1) & (y0 < c), 1.0, w)
+            w = np.where((x0 < c) & (y0 >= c + self.horizon1), 1.0, w)
+        return w
+
+
 class Kernel:
     """Declarative nonlocal kernel gamma(x, y).
 
@@ -315,6 +354,7 @@ class Kernel:
         self.boundary = boundary
         self.symmetric = symmetric
         self.phiJax = phiJax
+        self.phi = None   # host two-point weight, applied per cell pair
         self.temperedLambda = temperedLambda
         self.exponentParam = exponentParam
         self.monomialPower = monomialPower
@@ -387,6 +427,38 @@ class Kernel:
         import jax
         return np.asarray(self.jaxEval(jnp.asarray(x), jnp.asarray(y)))
 
+    def __call__(self, x, y):
+        """Pointwise host evaluation gamma(x, y) including the interaction
+        indicator and the interface weight phi (ref Kernel.__call__).
+        Pure numpy -- hot inside scipy.integrate.quad loops."""
+        x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+        y = np.atleast_2d(np.asarray(y, dtype=np.float64))
+        r2 = float(((x - y) ** 2).sum())
+        C = self.scalingValue
+        t = self.kernelType
+        if t == FRACTIONAL:
+            if r2 == 0.0:
+                # integrable-singularity limit: the (u(x)-u(y)) factor in
+                # every flux integrand vanishes faster for s < 1/2
+                return 0.0
+            val = C * r2 ** (0.5 * self.singularityValue)
+            if self.temperedLambda != 0.0:
+                val *= np.exp(-self.temperedLambda * np.sqrt(r2))
+        elif t == INDICATOR:
+            val = C
+        elif t == PERIDYNAMIC:
+            val = C * r2 ** -0.5
+        else:
+            val = float(np.asarray(self.evalNumpy(x, y)).ravel()[0])
+            if self.phi is not None:
+                val = val * float(self.phi.evalPairs(x, y)[0])
+            return val
+        if self.finiteHorizon and r2 > self.horizonValue ** 2:
+            val = 0.0
+        if self.phi is not None:
+            val = val * float(self.phi.evalPairs(x, y)[0])
+        return float(val)
+
     # --- derived kernels ----------------------------------------------------
     def getBoundaryKernel(self):
         """Kernel for the Gauss-theorem elimination of the exterior
@@ -419,7 +491,8 @@ class Kernel:
                 self.horizonValue, self.scalingValue, self.singularityValue,
                 self.boundary, self.symmetric, self.temperedLambda,
                 self.exponentParam, self.monomialPower, self.variance,
-                type(self.interaction).__name__, self.complement)
+                type(self.interaction).__name__, self.complement,
+                self.phi._key() if self.phi is not None else None)
 
     def __eq__(self, other):
         return isinstance(other, Kernel) and self._key() == other._key()
@@ -525,8 +598,11 @@ def getFractionalKernel(dim, s, horizon=np.inf, interaction=None, scaling=None,
     hv = horizon.value if hasattr(horizon, 'value') else float(horizon)
     if interaction is None:
         interaction = fullSpace() if hv == np.inf else ball2()
-    return FractionalKernel(dim, s, hv, interaction, scaling,
-                            normalized=normalized, boundary=boundary)
+    k = FractionalKernel(dim, s, hv, interaction, scaling,
+                         normalized=normalized, boundary=boundary)
+    if phi is not None:
+        k.phi = phi
+    return k
 
 
 def getIntegrableKernel(dim, kernel, horizon, interaction=None, scaling=None,
@@ -551,9 +627,12 @@ def getIntegrableKernel(dim, kernel, horizon, interaction=None, scaling=None,
                          else 0.5 / gaussian_variance ** dim)
     elif kernel == EXPONENTIAL:
         exponentParam = exponentialRate
-    return Kernel(dim, kernel, hv, interaction, scaling, sing,
-                  boundary=boundary, exponentParam=exponentParam,
-                  variance=gaussian_variance)
+    k = Kernel(dim, kernel, hv, interaction, scaling, sing,
+               boundary=boundary, exponentParam=exponentParam,
+               variance=gaussian_variance)
+    if phi is not None:
+        k.phi = phi
+    return k
 
 
 def getKernel(dim, kernel=FRACTIONAL, **kwargs):

@@ -29,6 +29,7 @@ from .kernels import (getFractionalKernel, getIntegrableKernel,
 
 __all__ = ['nonlocalMeshFactory', 'fractionalLaplacianProblem',
            'nonlocalPoissonProblem', 'nonlocalBaseProblem',
+           'nonlocalInterfaceProblem',
            'DIRICHLET', 'HOMOGENEOUS_DIRICHLET', 'NEUMANN',
            'HOMOGENEOUS_NEUMANN', 'NORM', 'parseFractionalOrder']
 
@@ -555,3 +556,224 @@ class transientFractionalProblem(fractionalLaplacianProblem):
             self.exactL2SquaredT = lambda t: np.cos(t) ** 2 * steadyL2sq
         else:
             self.exactL2SquaredT = None
+
+
+class nonlocalInterfaceProblem(problem):
+    """Two-domain nonlocal interface problem with solution and flux jumps
+    (ref nonlocalProblems.py:1684-2330).  Each subdomain carries its own
+    kernel; pairs straddling the interface are weighted by interfaceTwoPoint
+    so the two bilinear forms tile the doubled interaction region."""
+
+    def setDriverArgs(self):
+        self.setDriverFlag('domain', acceptedValues=['doubleInterval'])
+        self.setDriverFlag('problem', acceptedValues=[
+            'exact-sin-variableSolJump-fluxJump',
+            'polynomial-variableSolJump-fluxJump',
+            'patch-test'])
+        self.setDriverFlag('element', acceptedValues=['P1'])
+        self.setDriverFlag('kernel1Type',
+                           acceptedValues=['fractional', 'indicator',
+                                           'peridynamic'])
+        self.setDriverFlag('kernel2Type',
+                           acceptedValues=['fractional', 'indicator',
+                                           'peridynamic'])
+        self.setDriverFlag('horizon1', 0.1)
+        self.setDriverFlag('horizon2', 0.2)
+        self.setDriverFlag('hTarget', 0.05)
+        self.setDriverFlag('s11', 0.4)
+        self.setDriverFlag('s12', 0.4)
+        self.setDriverFlag('s21', 0.7)
+        self.setDriverFlag('s22', 0.7)
+
+    @generates(['dim', 'kernel1', 'kernel2', 'mesh',
+                'subdomainIndicator1', 'subdomainIndicator2',
+                'localSubdomainIndicator1', 'localInterfaceIndicator',
+                'localSubdomainIndicator2', 'domainIndicator1',
+                'domainIndicator2', 'interfaceIndicator',
+                'dirichletIndicator1', 'dirichletIndicator2',
+                'sol_1', 'sol_2', 'diri_left', 'diri_right',
+                'forcing_left', 'forcing_right', 'sol_jump', 'flux_jump',
+                'mult'])
+    def processProblem(self, domain, problem, element, kernel1Type,
+                       kernel2Type, horizon1, horizon2, hTarget,
+                       s11, s12, s21, s22):
+        from .kernels import (interfaceTwoPoint, getKernel, INDICATOR,
+                              FRACTIONAL, PERIDYNAMIC)
+        from ..fem.meshes import doubleIntervalWithInteractions
+        assert domain == 'doubleInterval'
+        self.dim = 1
+        a, b, c = 0.0, 2.0, 1.0   # domain1 = (a, c), domain2 = (c, b)
+        kname = {'fractional': FRACTIONAL, 'indicator': INDICATOR,
+                 'peridynamic': PERIDYNAMIC}
+        kType1, kType2 = kname[kernel1Type], kname[kernel2Type]
+        assert s11 == s12 and s21 == s22, 'leftRight orders land later'
+
+        phi1 = interfaceTwoPoint(horizon1, horizon2, True, interface=c)
+        phi2 = interfaceTwoPoint(horizon1, horizon2, False, interface=c)
+        kernel1 = getKernel(dim=1, kernel=kType1, s=s11,
+                            horizon=horizon1, phi=phi1)
+        kernel2 = getKernel(dim=1, kernel=kType2, s=s22,
+                            horizon=horizon2, phi=phi2)
+        self.kernel1, self.kernel2 = kernel1, kernel2
+
+        self.mesh = doubleIntervalWithInteractions(
+            a=a, b=c, c=b, horizon1=horizon1, horizon2=horizon2, h=hTarget)
+
+        eps = 1e-9
+
+        def box(lo, hi):
+            return squareIndicator(np.array([lo + eps]),
+                                   np.array([hi - eps]))
+
+        self.subdomainIndicator1 = box(a - horizon1, c + horizon1)
+        self.subdomainIndicator2 = box(c - horizon2, b + horizon2)
+        self.localSubdomainIndicator1 = box(a, c)
+        self.localInterfaceIndicator = box(c - 2 * eps, c + 2 * eps)
+        self.localSubdomainIndicator2 = box(c, b)
+        self.domainIndicator1 = box(a, c - horizon2)
+        self.domainIndicator2 = box(c + horizon1, b)
+        # WIDENED by eps: the breakpoint dofs at c-horizon2 and c+horizon1
+        # belong to the interface region (ref nonlocalProblems.py:1823-1824),
+        # otherwise they would fall into the fake-Dirichlet block
+        self.interfaceIndicator = squareIndicator(
+            np.array([c - horizon2 - eps]), np.array([c + horizon1 + eps]))
+        self.dirichletIndicator1 = constant(1.0) - self.domainIndicator1 \
+            - self.interfaceIndicator
+        self.dirichletIndicator2 = constant(1.0) - self.domainIndicator2 \
+            - self.interfaceIndicator
+
+        scaling1 = kernel1.scalingValue
+        scaling2 = kernel2.scalingValue
+        self.mult = constant(1.0 / (horizon1 + horizon2))
+
+        if problem == 'patch-test':
+            lin = Lambda(lambda x: x[0])
+            self.sol_1 = self.sol_2 = lin
+            self.diri_left = self.diri_right = lin
+            self.forcing_left = constant(0.0)
+            self.forcing_right = constant(0.0)
+            self.sol_jump = constant(0.0)
+            self.flux_jump = constant(0.0)
+            self.mult = constant(1.0)
+        elif problem == 'polynomial-variableSolJump-fluxJump':
+            # u1 = x^2, u2 = (x-1)^2 (ref nonlocalProblems.py:1869-1895)
+            self.sol_1 = Lambda(lambda x: x[0] ** 2)
+            self.sol_2 = Lambda(lambda x: (x[0] - 1) ** 2)
+            self.diri_left = self.sol_1
+            self.diri_right = self.sol_2
+            self.forcing_left = constant(-2.0)
+            self.forcing_right = constant(-2.0)
+            self.sol_jump = self.sol_2 - self.sol_1
+
+            def flux_left_lam(x):
+                dist = 1 + horizon1 - x[0]
+                return -2 * scaling1 * (
+                    x[0] * (dist ** 2 - horizon1 ** 2)
+                    + (horizon1 ** 3 + dist ** 3) / 3.0)
+
+            def flux_right_lam(x):
+                dist = x[0] - 1 + horizon2
+                return -2 * scaling2 * (
+                    (x[0] - 1) * (horizon2 ** 2 - dist ** 2)
+                    + (horizon2 ** 3 + dist ** 3) / 3.0)
+
+            ls1, ls2 = (self.localSubdomainIndicator1,
+                        self.localSubdomainIndicator2)
+            fl, fr = Lambda(flux_left_lam), Lambda(flux_right_lam)
+            self.flux_jump = Lambda(
+                lambda x: (horizon1 + horizon2)
+                * (fr(x)[0] * ls1(x)[0] + fl(x)[0] * ls2(x)[0]))
+        elif problem == 'exact-sin-variableSolJump-fluxJump':
+            # u1 = sin(pi x), u2 = 1 - sin(pi x); the nonlocal forcings have
+            # closed series forms (ref nonlocalProblems.py:1896-1994)
+            from scipy.integrate import quad
+            sin = Lambda(lambda x: np.sin(np.pi * x[0]))
+            self.sol_1 = sin
+            self.sol_2 = Lambda(lambda x: 1.0 - np.sin(np.pi * x[0]))
+            self.diri_left = self.sol_1
+            self.diri_right = self.sol_2
+            self.sol_jump = self.sol_2 - self.sol_1
+
+            def seriesPhi(delta, sBase):
+                # int_0^delta (1 - cos(pi r)) r^{-1-2s} dr expanded in the
+                # cosine series (ref Phi1/Phi2)
+                fac = delta ** (-2 * sBase) if sBase > 0 else 1.0
+                if sBase == 0.0:
+                    fac = 1.0
+                total = 0.0
+                for k in range(1, 100):
+                    total += fac * (-1) ** (k + 1) * (np.pi * delta) ** (2 * k) \
+                        / (2 * k - 2 * sBase) / Gamma(2 * k + 1)
+                return total
+
+            if kType1 == INDICATOR:
+                cL = -2.0 * scaling1 * 2 * (np.sin(np.pi * horizon1) / np.pi
+                                            - horizon1)
+                self.forcing_left = Lambda(lambda x: cL * np.sin(np.pi * x[0]))
+            else:
+                cL = 4 * scaling1 * seriesPhi(horizon1, s11)
+                self.forcing_left = Lambda(lambda x: cL * np.sin(np.pi * x[0]))
+            if kType2 == INDICATOR:
+                cR = -2.0 * scaling2 * 2 * (np.sin(np.pi * horizon2) / np.pi
+                                            - horizon2)
+                self.forcing_right = Lambda(
+                    lambda x: cR * (-np.sin(np.pi * x[0])))
+            else:
+                cR = 4 * scaling2 * seriesPhi(horizon2, s22)
+                self.forcing_right = Lambda(
+                    lambda x: cR * (-np.sin(np.pi * x[0])))
+
+            sol_1, sol_2 = self.sol_1, self.sol_2
+
+            def flux_left_lam(x):
+                # x in (c, c+horizon1) (ref flux_left_lam)
+                u1x = float(sol_1(x)[0])
+                u2x = float(sol_2(x)[0])
+                Int = 0.0
+                if x[0] - horizon1 < c - horizon2:
+                    Int += 2. * quad(
+                        lambda y: (u1x - np.sin(np.pi * y))
+                        * kernel1(x, np.array([y])),
+                        x[0] - horizon1, c - horizon2)[0]
+                if max(c - horizon2, x[0] - horizon1) < c:
+                    Int += 2. * quad(
+                        lambda y: (u1x - np.sin(np.pi * y))
+                        * kernel1(x, np.array([y])),
+                        max(c - horizon2, x[0] - horizon1), c)[0]
+                if max(c - horizon2, x[0] - horizon2) < c:
+                    Int -= 2. * quad(
+                        lambda y: (u2x - (1 - np.sin(np.pi * y)))
+                        * kernel2(x, np.array([y])),
+                        max(c - horizon2, x[0] - horizon2), c)[0]
+                return Int
+
+            def flux_right_lam(x):
+                # x in (c-horizon2, c)
+                u1x = float(sol_1(x)[0])
+                u2x = float(sol_2(x)[0])
+                Int = 0.0
+                if c + horizon1 < x[0] + horizon2:
+                    Int += 2. * quad(
+                        lambda y: (u2x - (1 - np.sin(np.pi * y)))
+                        * kernel2(x, np.array([y])),
+                        c + horizon1, x[0] + horizon2)[0]
+                if c < min(c + horizon1, x[0] + horizon2):
+                    Int += 2. * quad(
+                        lambda y: (u2x - (1 - np.sin(np.pi * y)))
+                        * kernel2(x, np.array([y])),
+                        c, min(c + horizon1, x[0] + horizon2))[0]
+                if c < min(c + horizon1, x[0] + horizon1):
+                    Int -= 2. * quad(
+                        lambda y: (u1x - np.sin(np.pi * y))
+                        * kernel1(x, np.array([y])),
+                        c, min(c + horizon1, x[0] + horizon1))[0]
+                return Int
+
+            ls1 = self.localSubdomainIndicator1
+            ls2 = self.localSubdomainIndicator2
+            self.flux_jump = Lambda(
+                lambda x: flux_right_lam(x) * float(ls1(x)[0])
+                + flux_left_lam(x) * float(ls2(x)[0]))
+            self.mult = constant(1.0)
+        else:
+            raise NotImplementedError(problem)
