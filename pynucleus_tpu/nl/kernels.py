@@ -402,6 +402,22 @@ class Kernel:
             return C * jnp.exp(-self.exponentParam * r2)
         if t == EXPONENTIAL:
             return C * jnp.exp(-self.exponentParam * jnp.sqrt(r2))
+        if t == 'gaussianBoundary':
+            # Gamma_b(r) = r^{1-d} int_r^inf gamma(t) t^{d-1} dt for
+            # gamma = C exp(-a t^2): 1D erfc tail, 2D closed exp form
+            a = self.exponentParam
+            r = jnp.sqrt(r2)
+            if self.dim == 1:
+                from jax.scipy.special import erfc
+                return C * 0.5 * jnp.sqrt(jnp.pi / a) \
+                    * erfc(jnp.sqrt(a) * r)
+            return C * jnp.exp(-a * r2) / (2.0 * a * r)
+        if t == 'exponentialBoundary':
+            lam = self.exponentParam
+            r = jnp.sqrt(r2)
+            if self.dim == 1:
+                return C / lam * jnp.exp(-lam * r)
+            return C * jnp.exp(-lam * r) * (r / lam + 1.0 / lam ** 2) / r
         if t == LOGINVERSEDISTANCE:
             return C * jnp.log(1.0 / jnp.sqrt(r2))
         if t == MONOMIAL:
@@ -462,9 +478,24 @@ class Kernel:
     # --- derived kernels ----------------------------------------------------
     def getBoundaryKernel(self):
         """Kernel for the Gauss-theorem elimination of the exterior
-        (ref kernelsCy.pyx:1194,1982): singularity order reduced by d-1->+1,
-        scaling divided by s (fractional) resp. kept."""
-        raise NotImplementedError('boundary kernel only for FractionalKernel')
+        (ref kernelsCy.pyx:1194,1982).  The boundary potential Gamma_b(r) =
+        r^{1-d} int_r^inf gamma(t) t^{d-1} dt satisfies div(Gamma_b rhat) =
+        -gamma outside the ball, so the exterior diagonal mass becomes a
+        surface integral.  Closed forms exist for the smooth integrable
+        kernels (gaussian/exponential); fractional kernels override."""
+        if self.kernelType in (GAUSSIAN, EXPONENTIAL):
+            # factor 2: the stored scaling includes the 1/2 symmetrization,
+            # but the exterior diagonal mass int u v int_ext gamma_FULL needs
+            # the full kernel (the fractional boundary kernel folds the same
+            # factor into C/s = 2 C_half/(2s))
+            k = Kernel(self.dim, self.kernelType + 'Boundary',
+                       self.horizonValue, self.interaction,
+                       2.0 * self.scalingValue, 0.0, boundary=True,
+                       exponentParam=self.exponentParam,
+                       variance=self.variance)
+            return k
+        raise NotImplementedError(
+            'boundary kernel not defined for ' + str(self.kernelType))
 
     def getModifiedKernel(self, horizon=None, interaction=None):
         import copy

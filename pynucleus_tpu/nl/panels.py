@@ -374,6 +374,10 @@ def classifyBoundaryPairs(dm, surface, kernel, target_order=None):
     c1v = cells[ci]                                   # [P, nv]
     c2v = scells[sj]                                  # [P, nvS]
     touch_mask = (c1v[:, :, None] == c2v[:, None, :]).any(axis=(1, 2))
+    if kernel.singularityValue >= 0:
+        # smooth boundary kernels (gaussian/exponential potentials) need no
+        # singularity-cancelling transformation: plain Gauss on every pair
+        touch_mask[:] = False
 
     touching = []
     perms = []

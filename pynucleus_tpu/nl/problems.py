@@ -25,7 +25,7 @@ from .kernels import (getFractionalKernel, getIntegrableKernel,
                       variableConstFractionalOrder,
                       constantNonSymFractionalOrder, leftRightFractionalOrder,
                       fullSpace, ball2, ballInf, FRACTIONAL, INDICATOR,
-                      PERIDYNAMIC)
+                      PERIDYNAMIC, GAUSSIAN, EXPONENTIAL)
 
 __all__ = ['nonlocalMeshFactory', 'fractionalLaplacianProblem',
            'nonlocalPoissonProblem', 'nonlocalBaseProblem',
@@ -204,6 +204,8 @@ class nonlocalBaseProblem(problem):
                                                           'ballInf', 'ellipse'],
                            group=p)
         self.setDriverFlag('normalized', True, group=p)
+        self.setDriverFlag('gaussianVariance', 1.0, group=p)
+        self.setDriverFlag('exponentialRate', 1.0, group=p)
 
     @generates('sFun')
     def processS(self, s):
@@ -211,7 +213,7 @@ class nonlocalBaseProblem(problem):
 
     @generates(['kernel', 'dim'])
     def processKernel(self, kernelType, sFun, horizon, interaction, normalized,
-                      domain):
+                      domain, gaussianVariance, exponentialRate):
         dim = nonlocalMeshFactory.getDim(domain)
         self.dim = dim
         inter = None
@@ -228,10 +230,10 @@ class nonlocalBaseProblem(problem):
             kname = {'constant': 'indicator',
                      'inverseDistance': 'peridynamic'}.get(kernelType,
                                                            kernelType)
-            self.kernel = getIntegrableKernel(dim, kernel=kname,
-                                              horizon=horizon,
-                                              interaction=inter,
-                                              normalized=normalized)
+            self.kernel = getIntegrableKernel(
+                dim, kernel=kname, horizon=horizon, interaction=inter,
+                normalized=normalized, gaussian_variance=gaussianVariance,
+                exponentialRate=exponentialRate)
 
 
 class fractionalLaplacianProblem(nonlocalBaseProblem):
@@ -523,9 +525,31 @@ class nonlocalPoissonProblem(nonlocalBaseProblem):
         elif problem == 'constant':
             self.problemDescription = 'constant forcing, homogeneous collar'
             self.rhs = constant(1.0)
-        elif problem in ('gaussian', 'exponential'):
-            self.problemDescription = f'{problem} kernel smoke problem'
-            self.rhs = constant(1.0)
+        elif problem == 'gaussian':
+            # manufactured Gaussian solution for the infinite-horizon
+            # Gaussian kernel (ref nonlocalProblems.py 'gaussian': the
+            # Dirichlet data is approximated by zero, valid for small
+            # variance)
+            gv = kernel.variance if (kernel.kernelType == GAUSSIAN
+                                     and not kernel.finiteHorizon) else 1.0
+            self.problemDescription = 'gaussian forcing, homogeneous collar'
+            self.rhs = Lambda(
+                lambda x: np.exp(-0.5 * x[0] ** 2 / gv)
+                - np.exp(-0.25 * x[0] ** 2 / gv) / np.sqrt(2.0))
+            if kernel.kernelType == GAUSSIAN and not kernel.finiteHorizon:
+                self.analyticSolution = Lambda(
+                    lambda x: np.exp(-0.5 * x[0] ** 2 / gv))
+        elif problem == 'exponential':
+            er = kernel.exponentParam if (kernel.kernelType == EXPONENTIAL
+                                          and not kernel.finiteHorizon) else 1.0
+            scal = kernel.scalingValue
+            self.problemDescription = 'exponential forcing, homogeneous collar'
+            self.rhs = Lambda(
+                lambda x: np.exp(-er * abs(x[0]))
+                * (1.0 / er - abs(x[0])) * scal * 2.0)
+            if kernel.kernelType == EXPONENTIAL and not kernel.finiteHorizon:
+                self.analyticSolution = Lambda(
+                    lambda x: np.exp(-er * abs(x[0])))
         else:
             raise NotImplementedError(problem)
 

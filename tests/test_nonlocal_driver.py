@@ -80,6 +80,30 @@ def test_interval_neumann(argv, expected, bound):
                           rtol=3e-2), got
 
 
+SMOOTH_CONFIGS = [
+    # reference caches: gaussian 2.9565447289171816e-03,
+    # exponential 2.5530396949181036e-04
+    (['--domain', 'interval', '--kernelType', 'gaussian',
+      '--problem', 'gaussian', '--gaussianVariance', '0.1',
+      '--interaction', 'fullSpace', '--horizon', 'inf',
+      '--solverType', 'lu', '--matrixFormat', 'H2'],
+     2.9565447289171816e-03),
+    (['--domain', 'interval', '--kernelType', 'exponential',
+      '--problem', 'exponential', '--exponentialRate', '8.0',
+      '--interaction', 'fullSpace', '--horizon', 'inf',
+      '--solverType', 'lu', '--matrixFormat', 'H2'],
+     2.5530396949181036e-04),
+]
+
+
+@pytest.mark.parametrize('argv,expected', SMOOTH_CONFIGS,
+                         ids=['gaussian-H2', 'exponential-H2'])
+def test_smooth_kernels(argv, expected):
+    d, mS = runNonlocal(argv)
+    got = d.outputGroups['errors'].toDict()
+    assert np.isclose(got['L2 error interpolated'], expected, rtol=3e-2), got
+
+
 @pytest.mark.slow
 def test_square_constant_dense():
     d, mS = runNonlocal(
