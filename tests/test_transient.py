@@ -74,3 +74,24 @@ def test_steppers_ode():
             errs[name].append(abs(float(u.data[0]) - np.exp(-1.0)))
         rate = np.log2(errs[name][0] / errs[name][1])
         assert rate > order - 0.25, (name, errs[name], rate)
+
+
+HEAT_H2_CONFIGS = [
+    (['--domain', 'interval', '--s', 'const(0.75)', '--problem', 'constant',
+      '--element', 'P2', '--solverType', 'cg-mg', '--matrixFormat', 'H2'],
+     {'L^2(0,T; L^2(Omega)) error': 0.0009194744825301727}),
+    (['--domain', 'interval', '--s', 'varconst(0.75)', '--problem', 'constant',
+      '--element', 'P1', '--solverType', 'cg-jacobi', '--matrixFormat', 'H2'],
+     {'L^2(0,T; L^2(Omega)) error': 0.0013735058079687849}),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('argv,expected', HEAT_H2_CONFIGS,
+                         ids=['P2-H2', 'varconst-H2'])
+def test_runFractionalHeat_H2(argv, expected):
+    d, mS = runFractionalHeat(argv)
+    got = d.outputGroups['errors'].toDict()
+    for label, val in expected.items():
+        assert np.isclose(got[label], val, rtol=3e-2, atol=1e-8), \
+            (label, got[label], val)
