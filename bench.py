@@ -50,10 +50,14 @@ def main():
     # persists across runs of the same mesh level)
     nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getDense()
 
-    t0 = time.perf_counter()
-    A = nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getDense()
-    jax.block_until_ready(A.data)
-    elapsed = time.perf_counter() - t0
+    # best of 3: the assembly includes host-side classification, so a busy
+    # host machine adds noise; the fastest repetition reflects the pipeline
+    elapsed = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        A = nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getDense()
+        jax.block_until_ready(A.data)
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     pairs_per_s = nPairs / elapsed
     result = {

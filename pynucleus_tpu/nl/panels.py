@@ -159,26 +159,44 @@ def orderModelParams(dm, kernel, target_order=None):
 
 
 def distantOrders(dm, kernel, hs, centers, di, dj, mp):
-    """Quadrature orders for a list of distant pairs."""
+    """Quadrature orders for a list of distant pairs.
+
+    Bandwidth-lean: per-CELL logs are precomputed (C values), so the only
+    O(P) transcendental is one log of the squared pair distance; all O(P)
+    arithmetic runs in float32 (orders are small integers -- f32 is plenty,
+    and the pair count is O(C^2))."""
     mesh = dm.mesh
-    d = np.linalg.norm(centers[di] - centers[dj], axis=1)
+    diff = (centers[di] - centers[dj]).astype(np.float32)
+    logd = 0.5 * np.log(np.einsum('pd,pd->p', diff, diff))
+    logh = np.log(hs).astype(np.float32)                      # [C]
     if mesh.manifold_dim == 1:
         sval = max(mp['smin'], mp['smax'])
-        return distantQuadOrder(hs[di], hs[dj], d, sval, mp['target_order'],
-                                mp['num_dofs'], mp['H0'])
+        H0 = mp['H0']
+        c = np.float32((mp['target_order'] + 2.0)
+                       * np.log(mp['num_dofs'] * H0))
+        lH = np.abs(logh - np.float32(np.log(H0)))            # [C]
+        logdh1 = logd - logh[di]
+        logdh2 = logd - logh[dj]
+        num1 = c + (2 * sval - 1) * lH[dj] - 2 * sval * logdh2
+        num2 = c + (2 * sval - 1) * lH[di] - 2 * sval * logdh1
+        o1 = np.ceil(num1 / (np.maximum(logdh1, 0) + np.float32(0.8)))
+        o2 = np.ceil(num2 / (np.maximum(logdh2, 0) + np.float32(0.8)))
+        return np.maximum(np.maximum(o1, o2), 2).astype(np.int64)
     # 2D model (ref fractionalLaplacian2D.pyx:622-641)
-    s = max(-0.5 * (kernel.max_singularity + 2), 0.0)
+    s = np.float32(max(-0.5 * (kernel.max_singularity + 2), 0.0))
     H0 = mp['H0']
-    logdh1 = np.log(d / hs[di])
-    logdh2 = np.log(d / hs[dj])
-    c = (0.5 * mp['target_order'] + 0.5) * np.log(mp['num_dofs'] * H0 ** 2)
-    l1 = np.abs(np.log(hs[di] / H0))
-    l2 = np.abs(np.log(hs[dj] / H0))
+    logdh1 = logd - logh[di]
+    logdh2 = logd - logh[dj]
+    c = np.float32((0.5 * mp['target_order'] + 0.5)
+                   * np.log(mp['num_dofs'] * H0 ** 2))
+    lH = np.abs(logh - np.float32(np.log(H0)))                # [C]
+    l1 = lH[di]
+    l2 = lH[dj]
     lmin = np.maximum(l1, l2)
     o1 = np.ceil((c + (s - 1.0) * l2 + lmin - s * logdh2) /
-                 (np.maximum(logdh1, 0) + 0.4))
+                 (np.maximum(logdh1, 0) + np.float32(0.4)))
     o2 = np.ceil((c + (s - 1.0) * l1 + lmin - s * logdh1) /
-                 (np.maximum(logdh2, 0) + 0.4))
+                 (np.maximum(logdh2, 0) + np.float32(0.4)))
     return np.maximum(np.maximum(o1, o2), 2).astype(np.int64)
 
 
