@@ -582,6 +582,12 @@ class blockDiagonalOperator(blockOperator):
         super().__init__(blocks)
 
 
+def invDiagonal(A):
+    """Diagonal operator holding 1/diag(A) (ref base/linear_operators.pyx
+    invDiagonal); the standard Jacobi preconditioner."""
+    return Diagonal_LinearOperator(1.0 / jnp.asarray(A.diagonal))
+
+
 def asOperator(A):
     if isinstance(A, LinearOperator):
         return A

@@ -1395,6 +1395,12 @@ def _cellSetBoundary(mesh, cellSet):
 def assembleNonlocal(dm, kernel, matrixFormat='dense', zeroExterior=True,
                      comm=None, params=None, **kwargs):
     """Entry point (ref fem/PyNucleus_fem/DoFMaps.pyx:808 assembleNonlocal)."""
+    from .operator_interpolation import (RangedFractionalKernel,
+                                         assembleRangedNonlocal)
+    if isinstance(kernel, RangedFractionalKernel):
+        return assembleRangedNonlocal(dm, kernel, matrixFormat=matrixFormat,
+                                      zeroExterior=zeroExterior,
+                                      params=params, **kwargs)
     builder = nonlocalBuilder(dm, kernel, params=params,
                               zeroExterior=zeroExterior, comm=comm, **kwargs)
     fmt = matrixFormat.lower()

@@ -624,6 +624,10 @@ class FractionalKernel(Kernel):
 def getFractionalKernel(dim, s, horizon=np.inf, interaction=None, scaling=None,
                         normalized=True, piecewise=True, phi=None,
                         boundary=False, **kwargs):
+    from .operator_interpolation import admissibleSet, RangedFractionalKernel
+    if isinstance(s, admissibleSet):
+        return RangedFractionalKernel(dim, s, horizon=horizon,
+                                      normalized=normalized, **kwargs)
     if not isinstance(s, fractionalOrderBase):
         s = constFractionalOrder(s)
     hv = horizon.value if hasattr(horizon, 'value') else float(horizon)
