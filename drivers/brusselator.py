@@ -46,6 +46,7 @@ def main(argv=None):
     d.add('dt', 0.01)
     d.add('seed', 42)
     d.add('outputStep', 10)
+    d.add('hdf5Output', '')
     d.process(argv=argv)
 
     # parameters (ref nonlocalProblems.py:2495-2560, 'spots' linearization
@@ -122,12 +123,27 @@ def main(argv=None):
     info.add('Bcr', Bcr)
     info.log()
 
+    h5file = None
+    if d.hdf5Output:
+        import h5py
+        h5file = h5py.File(d.hdf5Output, 'w')
+        dm.HDF5write(h5file.create_group('data').create_group('dm'))
+        grpU = h5file.create_group('U')
+        grpV = h5file.create_group('V')
+        grpU.create_dataset('0', data=np.asarray(u))
+        grpV.create_dataset('0', data=np.asarray(v))
+
     for k in range(N):
         u, v = step(u, v)
         if (k + 1) % d.outputStep == 0:
             print('t=%.3f  |U|_max=%.4f  |V|_max=%.4f'
                   % ((k + 1) * dt, float(jnp.abs(u).max()),
                      float(jnp.abs(v).max())))
+            if h5file is not None:
+                grpU.create_dataset(str(k + 1), data=np.asarray(u))
+                grpV.create_dataset(str(k + 1), data=np.asarray(v))
+    if h5file is not None:
+        h5file.close()
 
     results = d.addOutputGroup('results', tested=True)
     results.add('U max', float(jnp.abs(u).max()))

@@ -4,7 +4,7 @@ from .factory import factory  # noqa: F401
 from .linear_operators import (  # noqa: F401
     LinearOperator, Dense_LinearOperator, Diagonal_LinearOperator,
     CSR_LinearOperator, SSS_LinearOperator, identityOperator, nullOperator,
-    TimeStepperLinearOperator, asOperator)
+    TimeStepperLinearOperator, asOperator, invDiagonal)
 from .solvers import (  # noqa: F401
     solver, lu_solver, chol_solver, jacobi_solver, iterative_solver,
     krylov_solver, cg_solver, gmres_solver, bicgstab_solver, preconditioner,

@@ -403,6 +403,15 @@ class DoFMap:
     def __hash__(self):
         return hash((type(self).__name__, id(self.mesh), tuple(self.tag)))
 
+    def HDF5write(self, grp):
+        from ..base.io import dofmapHDF5write
+        dofmapHDF5write(self, grp)
+
+    @staticmethod
+    def HDF5read(grp):
+        from ..base.io import dofmapHDF5read
+        return dofmapHDF5read(grp)
+
     def __repr__(self):
         return (f'<{type(self).__name__} N={self.num_dofs} '
                 f'NB={self.num_boundary_dofs} mesh={self.mesh!r}>')

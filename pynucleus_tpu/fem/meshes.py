@@ -456,6 +456,19 @@ class simplexMesh:
     def getProjectedCenters(self):
         return self.vertices[self.cells].mean(axis=1)
 
+    def exportVTK(self, filename, pointData=None, cellData=None):
+        from ..base.io import exportVTK
+        exportVTK(self, filename, pointData=pointData, cellData=cellData)
+
+    def HDF5write(self, grp):
+        from ..base.io import meshHDF5write
+        meshHDF5write(self, grp)
+
+    @staticmethod
+    def HDF5read(grp):
+        from ..base.io import meshHDF5read
+        return meshHDF5read(grp)
+
     def __repr__(self):
         return (f'<simplexMesh dim={self.dim} manifold={self.manifold_dim} '
                 f'V={self.num_vertices} C={self.num_cells} h={self.h:.4g}>')

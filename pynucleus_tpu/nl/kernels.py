@@ -132,7 +132,95 @@ class leftRightFractionalOrder(fractionalOrderBase):
                 self.interface)
 
     def __repr__(self):
+        if self.slr != self.sll or self.srl != self.srr:
+            return (f'twoDomain({self.sll},{self.srr},'
+                    f'{self.slr},{self.srl})')
         return f'twoDomain({self.sll},{self.srr})'
+
+
+class innerOuterFractionalOrder(fractionalOrderBase):
+    """s depends on whether x, y lie inside the ball of radius r around
+    `center`: sii inside-inside, soo outside-outside, sio/soi across
+    (ref fractionalOrders.pyx:673-722 innerOuterFractionalOrder)."""
+
+    def __init__(self, dim, sii, soo, r, center=None, sio=np.nan, soi=np.nan):
+        if not np.isfinite(sio):
+            sio = 0.5 * (sii + soo)
+        if not np.isfinite(soi):
+            soi = 0.5 * (sii + soo)
+        self.dim = dim
+        self.sii, self.soo, self.sio, self.soi = sii, soo, sio, soi
+        self.r = float(r)
+        self.center = (np.zeros(dim) if center is None
+                       else np.asarray(center, dtype=np.float64))
+        self.smin = min(sii, soo, sio, soi)
+        self.smax = max(sii, soo, sio, soi)
+        self.symmetric = (sio == soi)
+
+    def _inside(self, X, xp):
+        X = xp.asarray(X)
+        c = xp.asarray(self.center)
+        return xp.sum((X - c) ** 2, axis=-1) < self.r ** 2
+
+    def __call__(self, X, Y):
+        xi = self._inside(np.atleast_2d(X), np)
+        yi = self._inside(np.atleast_2d(Y), np)
+        return np.where(xi & yi, self.sii,
+                        np.where(~xi & ~yi, self.soo,
+                                 np.where(xi, self.sio, self.soi)))
+
+    def jaxEval(self, x, y):
+        xi = self._inside(x, jnp)
+        yi = self._inside(y, jnp)
+        return jnp.where(xi & yi, self.sii,
+                         jnp.where(~xi & ~yi, self.soo,
+                                   jnp.where(xi, self.sio, self.soi)))
+
+    def _key(self):
+        return (type(self).__name__, self.sii, self.soo, self.sio, self.soi,
+                self.r, tuple(self.center))
+
+    def __repr__(self):
+        return f'innerOuter({self.sii},{self.soo},r={self.r})'
+
+
+def _smoothstep01(t, xp):
+    t = xp.clip(t, 0.0, 1.0)
+    return 3.0 * t ** 2 - 2.0 * t ** 3
+
+
+class smoothedLeftRightFractionalOrder(fractionalOrderBase):
+    """s(x) only (unsymmetric single-variable order): smoothstep transition
+    from sl to sr over [interface-r, interface+r]
+    (ref fractionalOrders.pyx:390-430,641-645)."""
+    symmetric = False
+
+    def __init__(self, sll, srr, r=0.1, slope=200.0, interface=0.0):
+        self.sll, self.srr = sll, srr
+        self.r = float(r)
+        self.interface = float(interface)
+        self.smin = min(sll, srr)
+        self.smax = max(sll, srr)
+
+    def _eval1(self, X, xp):
+        t = (xp.asarray(X)[..., 0] - self.interface) * (0.5 / self.r) + 0.5
+        return self.sll + (self.srr - self.sll) * _smoothstep01(t, xp)
+
+    def __call__(self, X, Y):
+        # single-variable: s(x, y) = s(x)
+        return self._eval1(np.atleast_2d(X), np)
+
+    def jaxEval(self, x, y):
+        return jnp.broadcast_to(self._eval1(x, jnp),
+                                jnp.broadcast_shapes(x.shape[:-1],
+                                                     y.shape[:-1]))
+
+    def _key(self):
+        return (type(self).__name__, self.sll, self.srr, self.r,
+                self.interface)
+
+    def __repr__(self):
+        return f'smoothedLeftRight({self.sll},{self.srr},r={self.r})'
 
 
 fractionalOrderFactory = factory()
@@ -141,6 +229,10 @@ fractionalOrderFactory.register('varconst', variableConstFractionalOrder)
 fractionalOrderFactory.register('constantNonSym', constantNonSymFractionalOrder)
 fractionalOrderFactory.register('twoDomain', leftRightFractionalOrder,
                                 aliases=['twoDomainNonSym', 'leftRight'])
+fractionalOrderFactory.register('innerOuter', innerOuterFractionalOrder)
+fractionalOrderFactory.register('smoothedLeftRight',
+                                smoothedLeftRightFractionalOrder,
+                                aliases=['smoothedTwoDomain'])
 
 
 # ------------------------------------------------------------- interactions
