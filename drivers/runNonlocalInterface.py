@@ -109,8 +109,13 @@ def main(argv=None):
     dmSplitRHS = dofmapSplitter(dm, {'domain': ls1 + ls2 + li})
     dmRHS = dmSplitRHS.getSubMap('domain')
     R_RHS, P_RHS = dmSplitRHS.getRestrictionProlongation('domain')
-    qOrder = 80 if (nIP.kernel1.kernelType == 'fractional'
-                    or nIP.kernel2.kernelType == 'fractional') else 3
+    # 1D exact-flux data has integrable kinks -> very high order; the 2D sin
+    # data is smooth per cell (breakpoints are grid lines)
+    if nIP.dim == 1:
+        qOrder = 80 if (nIP.kernel1.kernelType == 'fractional'
+                        or nIP.kernel2.kernelType == 'fractional') else 3
+    else:
+        qOrder = 6
     with d.timer('assemble rhs'):
         b = P_RHS.toarray() @ np.asarray(
             assembleRHS(dmRHS, Lambda(f), qOrder=qOrder).data)

@@ -27,7 +27,8 @@ __all__ = ['simplexMesh', 'meshFactory', 'simpleInterval', 'simpleBox',
            'intervalWithInteraction',
            'simpleSquare', 'uniformSquare', 'squareWithInteractions', 'circle',
            'discWithInteraction', 'PHYSICAL', 'INTERIOR', 'NO_BOUNDARY',
-           'gradedIntervalTransform', 'doubleIntervalWithInteractions']
+           'gradedIntervalTransform', 'doubleIntervalWithInteractions',
+           'doubleSquareWithInteractions']
 
 
 def _octahedronSplit(verts, m01, m02, m03, m12, m13, m23):
@@ -642,6 +643,80 @@ def squareWithInteractions(ax=-1., ay=-1., bx=1., by=1., horizon=0.1, h=None, **
     return simplexMesh(vertices, np.array(cells, dtype=INDEX), dim=2)
 
 
+def doubleSquareWithInteractions(ax=0., ay=0., bx=2., by=1., cx=1.,
+                                 horizon1=0.1, horizon2=0.2, h=None):
+    """Two touching unit squares Omega1 = (ax,cx) x (ay,by) and
+    Omega2 = (cx,bx) x (ay,by) with their interaction collars (width
+    horizon1 / horizon2).  Structured triangulation with grid lines snapped
+    to every kernel breakpoint (interface +- horizons, collar boundaries) so
+    the interface weights are constant per cell; collar corners are square
+    instead of the reference's rounded arcs (ref fem mesh.py:463-700
+    doubleSquareWithInteractions) -- the extra corner cells lie beyond both
+    horizons and only carry prescribed exterior data."""
+    assert horizon2 >= horizon1 >= 0
+    if h is None:
+        h = horizon1 if horizon1 > 0 else (horizon2 if horizon2 > 0 else 0.5)
+    else:
+        if horizon1 > 0:
+            h = min(h, horizon1, horizon2)
+        elif horizon2 > 0:
+            h = min(h, horizon2)
+
+    def snappedAxis(breaks, h):
+        breaks = np.unique(np.asarray(breaks))
+        segs = [np.array([breaks[0]])]
+        for lo, hi in zip(breaks[:-1], breaks[1:]):
+            k = max(int(np.ceil((hi - lo - 1e-12) / h)), 1)
+            segs.append(np.linspace(lo, hi, k + 1)[1:])
+        return np.concatenate(segs)
+
+    xBreaks = [ax, cx, bx]
+    yBreaks = [ay, by]
+    if horizon1 > 0:
+        xBreaks += [ax - horizon1, cx - horizon1, cx + horizon1]
+        yBreaks += [ay - horizon1, by + horizon1]
+    if horizon2 > 0:
+        xBreaks += [cx - horizon2, cx + horizon2, bx + horizon2]
+        yBreaks += [ay - horizon2, by + horizon2]
+    xs = snappedAxis(xBreaks, h)
+    ys = snappedAxis(yBreaks, h)
+
+    X, Y = np.meshgrid(xs, ys, indexing='ij')
+    vertices = np.stack([X.ravel(), Y.ravel()], axis=1)
+    N, M = len(xs), len(ys)
+
+    def vid(i, j):
+        return i * M + j
+
+    def covered(px, py):
+        in1 = (ax - horizon1 <= px <= cx + horizon1 and
+               ay - horizon1 <= py <= by + horizon1)
+        in2 = (cx - horizon2 <= px <= bx + horizon2 and
+               ay - horizon2 <= py <= by + horizon2)
+        return in1 or in2
+
+    cells = []
+    for i in range(N - 1):
+        for j in range(M - 1):
+            if not covered(0.5 * (xs[i] + xs[i + 1]),
+                           0.5 * (ys[j] + ys[j + 1])):
+                continue
+            v00, v10 = vid(i, j), vid(i + 1, j)
+            v01, v11 = vid(i, j + 1), vid(i + 1, j + 1)
+            if (i + j) % 2 == 0:
+                cells.append([v00, v10, v11])
+                cells.append([v00, v11, v01])
+            else:
+                cells.append([v10, v11, v01])
+                cells.append([v10, v01, v00])
+    cells = np.array(cells, dtype=INDEX)
+    # drop unused vertices (collar corners outside both regions)
+    used = np.unique(cells)
+    remap = np.full(vertices.shape[0], -1, dtype=INDEX)
+    remap[used] = np.arange(used.shape[0], dtype=INDEX)
+    return simplexMesh(vertices[used], remap[cells], dim=2)
+
+
 def discWithInteraction(radius=1.0, horizon=0.1, h=0.25):
     m = circle(h=h, radius=radius + horizon)
     m.transformer = radialMeshTransformer()
@@ -704,3 +779,5 @@ meshFactory.register('square', uniformSquare,
 meshFactory.register('squareWithInteraction', squareWithInteractions)
 meshFactory.register('circle', circle, aliases=['disc', 'unitDisc', 'ball2d'])
 meshFactory.register('discWithInteraction', discWithInteraction)
+meshFactory.register('doubleSquareWithInteractions',
+                     doubleSquareWithInteractions)

@@ -391,22 +391,29 @@ class interfaceTwoPoint:
     horizon2/horizon1, which the doubleIntervalWithInteractions mesh aligns
     cells to, so evaluation at cell centers is exact per cell pair."""
 
-    def __init__(self, horizon1, horizon2, left, interface=0.0):
+    def __init__(self, horizon1, horizon2, left, interface=0.0,
+                 stripLo=0.0, stripHi=1.0):
         self.horizon1 = horizon1
         self.horizon2 = horizon2
         self.left = left
         self.interface = interface
+        # in 2D the physical domains occupy the strip stripLo < y < stripHi;
+        # points outside it are exterior collar (ref twoPointFunctions.pyx
+        # dim==2 branch hardcodes (0, 1))
+        self.stripLo = stripLo
+        self.stripHi = stripHi
         self.symmetric = True
 
     def _key(self):
         return ('interfaceTwoPoint', self.horizon1, self.horizon2,
-                self.left, self.interface)
+                self.left, self.interface, self.stripLo, self.stripHi)
 
     def evalPairs(self, x, y):
-        """x, y [P, dim] -> weights [P] (first coordinate decides)."""
+        """x, y [P, dim] -> weights [P]."""
         c = self.interface
-        x0 = np.asarray(x)[:, 0]
-        y0 = np.asarray(y)[:, 0]
+        x = np.atleast_2d(np.asarray(x))
+        y = np.atleast_2d(np.asarray(y))
+        x0, y0 = x[:, 0], y[:, 0]
         if self.left:
             w = np.full(len(x0), 0.5)
             w = np.where((x0 <= c) & (y0 <= c), 1.0, w)
@@ -419,6 +426,16 @@ class interfaceTwoPoint:
             w = np.where((x0 < c) & (y0 < c), 0.0, w)
             w = np.where((x0 >= c + self.horizon1) & (y0 < c), 1.0, w)
             w = np.where((x0 < c) & (y0 >= c + self.horizon1), 1.0, w)
+        if x.shape[1] >= 2:
+            # strip-exterior points belong to the partner's kernel: weight 1
+            # iff the in-strip partner lies on this kernel's side
+            # (ref twoPointFunctions.pyx:193-242)
+            xin = (x[:, 1] > self.stripLo) & (x[:, 1] < self.stripHi)
+            yin = (y[:, 1] > self.stripLo) & (y[:, 1] < self.stripHi)
+            own = (lambda p0: p0 <= c) if self.left else (lambda p0: p0 >= c)
+            w = np.where(xin & ~yin, np.where(own(x0), 1.0, 0.0), w)
+            w = np.where(~xin & yin, np.where(own(y0), 1.0, 0.0), w)
+            w = np.where(~xin & ~yin, 0.0, w)
         return w
 
 

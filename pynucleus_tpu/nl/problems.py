@@ -589,10 +589,13 @@ class nonlocalInterfaceProblem(problem):
     so the two bilinear forms tile the doubled interaction region."""
 
     def setDriverArgs(self):
-        self.setDriverFlag('domain', acceptedValues=['doubleInterval'])
+        self.setDriverFlag('domain', acceptedValues=['doubleInterval',
+                                                     'doubleSquare'])
         self.setDriverFlag('problem', acceptedValues=[
             'exact-sin-variableSolJump-fluxJump',
             'polynomial-variableSolJump-fluxJump',
+            'sin-variableSolJump-fluxJump',
+            'sin-fixedSolJump-fluxJump',
             'patch-test'])
         self.setDriverFlag('element', acceptedValues=['P1'])
         self.setDriverFlag('kernel1Type',
@@ -624,13 +627,17 @@ class nonlocalInterfaceProblem(problem):
         from .kernels import (interfaceTwoPoint, getKernel, INDICATOR,
                               FRACTIONAL, PERIDYNAMIC)
         from ..fem.meshes import doubleIntervalWithInteractions
-        assert domain == 'doubleInterval'
-        self.dim = 1
-        a, b, c = 0.0, 2.0, 1.0   # domain1 = (a, c), domain2 = (c, b)
         kname = {'fractional': FRACTIONAL, 'indicator': INDICATOR,
                  'peridynamic': PERIDYNAMIC}
         kType1, kType2 = kname[kernel1Type], kname[kernel2Type]
         assert s11 == s12 and s21 == s22, 'leftRight orders land later'
+        if domain == 'doubleSquare':
+            self._processDoubleSquare(problem, kType1, kType2, horizon1,
+                                      horizon2, hTarget, s11, s22)
+            return
+        assert domain == 'doubleInterval'
+        self.dim = 1
+        a, b, c = 0.0, 2.0, 1.0   # domain1 = (a, c), domain2 = (c, b)
 
         phi1 = interfaceTwoPoint(horizon1, horizon2, True, interface=c)
         phi2 = interfaceTwoPoint(horizon1, horizon2, False, interface=c)
@@ -799,5 +806,103 @@ class nonlocalInterfaceProblem(problem):
                 lambda x: flux_right_lam(x) * float(ls1(x)[0])
                 + flux_left_lam(x) * float(ls2(x)[0]))
             self.mult = constant(1.0)
+        else:
+            raise NotImplementedError(problem)
+
+    def _processDoubleSquare(self, problem, kType1, kType2, horizon1,
+                             horizon2, hTarget, s1, s2):
+        """Two touching unit squares Omega1 = (0,1)^2, Omega2 = (1,2)x(0,1)
+        with interface x = 1 (ref nonlocalProblems.py:2037-2330)."""
+        from .kernels import interfaceTwoPoint, getKernel
+        from ..fem.meshes import doubleSquareWithInteractions
+        self.dim = 2
+        ax, ay, bx, by, cx = 0.0, 0.0, 2.0, 1.0, 1.0
+
+        phi1 = interfaceTwoPoint(horizon1, horizon2, True, interface=cx,
+                                 stripLo=ay, stripHi=by)
+        phi2 = interfaceTwoPoint(horizon1, horizon2, False, interface=cx,
+                                 stripLo=ay, stripHi=by)
+        kernel1 = getKernel(dim=2, kernel=kType1, s=s1,
+                            horizon=horizon1, phi=phi1)
+        kernel2 = getKernel(dim=2, kernel=kType2, s=s2,
+                            horizon=horizon2, phi=phi2)
+        self.kernel1, self.kernel2 = kernel1, kernel2
+
+        self.mesh = doubleSquareWithInteractions(
+            ax=ax, ay=ay, bx=bx, by=by, cx=cx,
+            horizon1=horizon1, horizon2=horizon2, h=hTarget)
+
+        eps = 1e-9
+
+        def box(lo, hi):
+            return squareIndicator(np.asarray(lo, dtype=float),
+                                   np.asarray(hi, dtype=float))
+
+        # square-corner collars (the reference rounds the collar corners
+        # with radialIndicator bits, mesh.py:463-700; the extra corner cells
+        # here lie beyond both horizons and only carry prescribed data)
+        self.subdomainIndicator1 = box([ax - horizon1 - eps,
+                                        ay - horizon1 - eps],
+                                       [cx + horizon1 + eps,
+                                        by + horizon1 + eps])
+        self.subdomainIndicator2 = box([cx - horizon2 - eps,
+                                        ay - horizon2 - eps],
+                                       [bx + horizon2 + eps,
+                                        by + horizon2 + eps])
+        self.localSubdomainIndicator1 = box([ax + eps, ay + eps],
+                                            [cx - eps, by - eps])
+        self.localInterfaceIndicator = box([cx - 2 * eps, ay + eps],
+                                           [cx + 2 * eps, by - eps])
+        self.localSubdomainIndicator2 = box([cx + eps, ay + eps],
+                                            [bx - eps, by - eps])
+        self.domainIndicator1 = box([ax + eps, ay + eps],
+                                    [cx - horizon2 - eps, by - eps])
+        self.domainIndicator2 = box([cx + horizon1 + eps, ay + eps],
+                                    [bx - eps, by - eps])
+        self.interfaceIndicator = box([cx - horizon2 - eps, ay + eps],
+                                      [cx + horizon1 + eps, by - eps])
+        self.dirichletIndicator1 = constant(1.0) - self.domainIndicator1 \
+            - self.interfaceIndicator
+        self.dirichletIndicator2 = constant(1.0) - self.domainIndicator2 \
+            - self.interfaceIndicator
+
+        self.mult = constant(1.0 / (horizon1 + horizon2))
+
+        if problem == 'patch-test':
+            lin = Lambda(lambda x: x[0])
+            self.sol_1 = self.sol_2 = lin
+            self.diri_left = self.diri_right = lin
+            self.forcing_left = constant(0.0)
+            self.forcing_right = constant(0.0)
+            self.sol_jump = constant(0.0)
+            self.flux_jump = constant(0.0)
+            self.mult = constant(1.0)
+        elif problem in ('sin-variableSolJump-fluxJump',
+                         'sin-fixedSolJump-fluxJump'):
+            # the LOCAL interface problem has the exact solution
+            # u1 = 2 + 2 sin(pi x) sin(2 pi y), u2 = 1 - sin(pi x) sin(pi y)
+            # (ref nonlocalProblems.py:2155-2191)
+            sin2d = Lambda(lambda x: np.sin(np.pi * x[0])
+                           * np.sin(2 * np.pi * x[1]))
+            sinxy = Lambda(lambda x: np.sin(np.pi * x[0])
+                           * np.sin(np.pi * x[1]))
+            one = constant(1.0)
+            self.sol_1 = 2 * one + 2 * sin2d
+            self.sol_2 = one - sinxy
+            self.diri_left = self.sol_1
+            self.diri_right = self.sol_2
+            self.forcing_left = Lambda(
+                lambda x: 10 * np.pi ** 2 * np.sin(np.pi * x[0])
+                * np.sin(2 * np.pi * x[1]))
+            self.forcing_right = Lambda(
+                lambda x: -2 * np.pi ** 2 * np.sin(np.pi * x[0])
+                * np.sin(np.pi * x[1]))
+            if problem == 'sin-variableSolJump-fluxJump':
+                self.sol_jump = (0 - sinxy) - one - 2 * sin2d
+            else:
+                self.sol_jump = 0 - one
+            self.flux_jump = Lambda(
+                lambda x: -2 * np.pi * np.sin(2 * np.pi * x[1])
+                - np.pi * np.sin(np.pi * x[1]))
         else:
             raise NotImplementedError(problem)
