@@ -53,11 +53,16 @@ def _radial_eval(kernel, r2, x=None, y=None):
     return jnp.where(r2 > 0, val, 0.0)
 
 
-@partial(jax.jit, static_argnames=('kernel', 'useNormals'))
+@partial(jax.jit, static_argnames=('kernel', 'useNormals', 'useYShift'))
 def _bucket_contrib(vertices, vertIdx1, vertIdx2, volsym,
                     bary_x, bary_y, w, PSIP,
-                    normals=None, kernel=None, useNormals=False):
+                    normals=None, kernel=None, useNormals=False,
+                    yShift=None, useYShift=False):
     """One panel bucket -> local pair matrices M [P, nPSI^2].
+
+    yShift [P, dim] nudges the y evaluation points (surface integrals of
+    variable-order kernels select the fractional-order side of a jump
+    interface this way; ref evalShift nonlocalAssembly pxi:1683,2014-2060).
 
     This kernel is independent of the global operator size, so it compiles
     once per (panel shape, kernel) and is reused across hierarchy levels."""
@@ -65,6 +70,8 @@ def _bucket_contrib(vertices, vertIdx1, vertIdx2, volsym,
     v2 = vertices[vertIdx2]
     x = jnp.einsum('pvd,vq->pqd', v1, bary_x)     # [P, Q, dim]
     y = jnp.einsum('pvd,vq->pqd', v2, bary_y)
+    if useYShift:
+        y = y + yShift[:, None, :]
     r2 = jnp.sum((x - y) ** 2, axis=-1)
     g = _radial_eval(kernel, r2, x, y)
     if kernel.finiteHorizon or kernel.complement:
@@ -372,11 +379,12 @@ class _BucketRunner:
             start += chunk
 
     def run(self, acc, rule, PSI, vertIdx1, vertIdx2, dofRows, volsym,
-            normals=None, entryMask=None, PHI=None):
+            normals=None, entryMask=None, PHI=None, yOffset=None):
         """acc: DenseAccumulator or CSRAccumulator.  entryMask [P, nPSI,
         nPSI] bool restricts which local entries scatter (cluster-pair masks,
         ref IndexManager getElemSymMaskCluster).  PHI=(PHIx, PHIy) selects the
-        NONSYMMETRIC local matrix."""
+        NONSYMMETRIC local matrix.  yOffset [P, dim] nudges the y quadrature
+        points (jump-side selection for variable-order surface integrals)."""
         P = vertIdx1.shape[0]
         if P == 0:
             return
@@ -410,6 +418,10 @@ class _BucketRunner:
             if self.useNormals:
                 nm = jnp.asarray(_pad(normals[sl], csize, fill=0.0),
                                  dtype=self.dtype)
+            yo = None
+            if yOffset is not None:
+                yo = jnp.asarray(_pad(yOffset[sl], csize, fill=0.0),
+                                 dtype=self.dtype)
             if nonsym:
                 M = _bucket_contrib_nonsym(
                     self.vertices, jnp.asarray(vi1, dtype=INDEX),
@@ -420,7 +432,8 @@ class _BucketRunner:
                     self.vertices, jnp.asarray(vi1, dtype=INDEX),
                     jnp.asarray(vi2, dtype=INDEX), jnp.asarray(vs),
                     bary_x, bary_y, w, PSIP,
-                    normals=nm, kernel=self.kernel, useNormals=self.useNormals)
+                    normals=nm, kernel=self.kernel, useNormals=self.useNormals,
+                    yShift=yo, useYShift=yo is not None)
             dr = _pad(dofRows[sl], csize, fill=-1)
             if hasattr(acc, 'deviceAddRows'):
                 em = None
@@ -632,7 +645,9 @@ class nonlocalBuilder:
                         vs[o2] *= phi.evalPairs(centers[i:i + 1],
                                                 centers[j:j + 1])[0]
                     if em is not None:
-                        ldFull2 = np.concatenate([ld2, dpe + ld1])
+                        # swapped ordering: local row r is cell-j dof ld2[r]
+                        # = natural mask position dpe + ld2[r]
+                        ldFull2 = np.concatenate([dpe + ld2, ld1])
                         em[o2] = maskLookup[(i, j)][np.ix_(ldFull2, ldFull2)]
             runner.run(acc, rule, PSI, vi1, vi2, dr, vs, entryMask=em, PHI=PHI)
 
@@ -669,10 +684,15 @@ class nonlocalBuilder:
                 if len(iiA) == 0:
                     continue
             em = None
-            if maskLookup is not None:
-                em = np.stack([maskLookup[(min(a, b), max(a, b))]
-                               for a, b in zip(iiA.tolist(), jjA.tolist())]) \
-                    if len(iiA) else None
+            if maskLookup is not None and len(iiA):
+                ems = []
+                for a, b in zip(iiA.tolist(), jjA.tolist()):
+                    m_ = maskLookup[(min(a, b), max(a, b))]
+                    if a > b:
+                        # natural mask is (b, a)-ordered; swap the blocks
+                        m_ = np.roll(np.roll(m_, -dpe, axis=0), -dpe, axis=1)
+                    ems.append(m_)
+                em = np.stack(ems)
             runner.run(acc, rule, PSI, cells[iiA], cells[jjA], dr, vs,
                        entryMask=em, PHI=PHI)
 
@@ -842,17 +862,6 @@ class nonlocalBuilder:
     def getH2(self, returnNearField=False):
         """Hierarchical operator: cluster tree, Chebyshev far field, exact
         near field (ref getH2 nonlocalAssembly pxi:3094)."""
-        if self.kernel.variable and not (hasattr(self.kernel.s, 'value')
-                                         and self.kernel.symmetric):
-            # spatially VARYING orders need the jump-interface surface terms
-            # of ref assembleClusters:2032-2108 (lands with the interface
-            # problems), and nonsymmetric kernels need the shifted 'cluster
-            # exterior' surface evaluation.  Spatially-constant symmetric
-            # 'variable' flavors (varconst) have no jumps and go through.
-            raise NotImplementedError(
-                'H2 for spatially varying or nonsymmetric variable-order '
-                'kernels requires interface jump integrals; use '
-                'matrixFormat=dense')
         if self.kernel.finiteHorizon:
             # With a finite horizon the operator support is |x-y| < delta, so
             # the matrix IS sparse (bandwidth ~ (delta/h)^d).  The reference
@@ -891,6 +900,9 @@ class nonlocalBuilder:
 
         # ---- tree + admissibility (host)
         nodes = buildClusterTree(dm, minSize)
+        if kernel.variable:
+            from .h2 import splitLeavesByKernelBlocks
+            nodes = splitLeavesByKernelBlocks(nodes, dm, kernel)
         Pfar, Pnear = admissibleClusters(kernel, nodes, eta, m, dim)
 
         nLvl = max(nd.level for nd in nodes) + 1
@@ -1042,7 +1054,13 @@ class nonlocalBuilder:
         inI = np.zeros(N, dtype=bool)
         inJ = np.zeros(N, dtype=bool)
         pairMasks = {}       # (c1, c2) with c1 <= c2 -> bool [2dpe, 2dpe]
-        surfPairs = []       # (cellNo, facetVerts, normal, mask [dpe, dpe])
+        surfPairs = []       # (cellNo, facetVerts, normal, mask, sgn)
+
+        # jump interfaces of spatially-varying kernels (ref
+        # getKernelBlocksAndJumps pxi:2352-2384): the Gauss-theorem surface
+        # form of int_{U^c} gamma(x,y) dy needs [G]-corrections where the
+        # radial antiderivative jumps with s(x, y)
+        jumps = self._getKernelJumps() if kernel.variable else []
 
         for (I, J) in Pnear:
             # the dual traversal yields both orderings; masks are symmetric,
@@ -1086,6 +1104,7 @@ class nonlocalBuilder:
             # --- surface of the union (diagonal mass from outside U)
             if len(inter):
                 facets, normals = _cellSetBoundary(mesh, U)
+                Uset = set(int(u) for u in U)
                 for c in inter:
                     gd = dofs[c]
                     valid = gd >= 0
@@ -1095,7 +1114,15 @@ class nonlocalBuilder:
                     if not m1.any():
                         continue
                     for fi in range(len(facets)):
-                        surfPairs.append((c, facets[fi], normals[fi], m1))
+                        surfPairs.append((c, facets[fi], normals[fi], m1, 1.0))
+                    # jump facets strictly inside U^c: two runs with the
+                    # order evaluated on either side, difference weighted by
+                    # the facet normal (ref assembleClusters pxi:2032-2108)
+                    for (jf, jn, jc1, jc2) in jumps:
+                        if jc1 in Uset or jc2 in Uset:
+                            continue
+                        surfPairs.append((c, jf, jn, m1, 1.0))
+                        surfPairs.append((c, jf, jn, m1, -1.0))
 
         # ---- run the interaction pairs (masked)
         keys = np.array(sorted(pairMasks.keys()), dtype=np.int64)
@@ -1119,9 +1146,64 @@ class nonlocalBuilder:
 
         return acc.result()
 
+    def _getKernelJumps(self):
+        """Interior facets where the cell-centered kernel order jumps:
+        [(facetVerts, unitNormal, cell1, cell2)]
+        (ref getKernelBlocksAndJumps pxi:2352-2384)."""
+        if hasattr(self, '_jumps'):
+            return self._jumps
+        mesh, kernel = self.mesh, self.kernel
+        centers = mesh.vertices[mesh.cells].mean(axis=1)
+        sDiag = np.asarray(kernel.s(centers, centers)).reshape(-1)
+        mdim = mesh.manifold_dim
+        cells = mesh.cells
+        out = []
+        if mdim == 1:
+            order = np.argsort(centers[:, 0])
+            # facet between consecutive cells sharing a vertex
+            vertSets = [set(int(v) for v in cells[c]) for c in range(len(cells))]
+            for a, b in zip(order[:-1], order[1:]):
+                shared = vertSets[a] & vertSets[b]
+                if shared and abs(sDiag[a] - sDiag[b]) > 1e-12:
+                    v = shared.pop()
+                    out.append((np.array([v], dtype=np.int64),
+                                np.array([1.0]), int(a), int(b)))
+        elif mdim == 2:
+            edges = np.concatenate([cells[:, [0, 1]], cells[:, [1, 2]],
+                                    cells[:, [2, 0]]], axis=0)
+            owner = np.tile(np.arange(len(cells)), 3)
+            se = np.sort(edges, axis=1)
+            uniq, inv = np.unique(se, axis=0, return_inverse=True)
+            byEdge = {}
+            for k in range(len(se)):
+                byEdge.setdefault(int(inv[k]), []).append(int(owner[k]))
+            verts = mesh.vertices
+            for ei, owners in byEdge.items():
+                if len(owners) != 2:
+                    continue
+                c1, c2 = owners
+                if abs(sDiag[c1] - sDiag[c2]) <= 1e-12:
+                    continue
+                e = uniq[ei]
+                t = verts[e[1]] - verts[e[0]]
+                n = np.array([t[1], -t[0]])
+                n /= np.linalg.norm(n)
+                out.append((e.astype(np.int64), n, c1, c2))
+        else:
+            raise NotImplementedError(mdim)
+        self._jumps = out
+        return out
+
     def _runUnionSurface(self, acc, surfPairs):
         """Batched boundary-kernel quadrature for per-cluster-pair union
-        surfaces, masked per pair."""
+        surfaces, masked per pair.
+
+        Each item carries sgn in {+1, -1}: the y quadrature points are
+        nudged by sgn*eps*normal to pick the fractional-order side, and the
+        contribution is weighted by sgn (for constant-order kernels the
+        nudge is a no-op and sgn is always +1).  In 1D the n.(y-x)/|y-x|
+        orientation factor of the boundary kernel is folded into the weight
+        (2D evaluates it per quadrature point)."""
         dm, mesh, kernel = self.dm, self.mesh, self.kernel
         dofs = dm.dofs
         dpe = dm.dofs_per_element
@@ -1142,7 +1224,7 @@ class nonlocalBuilder:
         # classify: shared vertices between cell and facet
         touching = {}
         distant = []
-        for (c, facet, normal, m1) in surfPairs:
+        for (c, facet, normal, m1, sgn) in surfPairs:
             cv = cells[c]
             shared1, shared2 = [], []
             used = set()
@@ -1161,9 +1243,12 @@ class nonlocalBuilder:
                 perm1 = np.array(shared1 + rest1)
                 perm2 = np.array(shared2 + rest2)
                 touching.setdefault(len(shared1), []).append(
-                    (c, facet, normal, m1, perm1, perm2))
+                    (c, facet, normal, m1, sgn, perm1, perm2))
             else:
-                distant.append((c, facet, normal, m1))
+                distant.append((c, facet, normal, m1, sgn))
+
+        needShift = self.kernel.variable
+        epsShift = 1e-9
 
         def runBucket(rule, items, withPerm, useDet=True):
             # singular (collapsed-parametrization) rules are normalized to
@@ -1178,17 +1263,18 @@ class nonlocalBuilder:
             dr = np.zeros((P, dpe), dtype=np.int64)
             vs = np.zeros(P)
             nm = np.zeros((P, mesh.dim)) if useNormals else None
+            yOff = np.zeros((P, mesh.dim)) if needShift else None
             mk = np.zeros((P, dpe, dpe), dtype=bool)
             for k, item in enumerate(items):
                 if withPerm:
-                    c, facet, normal, m1, perm1, perm2 = item
+                    c, facet, normal, m1, sgn, perm1, perm2 = item
                     vi1[k] = cells[c][perm1]
                     vi2[k] = np.asarray(facet)[perm2]
                     ld1 = permuteLocalDofs(dm, perm1)
                     dr[k] = dofs[c][ld1]
                     mk[k] = m1[np.ix_(ld1, ld1)]
                 else:
-                    c, facet, normal, m1 = item
+                    c, facet, normal, m1, sgn = item
                     vi1[k] = cells[c]
                     vi2[k] = facet
                     dr[k] = dofs[c]
@@ -1197,23 +1283,49 @@ class nonlocalBuilder:
                 if mdim >= 2:
                     fv = verts[np.asarray(facet)]
                     svol = np.linalg.norm(fv[1] - fv[0])
-                vs[k] = (detfac * vols[c] if useDet else vols[c]) * svol
+                vs[k] = (detfac * vols[c] if useDet else vols[c]) * svol * sgn
+                if mdim == 1:
+                    # fold the n.(y-x)/|y-x| orientation factor into the
+                    # weight (2D evaluates it per quadrature point)
+                    p0 = verts[int(np.asarray(facet)[0]), 0]
+                    c0 = verts[cells[c], 0].mean()
+                    vs[k] *= np.sign(float(normal[0]) * (p0 - c0))
                 if useNormals:
                     nm[k] = normal
+                if needShift:
+                    yOff[k] = sgn * epsShift * np.asarray(normal)
             runner.run(acc, rule, PHI, vi1, vi2, dr, vs, normals=nm,
-                       entryMask=mk)
+                       entryMask=mk, yOffset=yOff)
 
+        def itemSing(item):
+            """Per-item boundary singularity: variable kernels freeze s at
+            (cell center, shifted facet center) like the reference surface
+            local matrices (nonlocalOperator evalParams)."""
+            if not kernel.variable:
+                return sigb
+            c, facet, normal, m1, sgn = item[:5]
+            xc = verts[cells[c]].mean(axis=0)
+            yc = verts[np.asarray(facet)].mean(axis=0) \
+                + sgn * epsShift * np.asarray(normal)
+            sv = float(np.asarray(kernel.s(xc[None, :], yc[None, :])).ravel()[0])
+            return 1.0 - mesh.dim - 2.0 * sv
+
+        bySing = {}
         for nS, items in touching.items():
+            for item in items:
+                key = (nS, round(itemSing(item), 12))
+                bySing.setdefault(key, []).append(item)
+        for (nS, sig), items in bySing.items():
             if mdim == 1:
-                rule = boundaryVertexRule1D(sigb, qd)
+                rule = boundaryVertexRule1D(sig, qd)
             else:
                 from .quad_singular_2d import (boundaryEdgeRule2DSS,
                                                boundaryVertexRule2DSS)
                 if nS == 2:
-                    sig_eff = sigb if sigb > -1 + 1e-3 else 2.0 + sigb
+                    sig_eff = sig if sig > -1 + 1e-3 else 2.0 + sig
                     rule = boundaryEdgeRule2DSS(sig_eff, qd, qd)
                 else:
-                    rule = boundaryVertexRule2DSS(sigb, qd, qd)
+                    rule = boundaryVertexRule2DSS(sig, qd, qd)
             runBucket(rule, items, True)
 
         if distant:

@@ -98,6 +98,10 @@ class treeNode:
     box: np.ndarray           # [dim, 2]
     parent: int = -1
     children: list = field(default_factory=list)
+    # mixed: dofs whose support straddles a kernel-order jump interface;
+    # such nodes are never far-field admissible (ref nonlocalAssembly
+    # pxi:2623-2645 mixed_node)
+    mixed: bool = False
 
     @property
     def isLeaf(self):
@@ -176,6 +180,66 @@ def buildClusterTree(dm, minSize, maxLevels=200):
     return nodes
 
 
+def splitLeavesByKernelBlocks(nodes, dm, kernel):
+    """For spatially-varying kernel orders, split each leaf into sub-leaves
+    of constant order so far-field boxes never straddle an order jump; dofs
+    whose support spans the jump form 'mixed' interface nodes that stay in
+    the near field (ref nonlocalAssembly pxi:2623-2645, blocks from
+    getKernelBlocksAndJumps pxi:2320-2350)."""
+    mesh = dm.mesh
+    centers = mesh.vertices[mesh.cells].mean(axis=1)
+    sDiag = np.round(np.asarray(kernel.s(centers, centers)).reshape(-1), 12)
+    if np.unique(sDiag).shape[0] <= 1:
+        return nodes
+    N = dm.num_dofs
+    INTERFACE = np.nan
+    dofOrder = np.full(N, np.inf)
+    isInterface = np.zeros(N, dtype=bool)
+    d = dm.dofs
+    for c in range(mesh.num_cells):
+        for l in range(d.shape[1]):
+            i = d[c, l]
+            if i < 0:
+                continue
+            if dofOrder[i] == np.inf:
+                dofOrder[i] = sDiag[c]
+            elif dofOrder[i] != sDiag[c]:
+                isInterface[i] = True
+    lo, hi = dofSupportBoxes(dm)
+
+    def makeBox(idx):
+        return np.stack([lo[idx].min(axis=0), hi[idx].max(axis=0)], axis=1)
+
+    # an s-IMPURE box (dofs from several order blocks, or interface dofs)
+    # makes the kernel discontinuous on its Chebyshev grid -> never
+    # far-field admissible, at ANY level (ref: canBeAssembled stays False
+    # above the block-pure nodes)
+    for nd in nodes:
+        dKeys = np.where(isInterface[nd.dofs], INTERFACE, dofOrder[nd.dofs])
+        nd.mixed = bool(isInterface[nd.dofs].any()
+                        or np.unique(dKeys[~np.isnan(dKeys)]).shape[0] > 1)
+
+    for nid in range(len(nodes)):
+        nd = nodes[nid]
+        if not nd.isLeaf:
+            continue
+        keys = np.where(isInterface[nd.dofs], INTERFACE, dofOrder[nd.dofs])
+        uniqKeys = sorted(set(keys.tolist()), key=lambda v: (np.isnan(v), v))
+        if len(uniqKeys) <= 1:
+            nd.mixed = bool(isInterface[nd.dofs].any())
+            continue
+        children = []
+        for key in uniqKeys:
+            sel = np.isnan(keys) if np.isnan(key) else (keys == key)
+            sub = nd.dofs[sel]
+            child = treeNode(len(nodes), nd.level + 1, sub, makeBox(sub),
+                             nd.id, mixed=bool(np.isnan(key)))
+            nodes.append(child)
+            children.append(child.id)
+        nd.children = children
+    return nodes
+
+
 def admissibleClusters(kernel, nodes, eta, interpolation_order, dim):
     """Dual-tree traversal -> (Pfar per level, Pnear leaf pairs)
     (ref getAdmissibleClusters clusterMethodCy.pyx:4046, queryAdmissibility
@@ -200,7 +264,8 @@ def admissibleClusters(kernel, nodes, eta, interpolation_order, dim):
         diam1 = _diam(n1.box)
         diam2 = _diam(n2.box)
         admissible = (eta * dist >= max(diam1, diam2) and not onHorizon and
-                      M * M <= len(n1.dofs) * len(n2.dofs))
+                      M * M <= len(n1.dofs) * len(n2.dofs) and
+                      not n1.mixed and not n2.mixed)
         if admissible:
             Pfar.setdefault(n1.level, []).append((i, j))
             return

@@ -127,11 +127,27 @@ VARIABLE_CONFIGS = [
       '--matrixFormat', 'dense'],
      {'L2 error': 0.0020560901451394443,
       'Linf error interpolated': 0.003599161364716205}),
+    # spatially-varying / nonsym orders in H2 format (block-split cluster
+    # tree; ref caches ...--matrixFormatH2)
+    (['--domain', 'interval', '--s', 'constantNonSym(0.25)', '--problem',
+      'constant', '--element', 'P1', '--solverType', 'gmres-jacobi',
+      '--matrixFormat', 'H2'],
+     {'L2 error': 0.02665532198267176}),
+    (['--domain', 'interval', '--s', 'twoDomainNonSym(0.25,0.75)', '--problem',
+      'knownSolution', '--element', 'P1', '--solverType', 'lu',
+      '--matrixFormat', 'H2'],
+     {'L2 error': 0.001968154983051443}),
+    (['--domain', 'interval', '--s', 'twoDomainNonSym(0.25,0.75)', '--problem',
+      'knownSolution', '--element', 'P1', '--solverType', 'gmres-mg',
+      '--matrixFormat', 'H2'],
+     {'L2 error': 0.001968148149500615}),
 ]
 
 
 @pytest.mark.parametrize('argv,expected', VARIABLE_CONFIGS,
-                         ids=['varconst', 'constantNonSym', 'twoDomainNonSym'])
+                         ids=['varconst', 'constantNonSym', 'twoDomainNonSym',
+                              'constantNonSym-H2', 'twoDomainNonSym-H2-lu',
+                              'twoDomainNonSym-H2-mg'])
 def test_runFractional_variableOrder(argv, expected):
     d, mS = runFractional(argv)
     got = d.outputGroups['errors'].toDict()
