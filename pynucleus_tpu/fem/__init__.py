@@ -4,11 +4,13 @@ from .meshes import (  # noqa: F401
     discWithInteraction, PHYSICAL, INTERIOR, NO_BOUNDARY)
 from .functions import (  # noqa: F401
     function, constant, Lambda, monomial, squareIndicator, radialIndicator,
-    solFractional, functionFactory)
+    solFractional, vectorFunction, functionFactory)
 from .dofmaps import (  # noqa: F401
     DoFMap, P0_DoFMap, P1_DoFMap, P2_DoFMap, P3_DoFMap, dofmapFactory,
     fe_vector, str2DoFMap)
 from .assembly import (  # noqa: F401
-    assembleMass, assembleStiffness, assembleRHS, buildSparsityPattern,
-    scatterToCSR)
+    assembleMass, assembleStiffness, assembleRHS, assembleDrift,
+    assembleRHSgrad, assembleNonlinearity, matrixFreeOperator,
+    buildSparsityPattern, scatterToCSR)
+from .lookup import cellFinder, lookupFunction  # noqa: F401
 from .quadrature import gauss01, gaussJacobi01, simplexDuffy  # noqa: F401

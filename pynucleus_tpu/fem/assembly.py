@@ -16,12 +16,15 @@ import jax.numpy as jnp
 import scipy.sparse as sp
 
 from ..config import REAL, INDEX
-from ..base.linear_operators import CSR_LinearOperator, Dense_LinearOperator, SSS_LinearOperator
+from ..base.linear_operators import (LinearOperator, CSR_LinearOperator,
+                                     Dense_LinearOperator, SSS_LinearOperator)
 from .dofmaps import DoFMap, fe_vector
 from .quadrature import simplexDuffy
 
 __all__ = ['assembleMass', 'assembleStiffness', 'assembleRHS',
            'assembleSurfaceMass', 'assembleSurfaceRHS',
+           'assembleDrift', 'assembleRHSgrad', 'assembleNonlinearity',
+           'matrixFreeOperator',
            'assembleSurfaceMass', 'buildSparsityPattern', 'scatterToCSR']
 
 
@@ -190,6 +193,151 @@ def assembleRHS(dm: DoFMap, fun, qOrder=None):
     mask = d >= 0
     np.add.at(b, d[mask], bloc[mask])
     return fe_vector(jnp.asarray(b), dm)
+
+
+def assembleDrift(dm: DoFMap, coeff, qOrder=None):
+    """Advection matrix D_ij = int (coeff(x) . grad phi_j) phi_i
+    (ref DoFMaps.assembleDrift:692 -> femCy assembleDrift)."""
+    mesh = dm.mesh
+    m = mesh.manifold_dim
+    assert m == mesh.dim, 'drift on manifold meshes not supported'
+    p = max(dm.polynomialOrder, 1)
+    order = qOrder if qOrder is not None else 2 * p + 1
+    bary, w = simplexDuffy(order, m)
+    PHI = dm.evalPhi(bary)                     # [dpe, Q]
+    DPHI = dm.evalGradPhi(bary)                # [dpe, Q, m+1]
+    vol, gradLam = _geometry(mesh)
+    V = mesh.vertices[mesh.cells]
+    X = np.einsum('qk,ckd->cqd', bary, V)
+    cvals = np.asarray(coeff(X.reshape(-1, mesh.dim))).reshape(
+        X.shape[0], X.shape[1], mesh.dim)      # [C, Q, dim]
+    Dloc = np.einsum('c,q,iq,cqd,jqk,ckd->cij', vol, w, PHI, cvals,
+                     DPHI, gradLam, optimize=True)
+    pat, slot = buildSparsityPattern(dm)
+    return scatterToCSR(pat, slot, jnp.asarray(Dloc))
+
+
+def assembleRHSgrad(dm: DoFMap, fun, coeff, qOrder=None):
+    """Gradient load vector b_i = int f(x) (coeff(x) . grad phi_i)
+    (ref DoFMaps.assembleRHSgrad -> femCy assembleGradRHS)."""
+    mesh = dm.mesh
+    m = mesh.manifold_dim
+    p = max(dm.polynomialOrder, 1)
+    order = qOrder if qOrder is not None else 2 * p + 1
+    bary, w = simplexDuffy(order, m)
+    DPHI = dm.evalGradPhi(bary)
+    vol, gradLam = _geometry(mesh)
+    V = mesh.vertices[mesh.cells]
+    X = np.einsum('qk,ckd->cqd', bary, V)
+    fvals = np.asarray(fun(X.reshape(-1, mesh.dim))).reshape(
+        X.shape[0], X.shape[1])
+    cvals = np.asarray(coeff(X.reshape(-1, mesh.dim))).reshape(
+        X.shape[0], X.shape[1], mesh.dim)
+    bloc = np.einsum('c,q,cq,cqd,iqk,ckd->ci', vol, w, fvals, cvals,
+                     DPHI, gradLam, optimize=True)
+    b = np.zeros(dm.num_dofs, dtype=REAL)
+    d = dm.dofs
+    mask = d >= 0
+    np.add.at(b, d[mask], bloc[mask])
+    return fe_vector(jnp.asarray(b), dm)
+
+
+def assembleNonlinearity(dm: DoFMap, fun, U, qOrder=None):
+    """Project a pointwise nonlinearity onto the FE space:
+    b^out_i = int fun(u_1(x), ..., u_k(x))_out phi_i(x) dx
+    (ref femCy.assembleNonlinearity:3087; fun is a multi_function
+    counterpart: callable [..., numInputs] -> [..., numOutputs]).
+
+    :param U: fe_vector or list of fe_vectors (the k inputs).
+    Returns a list of numOutputs fe_vectors (a single fe_vector if the
+    function declares numOutputs == 1)."""
+    if not isinstance(U, (list, tuple)):
+        U = [U]
+    mesh = dm.mesh
+    m = mesh.manifold_dim
+    p = max(dm.polynomialOrder, 1)
+    order = qOrder if qOrder is not None else (3 if m <= 2 else 3)
+    bary, w = simplexDuffy(order, m)
+    PHI = dm.evalPhi(bary)                       # [dpe, Q]
+    vol, _ = _geometry(mesh)
+    d = dm.dofs
+    mask = d >= 0
+    # u_h at quad points per cell: gather dof values (boundary dofs -> 0)
+    uq = []
+    for u in U:
+        uv = np.asarray(u.data if hasattr(u, 'data') else u)
+        loc = np.where(mask, uv[np.clip(d, 0, None)], 0.0)   # [C, dpe]
+        uq.append(np.einsum('ci,iq->cq', loc, PHI))
+    uin = np.stack(uq, axis=-1)                  # [C, Q, k]
+    fout = np.asarray(fun(uin))                  # [C, Q, nOut]
+    if fout.ndim == 2:
+        fout = fout[:, :, None]
+    bloc = np.einsum('c,q,cqo,iq->cio', vol, w, fout, PHI)
+    out = []
+    for o in range(fout.shape[-1]):
+        b = np.zeros(dm.num_dofs, dtype=REAL)
+        np.add.at(b, d[mask], bloc[..., o][mask])
+        out.append(fe_vector(jnp.asarray(b), dm))
+    return out[0] if len(out) == 1 else out
+
+
+class matrixFreeOperator(LinearOperator):
+    """Matrix-free mass/stiffness/drift operator: y = A x without
+    materializing A (ref femCy.matrixFreeOperator:3403).  The matvec is one
+    jitted gather -> per-cell einsum -> segment-sum scatter."""
+
+    def __init__(self, dm: DoFMap, kind='stiffness', coefficient=None,
+                 qOrder=None):
+        mesh = dm.mesh
+        m = mesh.manifold_dim
+        p = max(dm.polynomialOrder, 1)
+        order = qOrder if qOrder is not None else 2 * p + 2
+        bary, w = simplexDuffy(order, m)
+        vol, gradLam = _geometry(mesh)
+        N = dm.num_dofs
+        self.num_rows = self.num_columns = N
+        d = dm.dofs
+        self._gather = jnp.asarray(np.where(d >= 0, d, N), dtype=INDEX)
+        self._scatter = jnp.asarray(np.where(d >= 0, d, N), dtype=INDEX)
+        if kind == 'mass':
+            PHI = dm.evalPhi(bary)
+            Mref = np.einsum('q,iq,jq->ij', w, PHI, PHI)
+            Aloc = vol[:, None, None] * Mref[None, :, :]
+        elif kind == 'stiffness':
+            DPHI = dm.evalGradPhi(bary)
+            Aloc = np.einsum('c,q,iqk,ckd,jql,cld->cij', vol, w,
+                             DPHI, gradLam, DPHI, gradLam, optimize=True)
+        else:
+            raise NotImplementedError(kind)
+        if coefficient is not None:
+            V = mesh.vertices[mesh.cells]
+            X = np.einsum('qk,ckd->cqd', bary, V)
+            cv = np.asarray(coefficient(
+                X.reshape(-1, mesh.dim))).reshape(X.shape[0], -1).mean(axis=1)
+            Aloc = Aloc * cv[:, None, None]
+        self._Aloc = jnp.asarray(Aloc)
+
+        @jax.jit
+        def mv(Aloc, x):
+            xpad = jnp.concatenate([x, jnp.zeros(1, dtype=x.dtype)])
+            xl = xpad[self._gather]                    # [C, dpe]
+            yl = jnp.einsum('cij,cj->ci', Aloc, xl)
+            return jax.ops.segment_sum(yl.reshape(-1),
+                                       self._scatter.reshape(-1),
+                                       num_segments=N + 1)[:N]
+        self._mv = mv
+
+    def matvec(self, x):
+        return self._mv(self._Aloc, jnp.asarray(x))
+
+    @property
+    def diagonal(self):
+        dpe = self._Aloc.shape[1]
+        N = self.num_rows
+        diag = jax.ops.segment_sum(
+            jnp.einsum('cii->ci', self._Aloc).reshape(-1),
+            self._scatter.reshape(-1), num_segments=N + 1)[:N]
+        return diag
 
 
 def _vertexDofMap(dm):

@@ -204,6 +204,21 @@ def asFunction(f):
 
 
 functionFactory = factory()
+class vectorFunction:
+    """Vector-valued function from scalar components
+    (ref fem/PyNucleus_fem/functions.pyx vectorFunction:41)."""
+
+    def __init__(self, components):
+        self.components = list(components)
+        self.rows = len(self.components)
+
+    def __call__(self, X):
+        return np.stack([np.asarray(c(X)) for c in self.components], axis=-1)
+
+    def __repr__(self):
+        return 'vector({})'.format(self.components)
+
+
 functionFactory.register('constant', constant)
 functionFactory.register('Lambda', Lambda)
 functionFactory.register('monomial', monomial)
@@ -215,3 +230,18 @@ functionFactory.register('solFractional1D', solFractional1D)
 functionFactory.register('rhsFractional1D', rhsFractional1D)
 functionFactory.register('x0', affineFunction,
                          params={'w': [1.0], 'c': 0.0})
+functionFactory.register('vector', vectorFunction)
+functionFactory.register(
+    'sin1d', Lambda, params={'fun': lambda x: np.sin(np.pi * x[0])})
+functionFactory.register(
+    'cos1d', Lambda, params={'fun': lambda x: np.cos(np.pi * x[0])})
+functionFactory.register(
+    'sin2d', Lambda,
+    params={'fun': lambda x: np.sin(np.pi * x[0]) * np.sin(np.pi * x[1])})
+functionFactory.register(
+    'cos2d', Lambda,
+    params={'fun': lambda x: np.cos(np.pi * x[0]) * np.cos(np.pi * x[1])})
+functionFactory.register(
+    'sin3d', Lambda,
+    params={'fun': lambda x: np.sin(np.pi * x[0]) * np.sin(np.pi * x[1])
+            * np.sin(np.pi * x[2])})
