@@ -13,4 +13,5 @@ from .assembly import (  # noqa: F401
     assembleRHSgrad, assembleNonlinearity, matrixFreeOperator,
     buildSparsityPattern, scatterToCSR)
 from .lookup import cellFinder, lookupFunction  # noqa: F401
+from . import mesh_zoo  # noqa: F401  (registers the extended mesh catalogue)
 from .quadrature import gauss01, gaussJacobi01, simplexDuffy  # noqa: F401
