@@ -582,6 +582,39 @@ class blockDiagonalOperator(blockOperator):
         super().__init__(blocks)
 
 
+class SchurComplement(LinearOperator):
+    """S = A11 - A12 A22^{-1} A21 for the index split (indices, complement)
+    (ref base/SchurComplement_{SCALAR}.pxi).  A22 is LU-factorized once;
+    matvec runs fully on device."""
+
+    def __init__(self, A, indices):
+        arr = jnp.asarray(A.toarray())
+        n = arr.shape[0]
+        indices = np.asarray(indices, dtype=np.int64)
+        comp = np.setdiff1d(np.arange(n), indices)
+        self.indices = indices
+        self.complement = comp
+        self.A11 = arr[np.ix_(indices, indices)]
+        self.A12 = arr[np.ix_(indices, comp)]
+        self.A21 = arr[np.ix_(comp, indices)]
+        self.A22 = arr[np.ix_(comp, comp)]
+        self._lu = jax.scipy.linalg.lu_factor(self.A22)
+        self.num_rows = self.num_columns = len(indices)
+
+    def matvec(self, x):
+        x = jnp.asarray(x)
+        t = jax.scipy.linalg.lu_solve(self._lu, self.A21 @ x)
+        return self.A11 @ x - self.A12 @ t
+
+    def toarray(self):
+        inv22 = np.linalg.inv(np.asarray(self.A22))
+        return np.asarray(self.A11) - np.asarray(self.A12) @ inv22 \
+            @ np.asarray(self.A21)
+
+    def __repr__(self):
+        return 'SchurComplement({}x{})'.format(self.num_rows, self.num_rows)
+
+
 def invDiagonal(A):
     """Diagonal operator holding 1/diag(A) (ref base/linear_operators.pyx
     invDiagonal); the standard Jacobi preconditioner."""

@@ -1,0 +1,4 @@
+from .gmg import (  # noqa: F401
+    buildProlongation, buildMeshHierarchy, pCoarsenHierarchy, multigrid,
+    mgPreconditioner)
+from . import smoothers  # noqa: F401  (registers gs/sor/ssor solvers)

@@ -104,12 +104,39 @@ def buildMeshHierarchy(mesh0, noRef):
     return meshes
 
 
+def pCoarsenHierarchy(mesh, orders=('P1', 'P2', 'P3'), assembler=None,
+                      tag=None):
+    """p-multigrid hierarchy on ONE mesh: coarser levels are lower
+    polynomial orders, prolongation interpolates between the nested Lagrange
+    spaces (ref hierarchies.py:261 pCoarsenHierarchy, connectors.py:347
+    pCoarsenConnector)."""
+    from ..fem.dofmaps import dofmapFactory
+    if assembler is None:
+        from ..fem.assembly import assembleStiffness
+        assembler = assembleStiffness
+    levels = []
+    dmPrev = None
+    for o in orders:
+        dm = dofmapFactory(o, mesh) if tag is None \
+            else dofmapFactory(o, mesh, tag=tag)
+        entry = {'A': assembler(dm), 'dm': dm}
+        if dmPrev is not None:
+            entry['P'] = buildProlongation(dmPrev, dm)
+        levels.append(entry)
+        dmPrev = dm
+    return levels
+
+
 class _mgLevels:
     """Pytree container: per-level A, P (to this level), damped-Jacobi
-    diagonal, plus dense coarse LU factors."""
+    diagonal, plus dense coarse LU factors.
+
+    smootherKind 'jacobi' (default) or 'chebyshev'; for Chebyshev the
+    per-level spectral radii of D^{-1}A are static setup constants
+    (ref smoothers.pyx chebyshevSmoother:439)."""
 
     def __init__(self, As, Ps, Dinvs, omega, coarse_lu, coarse_piv,
-                 preSteps=1, postSteps=1):
+                 preSteps=1, postSteps=1, smootherKind='jacobi', rhos=None):
         self.As = As
         self.Ps = Ps                # Ps[l] : level l-1 -> l, Ps[0] unused
         self.Dinvs = Dinvs
@@ -118,13 +145,40 @@ class _mgLevels:
         self.coarse_piv = coarse_piv
         self.preSteps = preSteps
         self.postSteps = postSteps
+        self.smootherKind = smootherKind
+        self.rhos = rhos
 
 
 jax.tree_util.register_pytree_node(
     _mgLevels,
     lambda m: ((m.As, m.Ps, m.Dinvs, m.omega, m.coarse_lu, m.coarse_piv),
-               (m.preSteps, m.postSteps)),
-    lambda s, d: _mgLevels(*d, preSteps=s[0], postSteps=s[1]))
+               (m.preSteps, m.postSteps, m.smootherKind,
+                tuple(m.rhos) if m.rhos is not None else None)),
+    lambda s, d: _mgLevels(*d, preSteps=s[0], postSteps=s[1],
+                           smootherKind=s[2],
+                           rhos=list(s[3]) if s[3] is not None else None))
+
+
+def _chebSmooth(A, Dinv, b, x, rho, degree, lowerFrac=0.25, zeroGuess=False):
+    """Chebyshev semi-iterative smoother targeting D^{-1}A eigenvalues in
+    [lowerFrac*rho, rho] (ref smoothers.pyx:439; no sequential dependency,
+    TPU-friendly)."""
+    lmax = rho
+    lmin = lowerFrac * rho
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rhok = 1.0 / sigma
+    r = b if zeroGuess else b - A.matvec(x)
+    d = (Dinv * r) / theta
+    x = (d if zeroGuess else x + d)
+    for _ in range(degree - 1):
+        rhokp = 1.0 / (2.0 * sigma - rhok)
+        r = b - A.matvec(x)
+        d = rhokp * rhok * d + (2.0 * rhokp / delta) * (Dinv * r)
+        x = x + d
+        rhok = rhokp
+    return x
 
 
 def _vcycle(levels: _mgLevels, lvl, b, x, gamma=1):
@@ -136,10 +190,15 @@ def _vcycle(levels: _mgLevels, lvl, b, x, gamma=1):
     A = levels.As[lvl]
     Dinv = levels.Dinvs[lvl]
     om = levels.omega
+    cheb = levels.smootherKind == 'chebyshev'
     # presmooth (first sweep exploits x=0)
-    x = om * (Dinv * b)
-    for _ in range(levels.preSteps - 1):
-        x = x + om * (Dinv * (b - A.matvec(x)))
+    if cheb:
+        x = _chebSmooth(A, Dinv, b, x, levels.rhos[lvl], levels.preSteps,
+                        zeroGuess=True)
+    else:
+        x = om * (Dinv * b)
+        for _ in range(levels.preSteps - 1):
+            x = x + om * (Dinv * (b - A.matvec(x)))
     # coarse correction
     res = b - A.matvec(x)
     P = levels.Ps[lvl]
@@ -149,8 +208,11 @@ def _vcycle(levels: _mgLevels, lvl, b, x, gamma=1):
         xc = _vcycle(levels, lvl - 1, defect, xc, gamma)
     x = x + P.matvec(xc)
     # postsmooth
-    for _ in range(levels.postSteps):
-        x = x + om * (Dinv * (b - A.matvec(x)))
+    if cheb:
+        x = _chebSmooth(A, Dinv, b, x, levels.rhos[lvl], levels.postSteps)
+    else:
+        for _ in range(levels.postSteps):
+            x = x + om * (Dinv * (b - A.matvec(x)))
     return x
 
 
@@ -203,8 +265,11 @@ def _fmg_solve(levels, b, gamma=1, maxiter=1):
     A = levels.As[nl]
     Dinv = levels.Dinvs[nl]
     om = levels.omega
-    for _ in range(levels.postSteps):
-        x = x + om * (Dinv * (b - A.matvec(x)))
+    if levels.smootherKind == 'chebyshev':
+        x = _chebSmooth(A, Dinv, b, x, levels.rhos[nl], levels.postSteps)
+    else:
+        for _ in range(levels.postSteps):
+            x = x + om * (Dinv * (b - A.matvec(x)))
     return x
 
 
@@ -227,18 +292,31 @@ class multigrid(iterative_solver):
         As, Ps, Dinvs = [], [], []
         omega = 2.0 / 3.0
         pre = post = 1
+        kind = 'jacobi'
         if isinstance(self.smootherType, tuple):
+            kind = self.smootherType[0]
             omega = self.smootherType[1].get('omega', omega)
-            pre = self.smootherType[1].get('presmoothingSteps', 1)
-            post = self.smootherType[1].get('postsmoothingSteps', 1)
+            pre = self.smootherType[1].get('presmoothingSteps',
+                                           3 if kind == 'chebyshev' else 1)
+            post = self.smootherType[1].get('postsmoothingSteps', pre)
+        elif isinstance(self.smootherType, str):
+            kind = self.smootherType
+            if kind == 'chebyshev':
+                pre = post = 3
         for lvlNo, lvl in enumerate(levels):
             As.append(lvl['A'])
             Ps.append(lvl.get('P', None) if lvlNo > 0 else None)
             Dinvs.append(1.0 / lvl['A'].diagonal)
+        rhos = None
+        if kind == 'chebyshev':
+            from ..base.linalg import estimateSpectralRadius
+            rhos = [estimateSpectralRadius(A_, Dinv_)
+                    for A_, Dinv_ in zip(As, Dinvs)]
         A0 = jnp.asarray(levels[0]['A'].toarray())
         lu, piv = jax.scipy.linalg.lu_factor(A0)
         self.levels = _mgLevels(As, Ps, Dinvs, omega, lu, piv,
-                                preSteps=pre, postSteps=post)
+                                preSteps=pre, postSteps=post,
+                                smootherKind=kind, rhos=rhos)
         self.initialized = True
 
     def solve(self, b, x=None):
