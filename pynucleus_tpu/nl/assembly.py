@@ -48,6 +48,9 @@ def _radial_eval(kernel, r2, x=None, y=None):
     r2safe = jnp.where(r2 > 0, r2, 1.0)
     if x is not None and hasattr(kernel, 'evalXY'):
         val = kernel.evalXY(x, y, r2safe)
+        if getattr(kernel, 'phiJax', None) is not None:
+            # smooth two-point weights evaluate per quadrature point
+            val = val * kernel.phiJax(x, y)
     else:
         val = kernel._radialJax(r2safe)
     return jnp.where(r2 > 0, val, 0.0)

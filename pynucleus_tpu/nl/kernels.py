@@ -223,6 +223,220 @@ class smoothedLeftRightFractionalOrder(fractionalOrderBase):
         return f'smoothedLeftRight({self.sll},{self.srr},r={self.r})'
 
 
+class linearLeftRightFractionalOrder(fractionalOrderBase):
+    """s(x) only: linear transition from sll to srr over
+    [interface-r, interface+r] (ref fractionalOrders.pyx:447-471,648)."""
+    symmetric = False
+
+    def __init__(self, sll, srr, r=0.1, interface=0.0):
+        self.sll, self.srr = sll, srr
+        self.r = float(r)
+        self.interface = float(interface)
+        self.smin = min(sll, srr)
+        self.smax = max(sll, srr)
+
+    def _eval1(self, X, xp):
+        t = xp.clip((xp.asarray(X)[..., 0] - self.interface + self.r)
+                    / (2 * self.r), 0.0, 1.0)
+        return self.sll + (self.srr - self.sll) * t
+
+    def __call__(self, X, Y):
+        return self._eval1(np.atleast_2d(X), np)
+
+    def jaxEval(self, x, y):
+        return jnp.broadcast_to(self._eval1(x, jnp),
+                                jnp.broadcast_shapes(x.shape[:-1],
+                                                     y.shape[:-1]))
+
+    def _key(self):
+        return (type(self).__name__, self.sll, self.srr, self.r,
+                self.interface)
+
+    def __repr__(self):
+        return f'linearLeftRight({self.sll},{self.srr},r={self.r})'
+
+
+class smoothedInnerOuterFractionalOrder(fractionalOrderBase):
+    """s(x) only: radial smoothstep from sl (inside radius) to sr
+    (ref fractionalOrders.pyx:500-538,654)."""
+    symmetric = False
+
+    def __init__(self, sl, sr, r=0.1, slope=200.0, radius=0.5):
+        self.sl, self.sr = sl, sr
+        self.r = float(r)
+        self.radius = float(radius)
+        self.smin = min(sl, sr)
+        self.smax = max(sl, sr)
+
+    def _eval1(self, X, xp):
+        rr = xp.sqrt(xp.sum(xp.asarray(X) ** 2, axis=-1))
+        t = (rr - self.radius) * (0.5 / self.r) + 0.5
+        return self.sl + (self.sr - self.sl) * _smoothstep01(t, xp)
+
+    def __call__(self, X, Y):
+        return self._eval1(np.atleast_2d(X), np)
+
+    def jaxEval(self, x, y):
+        return jnp.broadcast_to(self._eval1(x, jnp),
+                                jnp.broadcast_shapes(x.shape[:-1],
+                                                     y.shape[:-1]))
+
+    def _key(self):
+        return (type(self).__name__, self.sl, self.sr, self.r, self.radius)
+
+    def __repr__(self):
+        return f'smoothedInnerOuter({self.sl},{self.sr})'
+
+
+class islandsFractionalOrder(fractionalOrderBase):
+    """s depends on membership in the 'islands' r <= |x_i| <= r2 per
+    coordinate (ref fractionalOrders.pyx:755-824)."""
+
+    def __init__(self, sii, soo, r=0.1, r2=0.6, sio=np.nan, soi=np.nan):
+        if not np.isfinite(sio):
+            sio = 0.5 * (sii + soo)
+        if not np.isfinite(soi):
+            soi = 0.5 * (sii + soo)
+        self.sii, self.soo, self.sio, self.soi = sii, soo, sio, soi
+        self.r, self.r2 = float(r), float(r2)
+        self.smin = min(sii, soo, sio, soi)
+        self.smax = max(sii, soo, sio, soi)
+        self.symmetric = (sio == soi)
+
+    def _inIsland(self, X, xp):
+        p = xp.abs(xp.asarray(X))
+        return xp.all((p >= self.r) & (p <= self.r2), axis=-1)
+
+    def __call__(self, X, Y):
+        xi = self._inIsland(np.atleast_2d(X), np)
+        yi = self._inIsland(np.atleast_2d(Y), np)
+        return np.where(xi & yi, self.sii,
+                        np.where(~xi & ~yi, self.soo,
+                                 np.where(xi, self.sio, self.soi)))
+
+    def jaxEval(self, x, y):
+        xi = self._inIsland(x, jnp)
+        yi = self._inIsland(y, jnp)
+        return jnp.where(xi & yi, self.sii,
+                         jnp.where(~xi & ~yi, self.soo,
+                                   jnp.where(xi, self.sio, self.soi)))
+
+    def _key(self):
+        return (type(self).__name__, self.sii, self.soo, self.sio, self.soi,
+                self.r, self.r2)
+
+    def __repr__(self):
+        return f'islands({self.sii},{self.soo})'
+
+
+class layersFractionalOrder(fractionalOrderBase):
+    """Layered order: the LAST coordinate selects the layer of x and y;
+    s = layerOrders[I, J] (ref fractionalOrders.pyx:826-896)."""
+
+    def __init__(self, dim, layerBoundaries, layerOrders):
+        self.dim = dim
+        self.layerBoundaries = np.asarray(layerBoundaries, dtype=np.float64)
+        self.layerOrders = np.asarray(layerOrders, dtype=np.float64)
+        self.smin = float(self.layerOrders.min())
+        self.smax = float(self.layerOrders.max())
+        self.symmetric = bool(np.allclose(self.layerOrders,
+                                          self.layerOrders.T))
+
+    def _layer(self, X, xp):
+        c = xp.asarray(X)[..., -1]
+        nL = self.layerOrders.shape[0]
+        edges = xp.asarray(self.layerBoundaries[1:-1])
+        idx = xp.searchsorted(edges, c, side='right') \
+            if xp is np else jnp.searchsorted(edges, c, side='right')
+        return xp.clip(idx, 0, nL - 1)
+
+    def __call__(self, X, Y):
+        I = self._layer(np.atleast_2d(X), np)
+        J = self._layer(np.atleast_2d(Y), np)
+        return self.layerOrders[I, J]
+
+    def jaxEval(self, x, y):
+        I = self._layer(x, jnp)
+        J = self._layer(y, jnp)
+        return jnp.asarray(self.layerOrders)[I, J]
+
+    def _key(self):
+        return (type(self).__name__, tuple(self.layerBoundaries),
+                tuple(self.layerOrders.ravel()))
+
+    def __repr__(self):
+        return f'layers({self.layerOrders.shape[0]})'
+
+
+class feFractionalOrder(fractionalOrderBase):
+    """s(x) discretized as an FE vector (single-variable, unsymmetric;
+    ref fractionalOrders.pyx:660 feFractionalOrder).
+
+    Host evaluation uses exact FE point lookup; the jittable device path
+    rasterizes s onto a regular background grid (multilinear interpolation)
+    -- the reference freezes s at cell-pair centers anyway
+    (kernelsCy.pyx piecewise=True evalParams), so grid accuracy at the mesh
+    resolution is equivalent."""
+    symmetric = False
+
+    def __init__(self, vec, smin=None, smax=None, gridN=256):
+        from ..fem.lookup import lookupFunction
+        self.vec = vec
+        self.dm = vec.dm
+        arr = np.asarray(vec.data)
+        self.smin = float(smin if smin is not None else arr.min())
+        self.smax = float(smax if smax is not None else arr.max())
+        self._lookup = lookupFunction(vec.dm.mesh, vec.dm, vec,
+                                      fallback=0.5 * (self.smin + self.smax))
+        mesh = vec.dm.mesh
+        self._lo = mesh.vertices.min(axis=0)
+        self._hi = mesh.vertices.max(axis=0)
+        dim = mesh.dim
+        n = gridN if dim == 1 else min(gridN, 192)
+        axes = [np.linspace(self._lo[d], self._hi[d], n)
+                for d in range(dim)]
+        G = np.meshgrid(*axes, indexing='ij')
+        pts = np.stack([g.ravel() for g in G], axis=1)
+        vals = np.clip(self._lookup(pts), self.smin, self.smax)
+        self._gridN = n
+        self._grid = jnp.asarray(vals.reshape((n,) * dim))
+
+    def __call__(self, X, Y):
+        vals = np.clip(self._lookup(np.atleast_2d(X)), self.smin, self.smax)
+        return np.broadcast_to(
+            vals, np.broadcast_shapes(np.atleast_2d(X).shape[:-1],
+                                      np.atleast_2d(Y).shape[:-1])).copy()
+
+    def jaxEval(self, x, y):
+        lo = jnp.asarray(self._lo)
+        hi = jnp.asarray(self._hi)
+        n = self._gridN
+        t = jnp.clip((x - lo) / (hi - lo), 0.0, 1.0) * (n - 1)
+        i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n - 2)
+        f = t - i0
+        dim = x.shape[-1]
+        if dim == 1:
+            g = self._grid
+            v = (1 - f[..., 0]) * g[i0[..., 0]] \
+                + f[..., 0] * g[i0[..., 0] + 1]
+        else:
+            g = self._grid
+            i, j = i0[..., 0], i0[..., 1]
+            fx, fy = f[..., 0], f[..., 1]
+            v = ((1 - fx) * (1 - fy) * g[i, j]
+                 + fx * (1 - fy) * g[i + 1, j]
+                 + (1 - fx) * fy * g[i, j + 1]
+                 + fx * fy * g[i + 1, j + 1])
+        return jnp.broadcast_to(v, jnp.broadcast_shapes(x.shape[:-1],
+                                                        y.shape[:-1]))
+
+    def _key(self):
+        return (type(self).__name__, id(self.vec), self.smin, self.smax)
+
+    def __repr__(self):
+        return f'fe({self.smin},{self.smax})'
+
+
 fractionalOrderFactory = factory()
 fractionalOrderFactory.register('const', constFractionalOrder)
 fractionalOrderFactory.register('varconst', variableConstFractionalOrder)
@@ -233,13 +447,162 @@ fractionalOrderFactory.register('innerOuter', innerOuterFractionalOrder)
 fractionalOrderFactory.register('smoothedLeftRight',
                                 smoothedLeftRightFractionalOrder,
                                 aliases=['smoothedTwoDomain'])
+fractionalOrderFactory.register('linearLeftRightNonSym',
+                                linearLeftRightFractionalOrder)
+fractionalOrderFactory.register('innerOuterNonSym',
+                                smoothedInnerOuterFractionalOrder)
+fractionalOrderFactory.register('islands', islandsFractionalOrder)
+fractionalOrderFactory.register('layers', layersFractionalOrder)
+fractionalOrderFactory.register('fe', feFractionalOrder)
+
+
+# -------------------------------------------------------- two-point weights
+
+class twoPointFunction:
+    """phi(x, y) weights multiplying the kernel
+    (ref twoPointFunctions.pxd:19-52).  `smooth` selects per-quadrature-point
+    device evaluation (jaxEval); piecewise-constant weights use evalPairs at
+    cell centers."""
+    symmetric = True
+    smooth = False
+
+    def evalPairs(self, x, y):
+        raise NotImplementedError()
+
+    def jaxEval(self, x, y):
+        raise NotImplementedError()
+
+
+class constantTwoPoint(twoPointFunction):
+    """phi = const (ref twoPointFunctions.pyx constantTwoPoint)."""
+
+    def __init__(self, value=1.0):
+        self.value = float(value)
+
+    def evalPairs(self, x, y):
+        return np.full(np.atleast_2d(x).shape[0], self.value)
+
+    def jaxEval(self, x, y):
+        return jnp.full(jnp.broadcast_shapes(x.shape[:-1], y.shape[:-1]),
+                        self.value)
+
+    def _key(self):
+        return ('constantTwoPoint', self.value)
+
+
+class temperedTwoPoint(twoPointFunction):
+    """phi = exp(-lambda |x-y|) (ref twoPointFunctions.pyx:245
+    temperedTwoPoint)."""
+    smooth = True
+
+    def __init__(self, lambdaCoeff, dim=None):
+        self.lambdaCoeff = float(lambdaCoeff)
+        self.dim = dim
+
+    def evalPairs(self, x, y):
+        r = np.linalg.norm(np.atleast_2d(x) - np.atleast_2d(y), axis=-1)
+        return np.exp(-self.lambdaCoeff * r)
+
+    def jaxEval(self, x, y):
+        r = jnp.sqrt(jnp.sum((x - y) ** 2, axis=-1))
+        return jnp.exp(-self.lambdaCoeff * r)
+
+    def _key(self):
+        return ('temperedTwoPoint', self.lambdaCoeff)
+
+
+class leftRightTwoPoint(twoPointFunction):
+    """phi = vll/vrr on same-side pairs, vlr/vrl across the interface
+    (ref twoPointFunctions.pyx leftRightTwoPoint)."""
+
+    def __init__(self, vll, vrr, vlr=None, vrl=None, interface=0.0):
+        self.vll, self.vrr = vll, vrr
+        self.vlr = vlr if vlr is not None else 0.5 * (vll + vrr)
+        self.vrl = vrl if vrl is not None else 0.5 * (vll + vrr)
+        self.interface = interface
+        self.symmetric = (self.vlr == self.vrl)
+
+    def evalPairs(self, x, y):
+        x0 = np.atleast_2d(x)[:, 0]
+        y0 = np.atleast_2d(y)[:, 0]
+        xl = x0 <= self.interface
+        yl = y0 <= self.interface
+        return np.where(xl & yl, self.vll,
+                        np.where(~xl & ~yl, self.vrr,
+                                 np.where(xl, self.vlr, self.vrl)))
+
+    def jaxEval(self, x, y):
+        xl = x[..., 0] <= self.interface
+        yl = y[..., 0] <= self.interface
+        return jnp.where(xl & yl, self.vll,
+                         jnp.where(~xl & ~yl, self.vrr,
+                                   jnp.where(xl, self.vlr, self.vrl)))
+
+    def _key(self):
+        return ('leftRightTwoPoint', self.vll, self.vrr, self.vlr, self.vrl,
+                self.interface)
+
+
+class lambdaTwoPoint(twoPointFunction):
+    """phi from a python callable fun(x, y) (ref twoPointFunctions.pyx
+    lambdaTwoPoint); host evaluation at cell centers."""
+
+    def __init__(self, fun, symmetric=True):
+        self.fun = fun
+        self.symmetric = symmetric
+
+    def evalPairs(self, x, y):
+        x = np.atleast_2d(x)
+        y = np.atleast_2d(y)
+        return np.array([self.fun(x[k], y[k]) for k in range(x.shape[0])])
+
+    def _key(self):
+        return ('lambdaTwoPoint', id(self.fun))
+
+
+class lookupTwoPoint(twoPointFunction):
+    """phi(x, y) = (w(x)+w(y))/2 with w an FE vector
+    (ref twoPointFunctions.pyx lookupTwoPoint)."""
+
+    def __init__(self, vec):
+        from ..fem.lookup import lookupFunction
+        self.vec = vec
+        self._lookup = lookupFunction(vec.dm.mesh, vec.dm, vec)
+
+    def evalPairs(self, x, y):
+        return 0.5 * (self._lookup(np.atleast_2d(x))
+                      + self._lookup(np.atleast_2d(y)))
+
+    def _key(self):
+        return ('lookupTwoPoint', id(self.vec))
+
+
+twoPointFunctionFactory = factory()
+twoPointFunctionFactory.register('constant', constantTwoPoint,
+                                 aliases=['const', 'constantTwoPoint'])
+twoPointFunctionFactory.register('tempered', temperedTwoPoint,
+                                 aliases=['temperedTwoPoint'])
+twoPointFunctionFactory.register('leftRight', leftRightTwoPoint,
+                                 aliases=['leftRightTwoPoint'])
+twoPointFunctionFactory.register('lambda', lambdaTwoPoint)
+twoPointFunctionFactory.register('lookup', lookupTwoPoint)
 
 
 # ------------------------------------------------------------- interactions
 
 class interactionDomain:
-    """chi_{N(x)}(y); ref interactionDomains.pyx:25.  complement=True flips."""
+    """chi_{N(x)}(y); ref interactionDomains.pyx:25.  complement=True flips.
+
+    innerRadius2/outerRadius2 give Euclidean radii with
+    ball2(inner) <= interaction <= ball2(outer) for horizon-screening with
+    non-Euclidean balls (ref getRelativePosition INTERACT/CUT/REMOTE)."""
     complement = False
+
+    def innerRadius2(self, hv, dim):
+        return hv
+
+    def outerRadius2(self, hv, dim):
+        return hv
     symmetric = True
 
     def dist2(self, DX):
@@ -288,8 +651,69 @@ class ballInf(interactionDomain):
         r = jnp.max(jnp.abs(x - y), axis=-1)
         return (r * r < horizon2).astype(x.dtype)
 
+    def outerRadius2(self, hv, dim):
+        return hv * np.sqrt(dim)
+
     def __repr__(self):
         return 'ballInf'
+
+
+class ball1(interactionDomain):
+    """L1 (diamond) ball |x-y|_1 < horizon
+    (ref interactionDomains.pyx:1632 ball1_retriangulation /
+    :1681 ball1_barycenter)."""
+
+    def dist2(self, DX):
+        DX = np.asarray(DX)
+        return np.sum(np.abs(DX), axis=-1) ** 2
+
+    def jaxIndicator(self, x, y, horizon2):
+        r = jnp.sum(jnp.abs(x - y), axis=-1)
+        return (r * r < horizon2).astype(x.dtype)
+
+    def innerRadius2(self, hv, dim):
+        return hv / np.sqrt(dim)
+
+    def __repr__(self):
+        return 'ball1'
+
+
+class ellipse(interactionDomain):
+    """Elliptic interaction |T (x-y)|_2 < horizon with
+    T = diag(1/a, 1/b) . rot(theta) (constant axes/rotation;
+    ref interactionDomains.pyx:1579 ellipse_retriangulation /
+    :1606 ellipse_barycenter via linearTransformInteraction:1393)."""
+
+    def __init__(self, aFac=1.0, bFac=0.5, theta=0.0):
+        aFac = getattr(aFac, 'value', aFac)
+        bFac = getattr(bFac, 'value', bFac)
+        theta = getattr(theta, 'value', theta)
+        assert aFac == 1.0 or bFac == 1.0, \
+            'one of the two axes must be equal to 1'
+        self.aFac, self.bFac, self.theta = float(aFac), float(bFac), \
+            float(theta)
+        c, s = np.cos(self.theta), np.sin(self.theta)
+        self.T = np.array([[c / self.aFac, -s / self.aFac],
+                           [s / self.bFac, c / self.bFac]])
+
+    def dist2(self, DX):
+        DX = np.asarray(DX)
+        TD = np.einsum('ij,...j->...i', self.T, DX)
+        return np.sum(TD ** 2, axis=-1)
+
+    def jaxIndicator(self, x, y, horizon2):
+        TD = jnp.einsum('ij,...j->...i', jnp.asarray(self.T), x - y)
+        r2 = jnp.sum(TD ** 2, axis=-1)
+        return (r2 < horizon2).astype(x.dtype)
+
+    def innerRadius2(self, hv, dim):
+        return hv * min(self.aFac, self.bFac)
+
+    def outerRadius2(self, hv, dim):
+        return hv * max(self.aFac, self.bFac)
+
+    def __repr__(self):
+        return f'ellipse({self.aFac},{self.bFac},{self.theta})'
 
 
 class ball2Complement(interactionDomain):
@@ -308,9 +732,21 @@ class ball2Complement(interactionDomain):
 
 
 interactionFactory = factory()
-interactionFactory.register('fullSpace', fullSpace)
-interactionFactory.register('ball2', ball2, aliases=['ball'])
-interactionFactory.register('ballInf', ballInf)
+interactionFactory.register('fullSpace', fullSpace, aliases=['full'])
+# barycenter/retriangulation aliases: cut cells use exact clipping in 1D and
+# boosted-order indicator quadrature in 2D for BOTH reference modes
+interactionFactory.register('ball2', ball2,
+                            aliases=['ball', 'ball2_retriangulation',
+                                     'ball2_barycenter', '2'])
+interactionFactory.register('ballInf', ballInf,
+                            aliases=['ballInf_retriangulation',
+                                     'ballInf_barycenter', 'inf'])
+interactionFactory.register('ball1', ball1,
+                            aliases=['ball1_retriangulation',
+                                     'ball1_barycenter', '1'])
+interactionFactory.register('ellipse', ellipse,
+                            aliases=['ellipse_retriangulation',
+                                     'ellipse_barycenter'])
 interactionFactory.register('ball2Complement', ball2Complement)
 
 
@@ -347,6 +783,9 @@ def constantIntegrableScaling(kType, interaction, dim, horizon,
                 return 8.0 / np.pi / horizon ** 4 / 2.0
             if isinstance(interaction, ballInf):
                 return 3.0 / 4.0 / horizon ** 4 / 2.0
+            if isinstance(interaction, ball1):
+                # second moment of the diamond |z|_1 < delta is 2 delta^4/3
+                return 3.0 / horizon ** 4 / 2.0
         raise NotImplementedError((kType, dim))
     if kType == PERIDYNAMIC:
         if dim == 1:
@@ -437,6 +876,10 @@ class interfaceTwoPoint:
             w = np.where(~xin & yin, np.where(own(y0), 1.0, 0.0), w)
             w = np.where(~xin & ~yin, 0.0, w)
         return w
+
+
+twoPointFunctionFactory.register('interface', interfaceTwoPoint,
+                                 aliases=['interfaceTwoPoint'])
 
 
 class Kernel:
@@ -632,7 +1075,13 @@ class Kernel:
                 self.boundary, self.symmetric, self.temperedLambda,
                 self.exponentParam, self.monomialPower, self.variance,
                 type(self.interaction).__name__, self.complement,
-                self.phi._key() if self.phi is not None else None)
+                self.phi._key() if self.phi is not None else None,
+                # smooth weights enter the traced eval -> part of identity
+                self.phiJax.__self__._key()
+                if (self.phiJax is not None
+                    and hasattr(getattr(self.phiJax, '__self__', None),
+                                '_key')) else id(self.phiJax)
+                if self.phiJax is not None else None)
 
     def __eq__(self, other):
         return isinstance(other, Kernel) and self._key() == other._key()
@@ -745,7 +1194,10 @@ def getFractionalKernel(dim, s, horizon=np.inf, interaction=None, scaling=None,
     k = FractionalKernel(dim, s, hv, interaction, scaling,
                          normalized=normalized, boundary=boundary)
     if phi is not None:
-        k.phi = phi
+        if getattr(phi, 'smooth', False):
+            k.phiJax = phi.jaxEval
+        else:
+            k.phi = phi
     return k
 
 
@@ -775,7 +1227,10 @@ def getIntegrableKernel(dim, kernel, horizon, interaction=None, scaling=None,
                boundary=boundary, exponentParam=exponentParam,
                variance=gaussian_variance)
     if phi is not None:
-        k.phi = phi
+        if getattr(phi, 'smooth', False):
+            k.phiJax = phi.jaxEval
+        else:
+            k.phi = phi
     return k
 
 

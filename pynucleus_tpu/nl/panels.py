@@ -232,7 +232,7 @@ def classifyPairList(dm, kernel, pi, pj, target_order=None):
     ci = cj = np.zeros(0, dtype=np.int64)
     if kernel.finiteHorizon and len(di):
         di, dj, ci, cj = _horizonScreen(mesh.vertices, cells, centers,
-                                        di, dj, kernel.horizonValue)
+                                        di, dj, kernel)
     orders = distantOrders(dm, kernel, hs, centers, di, dj, mp) \
         if len(di) else np.zeros(0, dtype=np.int64)
     orders = ((orders + 1) // 2) * 2
@@ -284,7 +284,7 @@ def classifyPairsDense(dm, kernel, target_order=None):
     ci = cj = np.zeros(0, dtype=np.int64)
     if kernel.finiteHorizon and len(di):
         di, dj, ci, cj = _horizonScreen(verts, cells, centers, di, dj,
-                                        kernel.horizonValue)
+                                        kernel)
 
     orders = distantOrders(dm, kernel, hs, centers, di, dj, mp) \
         if len(di) else np.zeros(0, dtype=np.int64)
@@ -312,28 +312,43 @@ def _cellDiameter(verts, cells):
     return h
 
 
-def _horizonScreen(verts, cells, centers, di, dj, hv):
+def _horizonScreen(verts, cells, centers, di, dj, kernelOrHv):
     """Split non-touching pairs into fully-within-horizon (di, dj) and
     horizon-cut (ci, cj); pairs entirely beyond the horizon are dropped
-    (ref getPanelType IGNORED, interactionDomains ball2:getRelativePosition).
+    (ref getPanelType IGNORED, interactionDomains getRelativePosition).
+
+    For non-Euclidean interaction balls (ballInf/ball1/ellipse) the screen
+    uses the enclosed/enclosing Euclidean radii ball2(rIn) <= interaction <=
+    ball2(rOut): pairs with dmin >= rOut cannot interact, pairs with
+    dmax < rIn interact fully, everything between is treated as cut (the
+    cut-pair quadrature applies the exact indicator pointwise).
 
     A cheap center-distance screen with cell radii r = max|v - center|
     bounds dc - ri - rj <= dmin <= dmax <= dc + ri + rj, so the exact
     O(nv^2) vertex-pair distances are only computed on the ambiguous band
     around the horizon -- avoids materializing [P, nv, nv, dim] temporaries
     for all cell pairs."""
+    if np.isscalar(kernelOrHv):
+        rIn = rOut = kernelOrHv
+    else:
+        kernel = kernelOrHv
+        hv = kernel.horizonValue
+        dim = verts.shape[1]
+        inter = kernel.interaction
+        rIn = inter.innerRadius2(hv, dim)
+        rOut = inter.outerRadius2(hv, dim)
     radii = np.linalg.norm(
         verts[cells] - centers[:, None, :], axis=-1).max(axis=1)
     dc = np.linalg.norm(centers[di] - centers[dj], axis=-1)
     rsum = radii[di] + radii[dj]
-    sureIgnored = dc - rsum >= hv          # implies dmin >= hv
-    sureInside = dc + rsum < hv            # implies dmax < hv
+    sureIgnored = dc - rsum >= rOut        # implies dmin >= rOut
+    sureInside = dc + rsum < rIn           # implies dmax < rIn
     band = ~(sureIgnored | sureInside)
     bi, bj = di[band], dj[band]
     dmin = _pairMinDistance(verts, cells, bi, bj)
     dmax = _pairMaxDistance(verts, cells, bi, bj)
-    keep = dmin < hv
-    cut = keep & (dmax >= hv)
+    keep = dmin < rOut
+    cut = keep & (dmax >= rIn)
     bandFull = keep & ~cut
     full = np.zeros(len(di), dtype=bool)
     full[~band] = sureInside[~band]
