@@ -204,6 +204,18 @@ def _chunk_size(chunk):
     return c
 
 
+class _DiagAccumulator:
+    """Accumulate only the diagonal entries (ref getDiagonal pxi:2269)."""
+
+    def __init__(self, N):
+        self.N = N
+        self.diag = np.zeros(N + 1, dtype=REAL)
+
+    def add(self, rows, cols, vals):
+        sel = (rows == cols) & (rows >= 0)
+        np.add.at(self.diag, rows[sel], np.asarray(vals)[sel])
+
+
 class DenseAccumulator:
     """Accumulate (row, col, val) into a dense [N+1, N+1] with dump slot."""
 
@@ -794,7 +806,32 @@ class nonlocalBuilder:
         self._runPairBuckets(acc, info)
         if self.zeroExterior:
             self._addZeroExterior(acc)
-        return acc.result()
+        A = acc.result()
+        if trySparsification:
+            # drop explicit zeros if the matrix is sparse enough
+            # (ref getDense trySparsification, pxi:1452-1480)
+            arr = np.asarray(A.toarray())
+            nnzRatio = np.count_nonzero(arr) / max(arr.size, 1)
+            if nnzRatio < 0.9:
+                import scipy.sparse as sp
+                As = sp.csr_matrix(arr)
+                from ..base.linear_operators import CSR_LinearOperator
+                return CSR_LinearOperator.from_scipy(As)
+        return A
+
+    def getDiagonal(self):
+        """Diagonal of the dense operator without materializing it
+        (ref getDiagonal pxi:2269)."""
+        N = self.dm.num_dofs
+        from .panels import classifyPairsDense
+        info = self._makeRules(classifyPairsDense(
+            self.dm, self.kernel, target_order=self.params.get('target_order')))
+        acc = _DiagAccumulator(N)
+        self._runPairBuckets(acc, info)
+        if self.zeroExterior:
+            self._addZeroExterior(acc)
+        from ..base.linear_operators import Diagonal_LinearOperator
+        return Diagonal_LinearOperator(jnp.asarray(acc.diag[:N]))
 
     # ----------------------------------------------------------- sparse ---
     def _nearCellPairs(self, S):
@@ -1149,6 +1186,88 @@ class nonlocalBuilder:
 
         return acc.result()
 
+    def _getComplementCross(self):
+        """Pure cross operator of the complement kernel:
+        Cross_ij = -2 int int psi_i(x) psi_j(y) gamma(x,y) 1_{|x-y|>delta}
+        (the correction operator of ref horizonCorrected,
+        nonlocalAssembly.pyx:243-247; gamma_c is bounded and vanishes inside
+        the horizon, so every pair uses smooth tensor quadrature with the
+        complement indicator on ring-cut pairs)."""
+        from .panels import (_pairMinDistance, _pairMaxDistance,
+                             orderModelParams, distantOrders, _cellDiameter)
+        kernel = self.kernel
+        assert kernel.complement
+        dm, mesh = self.dm, self.mesh
+        N = dm.num_dofs
+        cells = mesh.cells
+        verts = mesh.vertices
+        dofs = dm.dofs
+        dpe = dm.dofs_per_element
+        hv = kernel.horizonValue
+        C = mesh.num_cells
+        iu, ju = np.triu_indices(C, k=0)
+        dmin = _pairMinDistance(verts, cells, iu, ju)
+        dmax = _pairMaxDistance(verts, cells, iu, ju)
+        keep = dmax > hv
+        iu, ju, dmin = iu[keep], ju[keep], dmin[keep]
+        cut = dmin < hv
+        mp = orderModelParams(dm, kernel, self.params.get('target_order'))
+        centers = verts[cells].mean(axis=1)
+        hs = _cellDiameter(verts, cells)
+        acc = DenseAccumulator(N)
+        runner = _BucketRunner(verts, kernel,
+                               dtype=self.params.get('dtype'))
+        emBlock = np.zeros((2 * dpe, 2 * dpe), dtype=bool)
+        emBlock[:dpe, dpe:] = True
+        emBlock[dpe:, :dpe] = True
+        for isCut in (False, True):
+            sel = cut == isCut
+            ii, jj = iu[sel], ju[sel]
+            if len(ii) == 0:
+                continue
+            orders = distantOrders(dm, kernel, hs, centers, ii, jj, mp) \
+                if len(ii) else np.zeros(0, dtype=np.int64)
+            orders = ((orders + 1) // 2) * 2
+            if isCut:
+                orders = np.minimum(orders + 4, 20)
+            else:
+                orders = np.minimum(orders, 16)
+            for order in np.unique(orders):
+                osel = orders == order
+                oi, oj = ii[osel], jj[osel]
+                rule = distantRule(int(order), mesh.manifold_dim)
+                PSI = rule.buildPSI(dm, nSharedVertices=0)
+                vols = mesh.simplexVolumes()
+                dr = np.concatenate([dofs[oi], dofs[oj]], axis=1)
+                vs = vols[oi] * vols[oj] * 2.0
+                em = np.broadcast_to(emBlock, (len(oi),) + emBlock.shape)
+                runner.run(acc, rule, PSI, cells[oi], cells[oj], dr, vs,
+                           entryMask=em)
+        return acc.result()
+
+    def getH2FiniteHorizon(self):
+        """Finite-horizon operator as infinite-horizon H2 + corrections
+        (ref getH2FiniteHorizon pxi:3221 -> horizonCorrected
+        nonlocalAssembly.pyx:182-260):
+            A_delta = A_inf - Cross(gamma_c) - c_tot * Mass
+        with Cross the complement cross operator and
+        c_tot = 2 int_{|z|>delta} gamma(z) dz (the diagonal of the
+        complement form; constant for constant s)."""
+        kernel = self.kernel
+        assert kernel.finiteHorizon
+        assert hasattr(kernel.s, 'value'), \
+            'H2corrected requires a constant fractional order'
+        from .kernels import getFractionalKernel
+        from ..fem.assembly import assembleMass
+        infKernel = getFractionalKernel(self.dm.mesh.dim, kernel.s.value,
+                                        horizon=np.inf, scaling=0.5)
+        Sinf = nonlocalBuilder(self.dm, infKernel, params=self.params,
+                               zeroExterior=True).getH2()
+        mass = assembleMass(self.dm)
+        A = horizonCorrected(self.dm, Sinf, mass)
+        A.setKernel(kernel, params=self.params)
+        return A
+
     def _getKernelJumps(self):
         """Interior facets where the cell-centered kernel order jumps:
         [(facetVerts, unitNormal, cell1, cell2)]
@@ -1461,6 +1580,85 @@ class nonlocalBuilder:
 
 
 
+class horizonCorrected:
+    """Finite-horizon fractional operator represented as
+    A(delta) = 2 C(delta) * S_inf - Cross - c_tot * Mass
+    (ref nonlocalAssembly.pyx:182-260 horizonCorrected).  `setKernel`
+    switches delta/C cheaply: S_inf is reused, only the complement cross
+    operator is reassembled."""
+
+    def __init__(self, dm, Sinf, mass):
+        self.dm = dm
+        self.Sinf = Sinf        # UNSCALED (scaling=1/2) infinite-horizon H2
+        self.mass = mass
+        self.kernel = None
+        self.num_rows = self.num_columns = dm.num_dofs
+        self._crossCache = {}
+
+    def setKernel(self, kernel, params=None):
+        assert hasattr(kernel.s, 'value')
+        self.kernel = kernel
+        hv = kernel.horizonValue
+        C = kernel.scalingValue
+        s = kernel.s.value
+        d = self.dm.mesh.dim
+        key = (round(hv, 14), round(C, 14), round(s, 14))
+        if key not in self._crossCache:
+            complementKernel = kernel.getComplementKernel()
+            b = nonlocalBuilder(self.dm, complementKernel, params=params,
+                                zeroExterior=False)
+            self._crossCache[key] = b._getComplementCross()
+        self.Cross = self._crossCache[key]
+        surf = {1: 2.0, 2: 2.0 * np.pi, 3: 4.0 * np.pi}[d]
+        # c_tot = 2 * int_{|z|>delta} C |z|^{-d-2s} dz
+        self.c_tot = C * surf * hv ** (-2.0 * s) / s
+        self.facS = 2.0 * C
+
+    def matvec(self, x):
+        x = jnp.asarray(x)
+        return (self.facS * (self.Sinf @ x) - (self.Cross @ x)
+                - self.c_tot * (self.mass @ x))
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+    def __mul__(self, x):
+        return self.matvec(x)
+
+    @property
+    def diagonal(self):
+        return (self.facS * jnp.asarray(self.Sinf.diagonal)
+                - jnp.asarray(self.Cross.diagonal)
+                - self.c_tot * jnp.asarray(self.mass.diagonal))
+
+    def toarray(self):
+        return (self.facS * np.asarray(self.Sinf.toarray())
+                - np.asarray(self.Cross.toarray())
+                - self.c_tot * np.asarray(self.mass.toarray()))
+
+    def __repr__(self):
+        return '<horizonCorrected {}x{} delta={}>'.format(
+            self.num_rows, self.num_rows,
+            self.kernel.horizonValue if self.kernel else None)
+
+
+jax.tree_util.register_pytree_node(
+    horizonCorrected,
+    lambda op: ((op.Sinf, op.Cross, op.mass, op.facS, op.c_tot), None),
+    lambda aux, ch: _horizonCorrectedFromParts(*ch))
+
+
+def _horizonCorrectedFromParts(Sinf, Cross, mass, facS, c_tot):
+    obj = object.__new__(horizonCorrected)
+    obj.Sinf = Sinf
+    obj.Cross = Cross
+    obj.mass = mass
+    obj.facS = facS
+    obj.c_tot = c_tot
+    obj.kernel = None
+    return obj
+
+
 def _cellSetBoundary(mesh, cellSet):
     """Facets of the boundary of a cell subset, with outward normals
     (ref nonlocalAssembly boundaryVertices/boundaryEdges helpers).
@@ -1521,8 +1719,14 @@ def assembleNonlocal(dm, kernel, matrixFormat='dense', zeroExterior=True,
     fmt = matrixFormat.lower()
     if fmt == 'dense':
         return builder.getDense()
+    if fmt == 'sparsified':
+        return builder.getDense(trySparsification=True)
+    if fmt == 'diagonal':
+        return builder.getDiagonal()
     if fmt == 'sparse':
         return builder.getSparse()
     if fmt == 'h2':
         return builder.getH2()
+    if fmt == 'h2corrected':
+        return builder.getH2FiniteHorizon()
     raise NotImplementedError(matrixFormat)

@@ -918,7 +918,9 @@ class Kernel:
 
     @property
     def finiteHorizon(self):
-        return self.horizonValue != np.inf
+        """Bounded interaction support: complement kernels have a finite
+        horizon VALUE but unbounded support |x-y| > horizon."""
+        return self.horizonValue != np.inf and not self.complement
 
     def getSingularityValue(self):
         return self.singularityValue
@@ -1022,6 +1024,8 @@ class Kernel:
                 val = val * float(self.phi.evalPairs(x, y)[0])
             return val
         if self.finiteHorizon and r2 > self.horizonValue ** 2:
+            val = 0.0
+        if self.complement and r2 < self.horizonValue ** 2:
             val = 0.0
         if self.phi is not None:
             val = val * float(self.phi.evalPairs(x, y)[0])
@@ -1166,6 +1170,10 @@ class FractionalKernel(Kernel):
     def getModifiedKernel(self, horizon=None, interaction=None):
         if horizon is not None:
             hv = horizon.value if hasattr(horizon, 'value') else float(horizon)
+            if hv == self.horizonValue:
+                # unchanged horizon: keep the kernel's scaling (it may be a
+                # custom constant, e.g. the unscaled S_inf of horizonCorrected)
+                return super().getModifiedKernel(None, interaction)
             inter = interaction
             if hv == np.inf:
                 inter = fullSpace()
