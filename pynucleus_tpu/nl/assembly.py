@@ -93,6 +93,46 @@ def _bucket_contrib(vertices, vertIdx1, vertIdx2, volsym,
 
 @partial(jax.jit, static_argnames=('kernel', 'nPSI'),
          donate_argnums=(0,))
+def _bucket_natural_scatter_scan(A, vertices, cellsArr, dofsArr, volsArr,
+                                 di, dj, symfac, bary_x, bary_y, w, PSIP,
+                                 kernel=None, nPSI=None):
+    """Whole bucket in ONE device launch: di/dj/symfac arrive pre-chunked
+    [nChunks, chunkP] and a lax.scan walks the chunks on device.  Built for
+    the high-latency TPU tunnel -- per-launch round trips dominated the
+    chunked host loop (256 launches at 1M-dof scale)."""
+    N = A.shape[0] - 1
+    dpe = dofsArr.shape[1]
+
+    def body(Acc, chunk):
+        dic, djc, sfc = chunk
+        v1 = vertices[cellsArr[dic]]
+        v2 = vertices[cellsArr[djc]]
+        x = jnp.einsum('pvd,vq->pqd', v1, bary_x)
+        y = jnp.einsum('pvd,vq->pqd', v2, bary_y)
+        r2 = jnp.sum((x - y) ** 2, axis=-1)
+        g = _radial_eval(kernel, r2, x, y)
+        if kernel.finiteHorizon or kernel.complement:
+            g = g * kernel.interaction.jaxIndicator(
+                x, y, kernel.horizonValue ** 2)
+        vols = volsArr[dic] * volsArr[djc] * sfc
+        t = (g * w[None, :]) * vols[:, None]
+        M = t @ PSIP
+        if nPSI == dpe:
+            dr = dofsArr[dic]
+        else:
+            dr = jnp.concatenate([dofsArr[dic], dofsArr[djc]], axis=1)
+        rows = jnp.where(dr >= 0, dr, N)
+        P = rows.shape[0]
+        rb = jnp.broadcast_to(rows[:, :, None], (P, nPSI, nPSI)).reshape(-1)
+        cb = jnp.broadcast_to(rows[:, None, :], (P, nPSI, nPSI)).reshape(-1)
+        return Acc.at[rb, cb].add(M.reshape(-1)), None
+
+    A, _ = jax.lax.scan(body, A, (di, dj, symfac))
+    return A
+
+
+@partial(jax.jit, static_argnames=('kernel', 'nPSI'),
+         donate_argnums=(0,))
 def _bucket_natural_scatter(A, vertices, cellsArr, dofsArr, volsArr,
                             di, dj, symfac, bary_x, bary_y, w, PSIP,
                             kernel=None, nPSI=None):
@@ -365,7 +405,8 @@ class _BucketRunner:
 
     def runNatural(self, acc, rule, PSI, di, dj, symfac):
         # Fast path for id/distant buckets in natural dof order with a
-        # device accumulator: only (di, dj) cross the link.
+        # device accumulator: only (di, dj) cross the link, the whole bucket
+        # runs as ONE launch (lax.scan over fixed-size chunks on device).
         P = len(di)
         if P == 0:
             return
@@ -376,22 +417,19 @@ class _BucketRunner:
         nPSI = PSI.shape[0]
         Q = rule.num_nodes
         maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)), 256)
-        start = 0
-        while start < P:
-            chunk = min(maxP, P - start)
-            csize = _chunk_size(chunk)
-            sl = slice(start, start + chunk)
-            dip = _pad(np.asarray(di[sl]), csize, fill=0)
-            djp = _pad(np.asarray(dj[sl]), csize, fill=0)
-            sf = np.full(csize, float(symfac))
-            sf[chunk:] = 0.0
-            acc.A = _bucket_natural_scatter(
-                acc.A, self.vertices, self.cellsDev, self.dofsDev,
-                self.volsDev, jnp.asarray(dip, dtype=INDEX),
-                jnp.asarray(djp, dtype=INDEX),
-                jnp.asarray(sf, dtype=self.dtype),
-                bary_x, bary_y, w, PSIP, kernel=self.kernel, nPSI=nPSI)
-            start += chunk
+        chunk = _chunk_size(min(maxP, P))
+        nChunks = (P + chunk - 1) // chunk
+        total = nChunks * chunk
+        dip = _pad(np.asarray(di), total, fill=0).reshape(nChunks, chunk)
+        djp = _pad(np.asarray(dj), total, fill=0).reshape(nChunks, chunk)
+        sf = np.full(total, float(symfac))
+        sf[P:] = 0.0
+        acc.A = _bucket_natural_scatter_scan(
+            acc.A, self.vertices, self.cellsDev, self.dofsDev,
+            self.volsDev, jnp.asarray(dip, dtype=INDEX),
+            jnp.asarray(djp, dtype=INDEX),
+            jnp.asarray(sf.reshape(nChunks, chunk), dtype=self.dtype),
+            bary_x, bary_y, w, PSIP, kernel=self.kernel, nPSI=nPSI)
 
     def run(self, acc, rule, PSI, vertIdx1, vertIdx2, dofRows, volsym,
             normals=None, entryMask=None, PHI=None, yOffset=None):

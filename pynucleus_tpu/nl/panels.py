@@ -105,30 +105,48 @@ def _cellAdjacency(cells, num_vertices):
                     axis=1)
 
 
+def _sharedPermFromEq(eq):
+    """Permutations for one vertex-match matrix eq [nv1, nv2]."""
+    nv1, nv2 = eq.shape
+    shared1, shared2 = [], []
+    used2 = set()
+    for a in range(nv1):
+        for b in range(nv2):
+            if b in used2:
+                continue
+            if eq[a, b]:
+                shared1.append(a)
+                shared2.append(b)
+                used2.add(b)
+                break
+    rest1 = [a for a in range(nv1) if a not in shared1]
+    rest2 = [b for b in range(nv2) if b not in used2]
+    return (len(shared1),
+            np.array(shared1 + rest1, dtype=np.int64),
+            np.array(shared2 + rest2, dtype=np.int64))
+
+
 def _sharedVertices(cells, pairs):
     """For cell pairs, the matched local vertex indices.
-    Returns list of (nShared, perm1, perm2) per pair."""
-    out = []
-    for (i, j) in pairs:
-        c1 = cells[i]
-        c2 = cells[j]
-        shared1, shared2 = [], []
-        used2 = set()
-        for a, v1 in enumerate(c1):
-            for b, v2 in enumerate(c2):
-                if b in used2:
-                    continue
-                if v1 == v2:
-                    shared1.append(a)
-                    shared2.append(b)
-                    used2.add(b)
-                    break
-        rest1 = [a for a in range(len(c1)) if a not in shared1]
-        rest2 = [b for b in range(len(c2)) if b not in used2]
-        out.append((len(shared1),
-                    np.array(shared1 + rest1, dtype=np.int64),
-                    np.array(shared2 + rest2, dtype=np.int64)))
-    return out
+    Returns list of (nShared, perm1, perm2) per pair.
+
+    Vectorized: the boolean vertex-match matrix has only a handful of
+    distinct patterns over all pairs, so the python permutation logic runs
+    once per pattern instead of once per pair."""
+    if len(pairs) == 0:
+        return []
+    pairs = np.asarray(pairs)
+    c1 = cells[pairs[:, 0]]                       # [T, nv]
+    c2 = cells[pairs[:, 1]]
+    eq = c1[:, :, None] == c2[:, None, :]         # [T, nv, nv]
+    T, nv1, nv2 = eq.shape
+    sig = np.packbits(eq.reshape(T, -1), axis=1)
+    uniq, inv = np.unique(sig, axis=0, return_inverse=True)
+    lut = []
+    for u in range(uniq.shape[0]):
+        k = int(np.argmax(inv == u))
+        lut.append(_sharedPermFromEq(eq[k]))
+    return [lut[i] for i in inv]
 
 
 def orderModelParams(dm, kernel, target_order=None):
