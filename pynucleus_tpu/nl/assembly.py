@@ -187,6 +187,105 @@ def _bucket_contrib_nonsym(vertices, vertIdx1, vertIdx2, volsym,
 
 
 @partial(jax.jit, static_argnames=('kernel', 'dpe'))
+def _bucket_cut2d_polar(vertices, vi1, vi2, vols1, bary_x, wx,
+                        thetas, wtheta, rq, wr, exps, Vinv,
+                        horizon, kernel=None, dpe=None):
+    """2D pairs cut by the L2 horizon ball: EXACT geometric clipping.
+
+    For each x quadrature point of cell1, the y-integral over
+    cell2 n B(x, delta) is taken in polar coordinates around x: the angular
+    Gauss rule is mapped onto the window subtended by cell2 from x (the
+    integrand vanishes continuously at the window ends), and per angle the
+    ray's entry/exit distances through the (convex) triangle are solved
+    exactly with the radial Gauss rule mapped onto
+    [r_in, min(r_out, delta)].  Smooth integrand, no indicator jump
+    (replaces the reference's chord sub-triangulation,
+    interactionDomains.pyx startLoopSubSimplices_*; fully batched here).
+
+    `thetas`/`wtheta` are gauss01 nodes/weights on [0, 1].
+
+    Returns M [P, (2 dpe)^2] local pair matrices (x-cell dofs first).
+    """
+    v1 = vertices[vi1]                             # [P, 3, 2]
+    v2 = vertices[vi2]
+    x = jnp.einsum('pvd,vq->pqd', v1, bary_x)      # [P, Qx, 2]
+    # shape functions of cell1 at x (static table)
+    mono1 = jnp.prod(bary_x.T[:, None, :] ** exps[None, :, :], axis=-1)
+    PHI1 = (mono1 @ Vinv).T                        # [dpe, Qx]
+
+    # angular window of cell2 seen from x: vertex angles recentred around
+    # the centroid direction (x is outside the triangle -> window < pi)
+    cen = v2.mean(axis=1)                           # [P, 2]
+    relC = cen[:, None, :] - x                      # [P, Qx, 2]
+    angC = jnp.arctan2(relC[..., 1], relC[..., 0])  # [P, Qx]
+    relV = v2[:, None, :, :] - x[:, :, None, :]     # [P, Qx, 3, 2]
+    angV = jnp.arctan2(relV[..., 1], relV[..., 0])
+    dAng = jnp.mod(angV - angC[..., None] + np.pi, 2 * np.pi) - np.pi
+    thLo = angC + dAng.min(axis=-1)                 # [P, Qx]
+    thHi = angC + dAng.max(axis=-1)
+    th = thLo[..., None] + (thHi - thLo)[..., None] * thetas  # [P, Qx, Qt]
+    wth = (thHi - thLo)[..., None] * wtheta                   # [P, Qx, Qt]
+    d = jnp.stack([jnp.cos(th), jnp.sin(th)], axis=-1)        # [P,Qx,Qt,2]
+
+    # ray-edge intersections: edges (a, b) of cell2
+    A_ = v2                                        # [P, 3, 2]
+    B_ = jnp.roll(v2, -1, axis=1)
+    E = B_ - A_                                    # [P, 3, 2]
+    # solve x + t d = a + u e per (P, Qx, Qt, edge)
+    ax = A_[:, None, None, :, :] - x[:, :, None, None, :]   # [P,Qx,Qt,3,2]
+    dd = d[:, :, :, None, :]
+    ee = E[:, None, None, :, :]
+    denom = dd[..., 0] * ee[..., 1] - dd[..., 1] * ee[..., 0]
+    safe = jnp.where(jnp.abs(denom) > 1e-14, denom, 1.0)
+    t = (ax[..., 0] * ee[..., 1] - ax[..., 1] * ee[..., 0]) / safe
+    u = (ax[..., 0] * dd[..., 1] - ax[..., 1] * dd[..., 0]) / safe
+    valid = (jnp.abs(denom) > 1e-14) & (u >= -1e-12) & (u <= 1 + 1e-12) \
+        & (t > 0)
+    tIn = jnp.min(jnp.where(valid, t, np.inf), axis=-1)     # [P, Qx, Qt]
+    tOut = jnp.max(jnp.where(valid, t, -np.inf), axis=-1)
+    hits = valid.sum(axis=-1) >= 2
+    rLo = jnp.where(hits, tIn, 0.0)
+    rHi = jnp.where(hits, jnp.minimum(tOut, horizon), 0.0)
+    rHi = jnp.maximum(rHi, rLo)
+
+    # radial rule mapped to [rLo, rHi]
+    r = rLo[..., None] + (rHi - rLo)[..., None] * rq        # [P,Qx,Qt,Qr]
+    wrad = (rHi - rLo)[..., None] * wr                      # scaled weights
+    y = x[:, :, None, None, :] + r[..., None] * d[:, :, :, None, :]
+
+    r2 = r ** 2
+    g = _radial_eval(kernel, r2, x[:, :, None, None, :], y)
+
+    # cell2 barycentric coords of y (affine inverse per pair)
+    span = jnp.stack([v2[:, 1] - v2[:, 0], v2[:, 2] - v2[:, 0]], axis=2)
+    det = span[:, 0, 0] * span[:, 1, 1] - span[:, 0, 1] * span[:, 1, 0]
+    inv = jnp.stack([
+        jnp.stack([span[:, 1, 1], -span[:, 0, 1]], axis=1),
+        jnp.stack([-span[:, 1, 0], span[:, 0, 0]], axis=1)], axis=1) \
+        / det[:, None, None]
+    rel = y - v2[:, None, None, None, 0, :]
+    xi = jnp.einsum('pqtrd,ped->pqtre', rel, inv)
+    bary2 = jnp.concatenate([1.0 - xi.sum(-1, keepdims=True), xi], axis=-1)
+    mono2 = jnp.prod(bary2[..., None, :] ** exps[None, None, None, None, :, :],
+                     axis=-1)
+    PHI2 = jnp.einsum('pqtrm,mk->pqtrk', mono2, Vinv)       # [...,dpe]
+
+    # weights: wx (volume rule, sum 1 -> scale by 2*vol1) x wth x wrad x r
+    W = (g * r * wrad) * wth[..., None]
+    W = W * wx[None, :, None, None]
+    # local matrix: Psi_k = [phi1_k(x); -phi2_k(y)]
+    # blocks: (1,1): sum W phi1_i phi1_j ; (1,2): -sum W phi1_i phi2_j ; etc
+    s11 = jnp.einsum('pqtr,iq,jq->pij', W, PHI1, PHI1)
+    s12 = -jnp.einsum('pqtr,iq,pqtrj->pij', W, PHI1, PHI2)
+    s22 = jnp.einsum('pqtr,pqtri,pqtrj->pij', W, PHI2, PHI2)
+    M = jnp.concatenate([
+        jnp.concatenate([s11, s12], axis=2),
+        jnp.concatenate([jnp.swapaxes(s12, 1, 2), s22], axis=2)], axis=1)
+    M = M * (2.0 * vols1)[:, None, None]
+    return M.reshape(M.shape[0], -1)
+
+
+@partial(jax.jit, static_argnames=('kernel', 'dpe'))
 def _bucket_cut1d(vertices, vi1, vi2, vols1, tq, wq, ur, wr,
                   exps, Vinv, horizon, kernel=None, dpe=None):
     # 1D horizon-cut pairs by EXACT interval clipping (the 1D analogue of
@@ -767,6 +866,43 @@ class nonlocalBuilder:
         phi = getattr(kernel, 'phi', None)
         centersC = mesh.vertices[cells].mean(axis=1) if phi is not None \
             else None
+        if mdim == 2 and kernel.symmetric and \
+                type(kernel.interaction).__name__ == 'ball2':
+            # exact polar clipping for the L2 ball (see _bucket_cut2d_polar)
+            from ..fem.quadrature import simplexDuffy, gauss01
+            exps = jnp.asarray(dm.evalPhi.monomialExps, dtype=REAL) \
+                if dm.polynomialOrder > 0 else jnp.zeros((1, 3))
+            Vinv = jnp.asarray(dm.evalPhi.Vinv) \
+                if dm.polynomialOrder > 0 else jnp.ones((1, 1))
+            vertices = jnp.asarray(mesh.vertices)
+            for order in np.unique(orders):
+                sel = orders == order
+                ii, jj = ci[sel], cj[sel]
+                oX = max(int(order) // 2, 4)
+                bary_x, wx = simplexDuffy(oX, 2)
+                thetas, wtheta = gauss01(max(int(order) // 2 + 2, 6))
+                rq, wr = gauss01(max(int(order) // 2, 4))
+                M = _bucket_cut2d_polar(
+                    vertices, jnp.asarray(cells[ii], dtype=INDEX),
+                    jnp.asarray(cells[jj], dtype=INDEX),
+                    jnp.asarray(vols[ii]),
+                    jnp.asarray(bary_x.T.copy()), jnp.asarray(wx),
+                    jnp.asarray(thetas), jnp.asarray(wtheta),
+                    jnp.asarray(rq), jnp.asarray(wr), exps, Vinv,
+                    kernel.horizonValue, kernel=kernel, dpe=dpe)
+                M = np.asarray(M).reshape(len(ii), 2 * dpe, 2 * dpe)
+                if phi is not None:
+                    M = M * phi.evalPairs(centersC[ii],
+                                          centersC[jj])[:, None, None]
+                dr = np.concatenate([dofs[ii], dofs[jj]], axis=1)
+                rb = np.broadcast_to(dr[:, :, None], M.shape)
+                cb = np.broadcast_to(dr[:, None, :], M.shape)
+                if maskLookup is not None:
+                    em = np.stack([maskLookup[(min(a, b), max(a, b))]
+                                   for a, b in zip(ii.tolist(), jj.tolist())])
+                    rb = np.where(em, rb, DROP)
+                acc.add(rb.reshape(-1), cb.reshape(-1), M.reshape(-1))
+            return
         if mdim != 1 or not kernel.symmetric:
             # fallback: indicator mode (barycenter-type accuracy)
             runner = _BucketRunner(mesh.vertices, kernel,
