@@ -111,5 +111,7 @@ def test_square_constant_dense():
          '--problem', 'poly-Dirichlet', '--element', 'P1',
          '--solverType', 'cg-mg', '--matrixFormat', 'dense'])
     got = d.outputGroups['errors'].toDict()
-    # our pinned value (reference chord-retriangulation cache: 1.204e-2)
-    assert np.isclose(got['L2 error interpolated'], 6.637762e-3, rtol=3e-2)
+    # our pinned value with the windowed polar-ray cut cells (reference
+    # chord-retriangulation cache: 1.204e-2; boosted-order indicator
+    # quadrature gave 6.638e-3)
+    assert np.isclose(got['L2 error interpolated'], 3.106621e-3, rtol=3e-2)
