@@ -29,7 +29,7 @@ import scipy.sparse as sp
 from ..config import REAL, INDEX
 from ..base.linear_operators import Dense_LinearOperator, CSR_LinearOperator
 from .panels import (classifyPairsDense, classifyBoundaryPairs,
-                     permuteLocalDofs)
+                     permuteLocalDofs, _sharedPermFromEq)
 from .quad_singular import (sameCellRule1D, vertexRule1D, distantRule,
                             boundaryVertexRule1D, boundaryDistantRule)
 
@@ -341,6 +341,42 @@ def _chunk_size(chunk):
     while c < chunk:
         c *= 4
     return c
+
+
+@partial(jax.jit, static_argnames=('kernel',))
+def _farFieldBlocks(gi, gj, kernel=None):
+    """K[p, a, b] = gamma(gi[p, a], gj[p, b]) for batched Chebyshev grids
+    (ref assembleFarFieldInteractions clusterMethodCy.pyx:2153)."""
+    return kernel.jaxEval(gi[:, :, None, :], gj[:, None, :, :])
+
+
+class _MaskTable:
+    """Deduplicated per-cell-pair entry masks keyed by lo * C + hi
+    (replaces the ref tupleDictMASK machinery); supports dict-style single
+    lookup and vectorized batch lookup."""
+
+    def __init__(self, keys, masks, C):
+        self.keys = keys          # sorted [K]
+        self.masks = masks        # [K, 2dpe, 2dpe] bool
+        self.C = C
+
+    def pairs(self):
+        return self.keys // self.C, self.keys % self.C
+
+    def lookup(self, ii, jj):
+        """Vectorized mask fetch for (unordered) cell pairs known to be in
+        the table."""
+        ii = np.asarray(ii)
+        jj = np.asarray(jj)
+        k = np.minimum(ii, jj) * self.C + np.maximum(ii, jj)
+        pos = np.searchsorted(self.keys, k)
+        return self.masks[pos]
+
+    def __getitem__(self, key):
+        i, j = key
+        k = min(i, j) * self.C + max(i, j)
+        pos = int(np.searchsorted(self.keys, k))
+        return self.masks[pos]
 
 
 class _DiagAccumulator:
@@ -726,8 +762,7 @@ class nonlocalBuilder:
                     continue
                 em = None
                 if maskLookup is not None:
-                    em = np.stack([maskLookup[(c, c)][:dpe, :dpe]
-                                   for c in idsS])
+                    em = maskLookup.lookup(idsS, idsS)[:, :dpe, :dpe]
                 vsId = dets[idsS] ** 2
                 if phi is not None:
                     w = phi.evalPairs(centers[idsS], centers[idsS])
@@ -768,39 +803,54 @@ class nonlocalBuilder:
             vs = np.zeros(reps * P)
             em = np.zeros((reps * P, 2 * dpe, 2 * dpe), dtype=bool) \
                 if maskLookup is not None else None
-            for out_k, k in enumerate(idxs):
-                i, j = pairs[k]
-                _, perm1, perm2 = sharedInfo[k]
+            idxsArr = np.asarray(idxs)
+            ii = pairs[idxsArr, 0]
+            jj = pairs[idxsArr, 1]
+            # group by the shared-vertex permutation signature: all pair
+            # geometry/dof gathers vectorize per group (few distinct perms)
+            permSig = np.stack([np.concatenate([sharedInfo[k][1],
+                                                sharedInfo[k][2]])
+                                for k in idxs])
+            uniqSig, sigInv = np.unique(permSig, axis=0, return_inverse=True)
+            baseMask = maskLookup.lookup(ii, jj) \
+                if maskLookup is not None else None
+            phiW = phi.evalPairs(centers[ii], centers[jj]) \
+                if phi is not None else None
+            for g in range(uniqSig.shape[0]):
+                gsel = np.nonzero(sigInv == g)[0]
+                perm1 = uniqSig[g, :nv]
+                perm2 = uniqSig[g, nv:]
                 ld1 = permuteLocalDofs(dm, perm1)
                 ld2 = permuteLocalDofs(dm, perm2)
-                vi1[out_k] = cells[i][perm1]
-                vi2[out_k] = cells[j][perm2]
-                dr[out_k, :dpe] = dofs[i][ld1]
-                dr[out_k, dpe:] = dofs[j][ld2]
-                dr[out_k, dpe:][sharedMask] = DROP
-                vs[out_k] = dets[i] * dets[j] * (2.0 if sym else 1.0)
-                if phi is not None:
-                    vs[out_k] *= phi.evalPairs(centers[i:i + 1],
-                                               centers[j:j + 1])[0]
+                gi, gj = ii[gsel], jj[gsel]
+                vi1[gsel] = cells[gi][:, perm1]
+                vi2[gsel] = cells[gj][:, perm2]
+                dr[np.ix_(gsel, np.arange(dpe))] = dofs[gi][:, ld1]
+                drj = dofs[gj][:, ld2].copy()
+                drj[:, sharedMask] = DROP
+                dr[np.ix_(gsel, dpe + np.arange(dpe))] = drj
+                vs[gsel] = dets[gi] * dets[gj] * (2.0 if sym else 1.0)
+                if phiW is not None:
+                    vs[gsel] *= phiW[gsel]
                 if em is not None:
                     ldFull = np.concatenate([ld1, dpe + ld2])
-                    em[out_k] = maskLookup[(i, j)][np.ix_(ldFull, ldFull)]
+                    em[gsel] = baseMask[gsel][:, ldFull][:, :, ldFull]
                 if not sym:
-                    o2 = P + out_k
-                    vi1[o2] = cells[j][perm2]
-                    vi2[o2] = cells[i][perm1]
-                    dr[o2, :dpe] = dofs[j][ld2]
-                    dr[o2, dpe:] = dofs[i][ld1]
-                    dr[o2, dpe:][sharedMask] = DROP
-                    vs[o2] = dets[i] * dets[j]
-                    if phi is not None:
-                        vs[o2] *= phi.evalPairs(centers[i:i + 1],
-                                                centers[j:j + 1])[0]
+                    o2 = P + gsel
+                    vi1[o2] = cells[gj][:, perm2]
+                    vi2[o2] = cells[gi][:, perm1]
+                    dr[np.ix_(o2, np.arange(dpe))] = dofs[gj][:, ld2]
+                    dri = dofs[gi][:, ld1].copy()
+                    dri[:, sharedMask] = DROP
+                    dr[np.ix_(o2, dpe + np.arange(dpe))] = dri
+                    vs[o2] = dets[gi] * dets[gj]
+                    if phiW is not None:
+                        vs[o2] *= phiW[gsel]
                     if em is not None:
                         # swapped ordering: local row r is cell-j dof ld2[r]
                         # = natural mask position dpe + ld2[r]
                         ldFull2 = np.concatenate([dpe + ld2, ld1])
-                        em[o2] = maskLookup[(i, j)][np.ix_(ldFull2, ldFull2)]
+                        em[o2] = baseMask[gsel][:, ldFull2][:, :, ldFull2]
             runner.run(acc, rule, PSI, vi1, vi2, dr, vs, entryMask=em, PHI=PHI)
 
         # --- distant panels, bucketed by quad order (high orders merged)
@@ -837,14 +887,12 @@ class nonlocalBuilder:
                     continue
             em = None
             if maskLookup is not None and len(iiA):
-                ems = []
-                for a, b in zip(iiA.tolist(), jjA.tolist()):
-                    m_ = maskLookup[(min(a, b), max(a, b))]
-                    if a > b:
-                        # natural mask is (b, a)-ordered; swap the blocks
-                        m_ = np.roll(np.roll(m_, -dpe, axis=0), -dpe, axis=1)
-                    ems.append(m_)
-                em = np.stack(ems)
+                em = maskLookup.lookup(iiA, jjA).copy()
+                swapped = iiA > jjA
+                if swapped.any():
+                    # natural mask is (lo, hi)-ordered; swap the blocks
+                    em[swapped] = np.roll(np.roll(em[swapped], -dpe, axis=1),
+                                          -dpe, axis=2)
             runner.run(acc, rule, PSI, cells[iiA], cells[jjA], dr, vs,
                        entryMask=em, PHI=PHI)
 
@@ -898,8 +946,7 @@ class nonlocalBuilder:
                 rb = np.broadcast_to(dr[:, :, None], M.shape)
                 cb = np.broadcast_to(dr[:, None, :], M.shape)
                 if maskLookup is not None:
-                    em = np.stack([maskLookup[(min(a, b), max(a, b))]
-                                   for a, b in zip(ii.tolist(), jj.tolist())])
+                    em = maskLookup.lookup(ii, jj)
                     rb = np.where(em, rb, DROP)
                 acc.add(rb.reshape(-1), cb.reshape(-1), M.reshape(-1))
             return
@@ -926,8 +973,7 @@ class nonlocalBuilder:
                     vs = vs * phi.evalPairs(centersC[iiA], centersC[jjA])
                 em = None
                 if maskLookup is not None:
-                    em = np.stack([maskLookup[(min(a, b), max(a, b))]
-                                   for a, b in zip(iiA.tolist(), jjA.tolist())])
+                    em = maskLookup.lookup(iiA, jjA)
                 runner.run(acc, rule, PSI, cells[iiA], cells[jjA], dr, vs,
                            entryMask=em, PHI=PHI)
             return
@@ -962,8 +1008,11 @@ class nonlocalBuilder:
             rb = np.broadcast_to(dr[:, :, None], M.shape)
             cb = np.broadcast_to(dr[:, None, :], M.shape)
             if maskLookup is not None:
-                em = np.stack([maskLookup[(min(a, b), max(a, b))]
-                               for a, b in zip(iiA.tolist(), jjA.tolist())])
+                em = maskLookup.lookup(iiA, jjA).copy()
+                swapped = iiA > jjA
+                if swapped.any():
+                    em[swapped] = np.roll(np.roll(em[swapped], -dpe, axis=1),
+                                          -dpe, axis=2)
                 rb = np.where(em, rb, DROP)
             acc.add(rb.reshape(-1), cb.reshape(-1), M.reshape(-1))
 
@@ -1117,7 +1166,9 @@ class nonlocalBuilder:
         if kernel.variable:
             from .h2 import splitLeavesByKernelBlocks
             nodes = splitLeavesByKernelBlocks(nodes, dm, kernel)
-        Pfar, Pnear = admissibleClusters(kernel, nodes, eta, m, dim)
+        Pfar, Pnear = admissibleClusters(
+            kernel, nodes, eta, m, dim,
+            minFarFieldBlockSize=self.params.get('minFarFieldBlockSize'))
 
         nLvl = max(nd.level for nd in nodes) + 1
         byLevel = [[] for _ in range(nLvl)]
@@ -1146,20 +1197,27 @@ class nonlocalBuilder:
                 entry['parentIdx'] = jnp.asarray(parentIdx, dtype=INDEX)
             levels.append(entry)
 
-        # ---- far-field kernel blocks per level
+        # ---- far-field kernel blocks per level (batched: ONE jitted kernel
+        # eval over all [pairs, M, M] Chebyshev grid products per level)
+        gridCache = {}
+
+        def nodeGrid(nid):
+            if nid not in gridCache:
+                gridCache[nid] = tensorChebyshevGrid(m, nodes[nid].box)
+            return gridCache[nid]
+
         for ell, cplist in Pfar.items():
             pN = len(cplist)
-            K = np.zeros((pN, M, M))
-            src = np.zeros(pN, dtype=np.int64)
-            dst = np.zeros(pN, dtype=np.int64)
-            for k, (i, j) in enumerate(cplist):
-                gi = tensorChebyshevGrid(m, nodes[i].box)
-                gj = tensorChebyshevGrid(m, nodes[j].box)
-                # cross terms -u(x)v(y) carry factor -2 (both orderings of
-                # the ordered cluster pair; ref clusterMethodCy.pyx:2216)
-                K[k] = -2.0 * kernel.evalNumpy(gi[:, None, :], gj[None, :, :])
-                dst[k] = pos[i]
-                src[k] = pos[j]
+            gi = np.stack([nodeGrid(i) for (i, j) in cplist])   # [pN, M, d]
+            gj = np.stack([nodeGrid(j) for (i, j) in cplist])
+            # cross terms -u(x)v(y) carry factor -2 (both orderings of
+            # the ordered cluster pair; ref clusterMethodCy.pyx:2216)
+            K = -2.0 * np.asarray(_farFieldBlocks(
+                jnp.asarray(gi), jnp.asarray(gj), kernel=kernel))
+            src = np.fromiter((pos[j] for (i, j) in cplist),
+                              dtype=np.int64, count=pN)
+            dst = np.fromiter((pos[i] for (i, j) in cplist),
+                              dtype=np.int64, count=pN)
             levels[ell]['K'] = jnp.asarray(K)
             levels[ell]['src'] = jnp.asarray(src, dtype=INDEX)
             levels[ell]['dst'] = jnp.asarray(dst, dtype=INDEX)
@@ -1267,8 +1325,9 @@ class nonlocalBuilder:
 
         inI = np.zeros(N, dtype=bool)
         inJ = np.zeros(N, dtype=bool)
-        pairMasks = {}       # (c1, c2) with c1 <= c2 -> bool [2dpe, 2dpe]
         surfPairs = []       # (cellNo, facetVerts, normal, mask, sgn)
+        allKeys = []         # candidate cell pairs: lo * C + hi
+        allMasks = []        # [K, 2dpe, 2dpe] uint8
 
         # jump interfaces of spatially-varying kernels (ref
         # getKernelBlocksAndJumps pxi:2352-2384): the Gauss-theorem surface
@@ -1292,41 +1351,42 @@ class nonlocalBuilder:
             inJ[:] = False
             inJ[dJ] = True
 
-            # --- interaction cell pairs
-            pairsA = [(a, b) for a in cells1 for b in cells2]
+            # --- interaction cell pairs (vectorized over the pair's cells)
+            aa = np.repeat(cells1, len(cells2))
+            bb = np.tile(cells2, len(cells1))
             if len(inter):
-                pairsA += [(a, b) for a in inter for b in U]
-            seen = set()
-            for (a, b) in pairsA:
-                key = (min(a, b), max(a, b))
-                if key in seen:
-                    continue
-                seen.add(key)
-                c1, c2 = key
-                gd = np.concatenate([dofs[c1], dofs[c2]])
-                valid = gd >= 0
-                rI = np.where(valid, inI[np.clip(gd, 0, None)], False)
-                rJ = np.where(valid, inJ[np.clip(gd, 0, None)], False)
-                m2 = (rI[:, None] & rJ[None, :]) | (rJ[:, None] & rI[None, :])
-                if not m2.any():
-                    continue
-                if key in pairMasks:
-                    pairMasks[key] |= m2
-                else:
-                    pairMasks[key] = m2
+                aa = np.concatenate([aa, np.repeat(inter, len(U))])
+                bb = np.concatenate([bb, np.tile(U, len(inter))])
+            key = np.minimum(aa, bb) * C + np.maximum(aa, bb)
+            key = np.unique(key)
+            lo = key // C
+            hi = key % C
+            gd = np.concatenate([dofs[lo], dofs[hi]], axis=1)  # [K, 2dpe]
+            valid = gd >= 0
+            gval = np.where(valid, gd, 0)
+            rI = inI[gval] & valid
+            rJ = inJ[gval] & valid
+            m2 = (rI[:, :, None] & rJ[:, None, :]) \
+                | (rJ[:, :, None] & rI[:, None, :])
+            keep = m2.any(axis=(1, 2))
+            allKeys.append(key[keep])
+            allMasks.append(m2[keep].astype(np.uint8))
 
             # --- surface of the union (diagonal mass from outside U)
             if len(inter):
                 facets, normals = _cellSetBoundary(mesh, U)
                 Uset = set(int(u) for u in U)
-                for c in inter:
-                    gd = dofs[c]
-                    valid = gd >= 0
-                    rI = np.where(valid, inI[np.clip(gd, 0, None)], False)
-                    rJ = np.where(valid, inJ[np.clip(gd, 0, None)], False)
-                    m1 = (rI[:, None] & rJ[None, :]) | (rJ[:, None] & rI[None, :])
-                    if not m1.any():
-                        continue
+                gdS = dofs[inter]                           # [nI, dpe]
+                validS = gdS >= 0
+                gvalS = np.where(validS, gdS, 0)
+                rIS = inI[gvalS] & validS
+                rJS = inJ[gvalS] & validS
+                m1s = (rIS[:, :, None] & rJS[:, None, :]) \
+                    | (rJS[:, :, None] & rIS[:, None, :])
+                keepS = m1s.any(axis=(1, 2))
+                for ii in np.nonzero(keepS)[0]:
+                    c = int(inter[ii])
+                    m1 = m1s[ii]
                     for fi in range(len(facets)):
                         surfPairs.append((c, facets[fi], normals[fi], m1, 1.0))
                     # jump facets strictly inside U^c: two runs with the
@@ -1338,16 +1398,30 @@ class nonlocalBuilder:
                         surfPairs.append((c, jf, jn, m1, 1.0))
                         surfPairs.append((c, jf, jn, m1, -1.0))
 
+        # --- global dedup of candidate pairs with OR-merged masks
+        if allKeys:
+            keys = np.concatenate(allKeys)
+            masks = np.concatenate(allMasks)
+            order = np.argsort(keys, kind='stable')
+            keys = keys[order]
+            masks = masks[order]
+            newGrp = np.empty(len(keys), dtype=bool)
+            newGrp[:1] = True
+            np.not_equal(keys[1:], keys[:-1], out=newGrp[1:])
+            starts = np.flatnonzero(newGrp)
+            merged = np.maximum.reduceat(masks, starts, axis=0) > 0
+            pairMasks = _MaskTable(keys[starts], merged, C)
+        else:
+            pairMasks = _MaskTable(np.zeros(0, dtype=np.int64),
+                                   np.zeros((0, 2 * dpe, 2 * dpe),
+                                            dtype=bool), C)
+
         # ---- run the interaction pairs (masked)
-        keys = np.array(sorted(pairMasks.keys()), dtype=np.int64)
-        masks = np.stack([pairMasks[tuple(k)] for k in keys], axis=0) \
-            if len(keys) else np.zeros((0, 2 * dpe, 2 * dpe), dtype=bool)
+        plo, phi_ = pairMasks.pairs()
         info = self._makeRules(classifyPairList(
-            dm, kernel, keys[:, 0] if len(keys) else [],
-            keys[:, 1] if len(keys) else [],
+            dm, kernel, plo, phi_,
             target_order=self.params.get('target_order')))
-        maskLookup = {tuple(k): masks[n] for n, k in enumerate(keys)}
-        self._runPairBuckets(acc, info, maskLookup=maskLookup)
+        self._runPairBuckets(acc, info, maskLookup=pairMasks)
 
         # ---- run the surface pairs
         if surfPairs:
@@ -1517,133 +1591,116 @@ class nonlocalBuilder:
         qd = mpb['quad_order_diagonal']
         sigb = bkernel.getSingularityValue()
 
-        # classify: shared vertices between cell and facet
-        touching = {}
-        distant = []
-        for (c, facet, normal, m1, sgn) in surfPairs:
-            cv = cells[c]
-            shared1, shared2 = [], []
-            used = set()
-            for a, v1 in enumerate(cv):
-                for b, v2 in enumerate(facet):
-                    if b in used:
-                        continue
-                    if v1 == v2:
-                        shared1.append(a)
-                        shared2.append(b)
-                        used.add(b)
-                        break
-            if shared1:
-                rest1 = [a for a in range(len(cv)) if a not in shared1]
-                rest2 = [b for b in range(len(facet)) if b not in used]
-                perm1 = np.array(shared1 + rest1)
-                perm2 = np.array(shared2 + rest2)
-                touching.setdefault(len(shared1), []).append(
-                    (c, facet, normal, m1, sgn, perm1, perm2))
-            else:
-                distant.append((c, facet, normal, m1, sgn))
+        # ---- array-ize the item list (vectorized processing below)
+        S = len(surfPairs)
+        cellNos = np.fromiter((it[0] for it in surfPairs), dtype=np.int64,
+                              count=S)
+        facets = np.stack([np.asarray(it[1]) for it in surfPairs]) \
+            .astype(np.int64)
+        normals = np.stack([np.asarray(it[2]) for it in surfPairs])
+        masksArr = np.stack([it[3] for it in surfPairs])
+        sgns = np.fromiter((it[4] for it in surfPairs), dtype=np.float64,
+                           count=S)
+        nvS = facets.shape[1]
+        nv = mdim + 1
 
         needShift = self.kernel.variable
         epsShift = 1e-9
 
-        def runBucket(rule, items, withPerm, useDet=True):
+        facCenters = verts[facets].mean(axis=1) if nvS > 1 \
+            else verts[facets[:, 0]]
+        cellCenters = verts[cells[cellNos]].mean(axis=1)
+        if nvS >= 2:
+            svols = np.linalg.norm(verts[facets[:, 1]]
+                                   - verts[facets[:, 0]], axis=1)
+        else:
+            svols = np.ones(S)
+
+        # per-item boundary singularity: variable kernels freeze s at
+        # (cell center, shifted facet center) like the reference surface
+        # local matrices (nonlocalOperator evalParams)
+        if kernel.variable:
+            yc = facCenters + sgns[:, None] * epsShift * normals
+            sv = np.asarray(kernel.s(cellCenters, yc)).reshape(-1)
+            sings = np.round(1.0 - mesh.dim - 2.0 * sv, 12)
+        else:
+            sings = np.full(S, sigb)
+
+        # vectorized shared-vertex classification via match signatures
+        eq = cells[cellNos][:, :, None] == facets[:, None, :]   # [S, nv, nvS]
+        sigBits = np.packbits(eq.reshape(S, -1), axis=1)
+        uniqSig, sigInv = np.unique(sigBits, axis=0, return_inverse=True)
+        permLut = []
+        for u in range(uniqSig.shape[0]):
+            k = int(np.argmax(sigInv == u))
+            permLut.append(_sharedPermFromEq(eq[k]))
+        nSharedArr = np.fromiter((permLut[g][0] for g in sigInv),
+                                 dtype=np.int64, count=S)
+
+        def runBucketV(rule, sel, perm1=None, perm2=None, useDet=True):
             # singular (collapsed-parametrization) rules are normalized to
             # simplex determinants; distant Sum(w)=1 rules to plain volumes
-            P = len(items)
-            if P == 0:
+            if len(sel) == 0:
                 return
             PHI = rule.buildPSI(dm, boundary=True)
-            nvS = len(items[0][1])
-            vi1 = np.zeros((P, mdim + 1), dtype=np.int64)
-            vi2 = np.zeros((P, nvS), dtype=np.int64)
-            dr = np.zeros((P, dpe), dtype=np.int64)
-            vs = np.zeros(P)
-            nm = np.zeros((P, mesh.dim)) if useNormals else None
-            yOff = np.zeros((P, mesh.dim)) if needShift else None
-            mk = np.zeros((P, dpe, dpe), dtype=bool)
-            for k, item in enumerate(items):
-                if withPerm:
-                    c, facet, normal, m1, sgn, perm1, perm2 = item
-                    vi1[k] = cells[c][perm1]
-                    vi2[k] = np.asarray(facet)[perm2]
-                    ld1 = permuteLocalDofs(dm, perm1)
-                    dr[k] = dofs[c][ld1]
-                    mk[k] = m1[np.ix_(ld1, ld1)]
-                else:
-                    c, facet, normal, m1, sgn = item
-                    vi1[k] = cells[c]
-                    vi2[k] = facet
-                    dr[k] = dofs[c]
-                    mk[k] = m1
-                svol = 1.0
-                if mdim >= 2:
-                    fv = verts[np.asarray(facet)]
-                    svol = np.linalg.norm(fv[1] - fv[0])
-                vs[k] = (detfac * vols[c] if useDet else vols[c]) * svol * sgn
-                if mdim == 1:
-                    # fold the n.(y-x)/|y-x| orientation factor into the
-                    # weight (2D evaluates it per quadrature point)
-                    p0 = verts[int(np.asarray(facet)[0]), 0]
-                    c0 = verts[cells[c], 0].mean()
-                    vs[k] *= np.sign(float(normal[0]) * (p0 - c0))
-                if useNormals:
-                    nm[k] = normal
-                if needShift:
-                    yOff[k] = sgn * epsShift * np.asarray(normal)
+            cs = cellNos[sel]
+            if perm1 is not None:
+                vi1 = cells[cs][:, perm1]
+                vi2 = facets[sel][:, perm2]
+                ld1 = permuteLocalDofs(dm, perm1)
+                dr = dofs[cs][:, ld1]
+                mk = masksArr[sel][:, ld1][:, :, ld1]
+            else:
+                vi1 = cells[cs]
+                vi2 = facets[sel]
+                dr = dofs[cs]
+                mk = masksArr[sel]
+            vs = (detfac * vols[cs] if useDet else vols[cs]) \
+                * svols[sel] * sgns[sel]
+            if mdim == 1:
+                # fold the n.(y-x)/|y-x| orientation factor into the
+                # weight (2D evaluates it per quadrature point)
+                p0 = verts[facets[sel, 0], 0]
+                c0 = verts[cells[cs], 0].mean(axis=1)
+                vs = vs * np.sign(normals[sel, 0] * (p0 - c0))
+            nm = normals[sel] if useNormals else None
+            yOff = sgns[sel, None] * epsShift * normals[sel] \
+                if needShift else None
             runner.run(acc, rule, PHI, vi1, vi2, dr, vs, normals=nm,
                        entryMask=mk, yOffset=yOff)
 
-        def itemSing(item):
-            """Per-item boundary singularity: variable kernels freeze s at
-            (cell center, shifted facet center) like the reference surface
-            local matrices (nonlocalOperator evalParams)."""
-            if not kernel.variable:
-                return sigb
-            c, facet, normal, m1, sgn = item[:5]
-            xc = verts[cells[c]].mean(axis=0)
-            yc = verts[np.asarray(facet)].mean(axis=0) \
-                + sgn * epsShift * np.asarray(normal)
-            sv = float(np.asarray(kernel.s(xc[None, :], yc[None, :])).ravel()[0])
-            return 1.0 - mesh.dim - 2.0 * sv
-
-        bySing = {}
-        for nS, items in touching.items():
-            for item in items:
-                key = (nS, round(itemSing(item), 12))
-                bySing.setdefault(key, []).append(item)
-        for (nS, sig), items in bySing.items():
-            if mdim == 1:
-                rule = boundaryVertexRule1D(sig, qd)
-            else:
-                from .quad_singular_2d import (boundaryEdgeRule2DSS,
-                                               boundaryVertexRule2DSS)
-                if nS == 2:
+        # touching items: group by (perm signature, singularity)
+        touchSel = np.nonzero(nSharedArr > 0)[0]
+        if len(touchSel):
+            groups = {}
+            for k in touchSel:
+                groups.setdefault((int(sigInv[k]), sings[k]), []).append(k)
+            from .quad_singular_2d import (boundaryEdgeRule2DSS,
+                                           boundaryVertexRule2DSS)
+            for (g, sig), idxs in groups.items():
+                nS, perm1, perm2 = permLut[g]
+                if mdim == 1:
+                    rule = boundaryVertexRule1D(sig, qd)
+                elif nS == 2:
                     sig_eff = sig if sig > -1 + 1e-3 else 2.0 + sig
                     rule = boundaryEdgeRule2DSS(sig_eff, qd, qd)
                 else:
                     rule = boundaryVertexRule2DSS(sig, qd, qd)
-            runBucket(rule, items, True)
+                runBucketV(rule, np.asarray(idxs), perm1, perm2)
 
-        if distant:
-            # per-pair order via the boundary model (ref boundary
-            # getQuadOrder), bucketed like the volume distant panels
-            cellsArr = np.array([it[0] for it in distant])
-            facArr = np.array([np.asarray(it[1]) for it in distant])
-            centers1 = verts[cells[cellsArr]].mean(axis=1)
-            centers2 = verts[facArr].mean(axis=1) if mdim >= 2 else \
-                verts[facArr[:, 0]]
-            d = np.linalg.norm(centers1 - centers2, axis=1)
-            h1 = np.zeros(len(distant))
-            V1 = verts[cells[cellsArr]]
+        # distant items: per-pair order via the boundary model
+        distSel = np.nonzero(nSharedArr == 0)[0]
+        if len(distSel):
+            d = np.linalg.norm(cellCenters[distSel] - facCenters[distSel],
+                               axis=1)
+            h1 = np.zeros(len(distSel))
+            V1 = verts[cells[cellNos[distSel]]]
             for a in range(mdim + 1):
                 for bb in range(a + 1, mdim + 1):
                     h1 = np.maximum(h1, np.linalg.norm(V1[:, a] - V1[:, bb],
                                                        axis=1))
-            if mdim >= 2:
-                h2 = np.linalg.norm(verts[facArr[:, 1]] - verts[facArr[:, 0]],
-                                    axis=1)
-            else:
-                h2 = np.full(len(distant), mpb['hmin'])
+            h2 = svols[distSel] if mdim >= 2 \
+                else np.full(len(distSel), mpb['hmin'])
             sv = max(0.5 * (-bkernel.min_singularity), 0.0)
             lognH = np.log(mpb['num_dofs'] * mpb['H0'])
             c0 = (mpb['target_order'] + 1.0) * lognH
@@ -1656,10 +1713,12 @@ class nonlocalBuilder:
             orders = np.maximum(np.maximum(o1, o2), 2).astype(np.int64)
             orders = ((orders + 1) // 2) * 2
             orders = np.minimum(orders, 24)
+            # distant rules are plain tensor products (the kernel is
+            # evaluated exactly per point) -> group by order only
             for order in np.unique(orders):
-                items = [distant[k] for k in np.nonzero(orders == order)[0]]
+                sel = distSel[orders == order]
                 rule = boundaryDistantRule(int(order), mdim, mdim - 1)
-                runBucket(rule, items, False, useDet=False)
+                runBucketV(rule, sel, None, None, useDet=False)
 
     def getDenseCross(self):
         """A_BC: interior x boundary coupling for inhomogeneous Dirichlet

@@ -240,13 +240,24 @@ def splitLeavesByKernelBlocks(nodes, dm, kernel):
     return nodes
 
 
-def admissibleClusters(kernel, nodes, eta, interpolation_order, dim):
+def admissibleClusters(kernel, nodes, eta, interpolation_order, dim,
+                       minFarFieldBlockSize=None):
     """Dual-tree traversal -> (Pfar per level, Pnear leaf pairs)
     (ref getAdmissibleClusters clusterMethodCy.pyx:4046, queryAdmissibility
-    :4008)."""
+    :4008).
+
+    minFarFieldBlockSize gates admissibility on the dof-pair count
+    (ref getH2RefinementParams minFarFieldBlockSize): the default (m^dim)^2
+    keeps far blocks no larger than the dense block they replace; passing
+    m^dim trades far-field memory for assembly speed (the extra leaf-level
+    far pairs are batched Chebyshev einsums instead of singular quadrature),
+    at the cost of borderline-pair interpolation error near the
+    singularity."""
     Pfar = {}
     Pnear = []
     M = interpolation_order ** dim
+    ffSize = minFarFieldBlockSize if minFarFieldBlockSize is not None \
+        else M * M
 
     def rec(i, j):
         n1, n2 = nodes[i], nodes[j]
@@ -263,9 +274,14 @@ def admissibleClusters(kernel, nodes, eta, interpolation_order, dim):
             onHorizon = False
         diam1 = _diam(n1.box)
         diam2 = _diam(n2.box)
-        admissible = (eta * dist >= max(diam1, diam2) and not onHorizon and
-                      M * M <= len(n1.dofs) * len(n2.dofs) and
-                      not n1.mixed and not n2.mixed)
+        sizeProd = len(n1.dofs) * len(n2.dofs)
+        # pairs below the (m^dim)^2 block size need strong separation: near
+        # the singularity the kernel magnitude amplifies the Chebyshev
+        # interpolation error of borderline-separated tiny pairs
+        etaEff = eta if sizeProd >= M * M else 0.5
+        admissible = (etaEff * dist >= max(diam1, diam2) and not onHorizon
+                      and ffSize <= sizeProd
+                      and not n1.mixed and not n2.mixed)
         if admissible:
             Pfar.setdefault(n1.level, []).append((i, j))
             return
