@@ -102,6 +102,16 @@ class LinearOperator:
     def __repr__(self):
         return f'<{self.num_rows}x{self.num_columns} {self.__class__.__name__}>'
 
+    def astype(self, dtype):
+        """Cast all floating-point leaves to dtype (works for any
+        pytree-registered operator; f32 is the fast TPU path — f64 is
+        emulated on the MXU)."""
+        def cast(a):
+            if hasattr(a, 'dtype') and jnp.issubdtype(a.dtype, jnp.floating):
+                return jnp.asarray(a, dtype=dtype)
+            return a
+        return jax.tree_util.tree_map(cast, self)
+
     # --- flattening helpers for pytree registration of subclasses ---
     def isSparse(self):
         return False
