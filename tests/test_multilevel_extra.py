@@ -152,3 +152,23 @@ def test_schur_complement():
     x = rng.rand(4)
     assert_allclose(np.asarray(S @ x), exact @ x, rtol=1e-10)
     assert_allclose(S.toarray(), exact, rtol=1e-10)
+
+
+def test_hierarchy_manager():
+    """hierarchyManager-built levels solve identically to the inline
+    construction (ref hierarchies.py:286)."""
+    from pynucleus_tpu.multilevel import (hierarchyManager, paramsForMG,
+                                          multigrid)
+    mesh0 = meshFactory('square', N=2, ax=0, ay=0, bx=1, by=1)
+    hM = hierarchyManager(mesh0, paramsForMG(4, dim=2)).setup()
+    levels = hM.getLevelList()
+    assert len(hM) == 5 and 'P' in levels[-1] and 'P' not in levels[0]
+    mg = multigrid(hierarchy=levels)
+    mg.setup()
+    mg.tolerance = 1e-10
+    dm = levels[-1]['dm']
+    b = np.asarray(assembleRHS(dm, functionFactory('constant',
+                                                   value=1.)).data)
+    u = np.asarray(mg.solve(b))
+    assert abs(u.max() - 0.07367) < 2e-3
+    assert mg.iterations < 35
