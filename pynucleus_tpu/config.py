@@ -11,6 +11,9 @@ import os
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# TPU matmuls default to bfloat16 passes; quadrature tables need true f32
+# accumulation (singular-rule weights span many orders of magnitude)
+jax.config.update("jax_default_matmul_precision", "float32")
 
 import numpy as np
 import jax.numpy as jnp

@@ -499,6 +499,110 @@ class CSRAccumulator:
                                   num_columns=self.pattern.shape[1])
 
 
+@partial(jax.jit, static_argnames=('kernel', 'nPSI', 'ncols'),
+         donate_argnums=(0,))
+def _bucket_masked_csr_scan(data, vertices, cellsArr, dofsArr, volsArr,
+                            nnzKeys, maskKeys, maskVals, C,
+                            di, dj, symfac, bary_x, bary_y, w, PSIP,
+                            kernel=None, nPSI=None, ncols=None):
+    """Masked natural-order buckets accumulated DIRECTLY into device CSR
+    data: mask lookup (cluster-pair entry masks) and nnz-slot lookup are
+    device-side binary searches, so per chunk only (di, dj) cross the
+    host-device link.  One launch per bucket (lax.scan over chunks) — built
+    for the high-latency TPU tunnel."""
+    nnz = data.shape[0] - 1
+    dpe = dofsArr.shape[1]
+
+    def body(Acc, chunk):
+        dic, djc, sfc = chunk
+        v1 = vertices[cellsArr[dic]]
+        v2 = vertices[cellsArr[djc]]
+        x = jnp.einsum('pvd,vq->pqd', v1, bary_x)
+        y = jnp.einsum('pvd,vq->pqd', v2, bary_y)
+        r2 = jnp.sum((x - y) ** 2, axis=-1)
+        g = _radial_eval(kernel, r2, x, y)
+        if kernel.finiteHorizon or kernel.complement:
+            g = g * kernel.interaction.jaxIndicator(
+                x, y, kernel.horizonValue ** 2)
+        vols = volsArr[dic] * volsArr[djc] * sfc
+        t = (g * w[None, :]) * vols[:, None]
+        M = t @ PSIP                                   # [P, nPSI^2]
+        # cluster-pair mask (device binary search)
+        mk = jnp.minimum(dic, djc) * C + jnp.maximum(dic, djc)
+        mpos = jnp.searchsorted(maskKeys, mk)
+        em = maskVals[jnp.minimum(mpos, maskVals.shape[0] - 1)]
+        if nPSI == dpe:
+            dr = dofsArr[dic]
+            em = em[:, :dpe, :dpe]
+        else:
+            dr = jnp.concatenate([dofsArr[dic], dofsArr[djc]], axis=1)
+        P = dr.shape[0]
+        rows = jnp.broadcast_to(dr[:, :, None], (P, nPSI, nPSI))
+        cols = jnp.broadcast_to(dr[:, None, :], (P, nPSI, nPSI))
+        valid = em & (rows >= 0) & (cols >= 0) & (sfc != 0.0)[:, None, None]
+        key = rows.astype(jnp.int64) * ncols + cols.astype(jnp.int64)
+        slots = jnp.searchsorted(nnzKeys, key.reshape(-1))
+        found = (nnzKeys[jnp.minimum(slots, nnz - 1)] == key.reshape(-1)) \
+            & valid.reshape(-1)
+        slots = jnp.where(found, jnp.minimum(slots, nnz - 1), nnz)
+        return Acc.at[slots].add(M.reshape(-1)), None
+
+    data, _ = jax.lax.scan(body, data, (di, dj, symfac))
+    return data
+
+
+class DeviceCSRAccumulator:
+    """CSR accumulator with device-resident data for the masked scan fast
+    path; irregular host-side contributions (surfaces, permuted touching
+    pairs) accumulate into a numpy shadow merged at result()."""
+
+    def __init__(self, pattern, C, maskTable, dtype=None):
+        self.pattern = pattern
+        self.indptr = pattern.indptr
+        self.indices = pattern.indices
+        self.N = pattern.shape[0]
+        self.dtype = dtype or REAL
+        nnz = pattern.nnz
+        rowids = np.repeat(np.arange(self.N, dtype=np.int64),
+                           np.diff(pattern.indptr))
+        self.nnzKeys = jnp.asarray(rowids * pattern.shape[1]
+                                   + pattern.indices.astype(np.int64))
+        self.data = jnp.zeros(nnz + 1, dtype=self.dtype)
+        self.hostData = np.zeros(nnz + 1, dtype=REAL)
+        self.C = C
+        self.maskKeys = jnp.asarray(maskTable.keys)
+        self.maskVals = jnp.asarray(maskTable.masks)
+
+    # --- host path (same slot logic as CSRAccumulator)
+    def _slots(self, rows, cols):
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        valid = (rows >= 0) & (cols >= 0)
+        r = np.where(valid, rows, 0)
+        c = np.where(valid, cols, 0)
+        start = self.indptr[r]
+        end = self.indptr[r + 1]
+        pos = start + _rowwise_searchsorted(self.indices, start, end, c)
+        inb = pos < end
+        found = inb & (self.indices[np.minimum(pos, len(self.indices) - 1)] == c)
+        return np.where(valid & found, pos, self.pattern.nnz)
+
+    def add(self, rows, cols, vals):
+        np.add.at(self.hostData, self._slots(rows, cols), vals)
+
+    # --- device scan path
+    def scanMasked(self, runnerArgs, kernel=None, nPSI=None, ncols=None):
+        self.data = _bucket_masked_csr_scan(self.data, *runnerArgs,
+                                            kernel=kernel, nPSI=nPSI,
+                                            ncols=ncols)
+
+    def result(self):
+        data = jnp.asarray(self.hostData[:-1]) \
+            + self.data[:-1].astype(REAL)
+        return CSR_LinearOperator(self.indices, self.indptr, data,
+                                  num_columns=self.pattern.shape[1])
+
+
 def _rowwise_searchsorted(indices, start, end, c):
     """Position of c within indices[start:end] per entry (vectorized binary
     search)."""
@@ -565,6 +669,37 @@ class _BucketRunner:
             jnp.asarray(djp, dtype=INDEX),
             jnp.asarray(sf.reshape(nChunks, chunk), dtype=self.dtype),
             bary_x, bary_y, w, PSIP, kernel=self.kernel, nPSI=nPSI)
+
+    def runNaturalMaskedCSR(self, acc, rule, PSI, di, dj, symfac):
+        """Masked natural-order bucket into a DeviceCSRAccumulator: whole
+        bucket in one scan launch, masks and CSR slots resolved on device."""
+        P = len(di)
+        if P == 0:
+            return
+        PSIP = jnp.asarray(_psi_prod(PSI), dtype=self.dtype)
+        bary_x = jnp.asarray(rule.bary_x, dtype=self.dtype)
+        bary_y = jnp.asarray(rule.bary_y, dtype=self.dtype)
+        w = jnp.asarray(rule.w, dtype=self.dtype)
+        nPSI = PSI.shape[0]
+        Q = rule.num_nodes
+        maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)), 256)
+        chunk = _chunk_size(min(maxP, P))
+        nChunks = (P + chunk - 1) // chunk
+        total = nChunks * chunk
+        dip = _pad(np.asarray(di), total, fill=0).reshape(nChunks, chunk)
+        djp = _pad(np.asarray(dj), total, fill=0).reshape(nChunks, chunk)
+        sf = np.full(total, float(symfac))
+        sf[P:] = 0.0
+        acc.scanMasked((self.vertices, self.cellsDev, self.dofsDev,
+                        self.volsDev, acc.nnzKeys, acc.maskKeys,
+                        acc.maskVals, acc.C,
+                        jnp.asarray(dip, dtype=INDEX),
+                        jnp.asarray(djp, dtype=INDEX),
+                        jnp.asarray(sf.reshape(nChunks, chunk),
+                                    dtype=self.dtype),
+                        bary_x, bary_y, w, PSIP),
+                       kernel=self.kernel, nPSI=nPSI,
+                       ncols=acc.pattern.shape[1])
 
     def run(self, acc, rule, PSI, vertIdx1, vertIdx2, dofRows, volsym,
             normals=None, entryMask=None, PHI=None, yOffset=None):
@@ -733,6 +868,9 @@ class nonlocalBuilder:
             else None
         fast = hasattr(acc, 'deviceAddRows') and maskLookup is None and sym \
             and phi is None
+        fastMaskedCSR = isinstance(acc, DeviceCSRAccumulator) \
+            and maskLookup is not None and sym and phi is None \
+            and runner.cellsDev is not None
 
         detfac = {1: 1.0, 2: 2.0, 3: 6.0}[mdim]
         dets = vols * detfac
@@ -759,6 +897,10 @@ class nonlocalBuilder:
                 if fast and kernel.symmetric and not kernel.variable:
                     runner.runNatural(acc, ruleId, PSI, idsS, idsS,
                                       detfac ** 2)
+                    continue
+                if fastMaskedCSR:
+                    runner.runNaturalMaskedCSR(acc, ruleId, PSI, idsS, idsS,
+                                               detfac ** 2)
                     continue
                 em = None
                 if maskLookup is not None:
@@ -868,6 +1010,9 @@ class nonlocalBuilder:
             PHI = rule.buildPHI(dm, nSharedVertices=0) if not sym else None
             if fast:
                 runner.runNatural(acc, rule, PSI, ii, jj, 2.0)
+                continue
+            if fastMaskedCSR:
+                runner.runNaturalMaskedCSR(acc, rule, PSI, ii, jj, 2.0)
                 continue
             if sym:
                 iiA, jjA = ii, jj
@@ -1117,7 +1262,6 @@ class nonlocalBuilder:
                           shape=(N, N)).tocsr()
         S.sum_duplicates()
         S.sort_indices()
-        acc = CSRAccumulator(S)
         self._runPairBuckets(acc, info)
         return acc.result()
 
@@ -1321,7 +1465,6 @@ class nonlocalBuilder:
                           shape=(N, N)).tocsr()
         S.sum_duplicates()
         S.sort_indices()
-        acc = CSRAccumulator(S)
 
         inI = np.zeros(N, dtype=bool)
         inJ = np.zeros(N, dtype=bool)
@@ -1415,6 +1558,15 @@ class nonlocalBuilder:
             pairMasks = _MaskTable(np.zeros(0, dtype=np.int64),
                                    np.zeros((0, 2 * dpe, 2 * dpe),
                                             dtype=bool), C)
+
+        # accumulator: device CSR (masked scan fast path) on accelerators,
+        # host CSR on cpu
+        if jax.devices()[0].platform != 'cpu' \
+                or self.params.get('forceDeviceCSR'):
+            acc = DeviceCSRAccumulator(S, C, pairMasks,
+                                       dtype=self.params.get('dtype'))
+        else:
+            acc = CSRAccumulator(S)
 
         # ---- run the interaction pairs (masked)
         plo, phi_ = pairMasks.pairs()
