@@ -499,22 +499,19 @@ class CSRAccumulator:
                                   num_columns=self.pattern.shape[1])
 
 
-@partial(jax.jit, static_argnames=('kernel', 'nPSI', 'ncols'),
+@partial(jax.jit, static_argnames=('kernel',),
          donate_argnums=(0,))
-def _bucket_masked_csr_scan(data, vertices, cellsArr, dofsArr, volsArr,
-                            nnzKeys, maskKeys, maskVals, C,
-                            di, dj, symfac, bary_x, bary_y, w, PSIP,
-                            kernel=None, nPSI=None, ncols=None):
+def _bucket_masked_csr_scan(data, vertices, cellsArr, volsArr,
+                            di, dj, symfac, slots, bary_x, bary_y, w, PSIP,
+                            kernel=None):
     """Masked natural-order buckets accumulated DIRECTLY into device CSR
-    data: mask lookup (cluster-pair entry masks) and nnz-slot lookup are
-    device-side binary searches, so per chunk only (di, dj) cross the
-    host-device link.  One launch per bucket (lax.scan over chunks) — built
-    for the high-latency TPU tunnel."""
-    nnz = data.shape[0] - 1
-    dpe = dofsArr.shape[1]
+    data.  The nnz scatter slots (cluster-pair masks + CSR pattern lookups)
+    are precomputed host-side and shipped per chunk — random-access binary
+    searches are slow on the TPU, a direct scatter is not.  One launch per
+    bucket (lax.scan over chunks) — built for the high-latency tunnel."""
 
     def body(Acc, chunk):
-        dic, djc, sfc = chunk
+        dic, djc, sfc, slotc = chunk
         v1 = vertices[cellsArr[dic]]
         v2 = vertices[cellsArr[djc]]
         x = jnp.einsum('pvd,vq->pqd', v1, bary_x)
@@ -527,27 +524,9 @@ def _bucket_masked_csr_scan(data, vertices, cellsArr, dofsArr, volsArr,
         vols = volsArr[dic] * volsArr[djc] * sfc
         t = (g * w[None, :]) * vols[:, None]
         M = t @ PSIP                                   # [P, nPSI^2]
-        # cluster-pair mask (device binary search)
-        mk = jnp.minimum(dic, djc) * C + jnp.maximum(dic, djc)
-        mpos = jnp.searchsorted(maskKeys, mk)
-        em = maskVals[jnp.minimum(mpos, maskVals.shape[0] - 1)]
-        if nPSI == dpe:
-            dr = dofsArr[dic]
-            em = em[:, :dpe, :dpe]
-        else:
-            dr = jnp.concatenate([dofsArr[dic], dofsArr[djc]], axis=1)
-        P = dr.shape[0]
-        rows = jnp.broadcast_to(dr[:, :, None], (P, nPSI, nPSI))
-        cols = jnp.broadcast_to(dr[:, None, :], (P, nPSI, nPSI))
-        valid = em & (rows >= 0) & (cols >= 0) & (sfc != 0.0)[:, None, None]
-        key = rows.astype(jnp.int64) * ncols + cols.astype(jnp.int64)
-        slots = jnp.searchsorted(nnzKeys, key.reshape(-1))
-        found = (nnzKeys[jnp.minimum(slots, nnz - 1)] == key.reshape(-1)) \
-            & valid.reshape(-1)
-        slots = jnp.where(found, jnp.minimum(slots, nnz - 1), nnz)
-        return Acc.at[slots].add(M.reshape(-1)), None
+        return Acc.at[slotc.reshape(-1)].add(M.reshape(-1)), None
 
-    data, _ = jax.lax.scan(body, data, (di, dj, symfac))
+    data, _ = jax.lax.scan(body, data, (di, dj, symfac, slots))
     return data
 
 
@@ -563,15 +542,11 @@ class DeviceCSRAccumulator:
         self.N = pattern.shape[0]
         self.dtype = dtype or REAL
         nnz = pattern.nnz
-        rowids = np.repeat(np.arange(self.N, dtype=np.int64),
-                           np.diff(pattern.indptr))
-        self.nnzKeys = jnp.asarray(rowids * pattern.shape[1]
-                                   + pattern.indices.astype(np.int64))
         self.data = jnp.zeros(nnz + 1, dtype=self.dtype)
         self.hostData = np.zeros(nnz + 1, dtype=REAL)
         self.C = C
-        self.maskKeys = jnp.asarray(maskTable.keys)
-        self.maskVals = jnp.asarray(maskTable.masks)
+        self.maskKeys_host = maskTable.keys
+        self.maskVals_host = maskTable.masks
 
     # --- host path (same slot logic as CSRAccumulator)
     def _slots(self, rows, cols):
@@ -590,11 +565,28 @@ class DeviceCSRAccumulator:
     def add(self, rows, cols, vals):
         np.add.at(self.hostData, self._slots(rows, cols), vals)
 
+    def maskedSlots(self, ii, jj, nPSI, dpe, dofs):
+        """Host-precomputed scatter slots [P, nPSI, nPSI] for natural-order
+        masked pairs; masked/out-of-pattern entries map to the dump slot."""
+        em = self.maskVals_host[np.searchsorted(
+            self.maskKeys_host,
+            np.minimum(ii, jj) * self.C + np.maximum(ii, jj))]
+        if nPSI == dpe:
+            dr = dofs[ii]
+            em = em[:, :dpe, :dpe]
+        else:
+            dr = np.concatenate([dofs[ii], dofs[jj]], axis=1)
+        P = dr.shape[0]
+        rows = np.broadcast_to(dr[:, :, None], (P, nPSI, nPSI))
+        cols = np.broadcast_to(dr[:, None, :], (P, nPSI, nPSI))
+        slots = self._slots(rows.reshape(-1), cols.reshape(-1))
+        slots = np.where(em.reshape(-1), slots, self.pattern.nnz)
+        return slots.reshape(P, nPSI * nPSI)
+
     # --- device scan path
-    def scanMasked(self, runnerArgs, kernel=None, nPSI=None, ncols=None):
+    def scanMasked(self, runnerArgs, kernel=None):
         self.data = _bucket_masked_csr_scan(self.data, *runnerArgs,
-                                            kernel=kernel, nPSI=nPSI,
-                                            ncols=ncols)
+                                            kernel=kernel)
 
     def result(self):
         data = jnp.asarray(self.hostData[:-1]) \
@@ -640,6 +632,7 @@ class _BucketRunner:
         # device-resident mesh data for the natural-pair fast path
         self.cellsDev = jnp.asarray(cells, dtype=INDEX) if cells is not None else None
         self.dofsDev = jnp.asarray(dofs, dtype=INDEX) if dofs is not None else None
+        self.dofsHost = np.asarray(dofs) if dofs is not None else None
         self.volsDev = jnp.asarray(vols, dtype=self.dtype) if vols is not None else None
 
     def runNatural(self, acc, rule, PSI, di, dj, symfac):
@@ -686,20 +679,26 @@ class _BucketRunner:
         chunk = _chunk_size(min(maxP, P))
         nChunks = (P + chunk - 1) // chunk
         total = nChunks * chunk
-        dip = _pad(np.asarray(di), total, fill=0).reshape(nChunks, chunk)
-        djp = _pad(np.asarray(dj), total, fill=0).reshape(nChunks, chunk)
+        diA = np.asarray(di)
+        djA = np.asarray(dj)
+        dip = _pad(diA, total, fill=0).reshape(nChunks, chunk)
+        djp = _pad(djA, total, fill=0).reshape(nChunks, chunk)
         sf = np.full(total, float(symfac))
         sf[P:] = 0.0
-        acc.scanMasked((self.vertices, self.cellsDev, self.dofsDev,
-                        self.volsDev, acc.nnzKeys, acc.maskKeys,
-                        acc.maskVals, acc.C,
+        dpe = self.dofsHost.shape[1]
+        slots = acc.maskedSlots(diA, djA, nPSI, dpe, self.dofsHost)
+        slotsP = np.full((total, nPSI * nPSI), acc.pattern.nnz,
+                         dtype=np.int64)
+        slotsP[:P] = slots
+        acc.scanMasked((self.vertices, self.cellsDev, self.volsDev,
                         jnp.asarray(dip, dtype=INDEX),
                         jnp.asarray(djp, dtype=INDEX),
                         jnp.asarray(sf.reshape(nChunks, chunk),
                                     dtype=self.dtype),
+                        jnp.asarray(slotsP.reshape(nChunks, chunk,
+                                                   nPSI * nPSI)),
                         bary_x, bary_y, w, PSIP),
-                       kernel=self.kernel, nPSI=nPSI,
-                       ncols=acc.pattern.shape[1])
+                       kernel=self.kernel)
 
     def run(self, acc, rule, PSI, vertIdx1, vertIdx2, dofRows, volsym,
             normals=None, entryMask=None, PHI=None, yOffset=None):
