@@ -69,3 +69,40 @@ def test_dist_matrix():
     x = np.random.RandomState(3).rand(n)
     y = DM.matvec(x)
     np.testing.assert_allclose(y.toGlobal(), A @ x, rtol=1e-12)
+
+
+def test_simplex_mapper():
+    from pynucleus_tpu.fem import meshFactory
+    from pynucleus_tpu.fem.simplex_mapper import simplexMapper
+    mesh = meshFactory('square', N=2, ax=0, ay=0, bx=1, by=1)
+    sm = simplexMapper(mesh)
+    assert sm.getNumEdgesPerCell() == 3
+    edges = sm.getEdgesOfCell(0)
+    assert edges.shape == (3, 2)
+    # find each edge back
+    for k in range(3):
+        assert sm.findEdgeInCell(0, edges[k][::-1]) == k
+    v = mesh.cells[0, 1]
+    assert sm.findVertexInCell(0, v) == 1
+    m3 = meshFactory('cube')
+    sm3 = simplexMapper(m3)
+    assert sm3.getNumEdgesPerCell() == 6 and sm3.getNumFacesPerCell() == 4
+    faces = sm3.getFacesOfCell(0)
+    assert sm3.findFaceInCell(0, faces[2][[2, 0, 1]]) == 2
+
+
+def test_convergence_criteria():
+    from pynucleus_tpu.base.convergence import (convergenceCriterion,
+                                                noOpConvergenceCriterion)
+    c = convergenceCriterion(1e-6, maxiter=10).begin(1.0)
+    for r in (0.1, 0.01):
+        c.update(r)
+    assert not c.converged()
+    c.update(1e-7)
+    assert c.converged() and c.getIterationCount() == 3
+    assert abs(c.rate() - 1e-7 ** (1 / 3)) < 1e-9
+    n = noOpConvergenceCriterion(maxiter=2).begin(1.0)
+    n.update(0.0)
+    assert not n.converged()
+    n.update(0.0)
+    assert n.converged()
