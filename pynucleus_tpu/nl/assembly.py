@@ -1261,6 +1261,7 @@ class nonlocalBuilder:
                           shape=(N, N)).tocsr()
         S.sum_duplicates()
         S.sort_indices()
+        acc = CSRAccumulator(S)
         self._runPairBuckets(acc, info)
         return acc.result()
 
