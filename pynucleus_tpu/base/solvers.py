@@ -392,9 +392,11 @@ class gmres_solver(krylov_solver):
         for cycle in range(max(self.restarts, 1)):
             x, resnorm, k, hist = _gmres_cycle(self.A, M, b, x, tol, restart,
                                                use_prec, self.flexible)
-            resnorm = float(resnorm)
+            resnorm = float(np.real(resnorm))
             k = int(k)
-            histArr = np.asarray(hist)[:k]
+            # residual norms are real; the history buffer carries the
+            # solution dtype (complex for complex systems)
+            histArr = np.asarray(hist)[:k].real
             residuals.extend(float(v) for v in histArr[~np.isnan(histArr)])
             total_iters += k
             if resnorm <= tol:

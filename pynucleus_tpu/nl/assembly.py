@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 import scipy.sparse as sp
 
-from ..config import REAL, INDEX
+from ..config import REAL, INDEX, COMPLEX
 from ..base.linear_operators import Dense_LinearOperator, CSR_LinearOperator
 from .panels import (classifyPairsDense, classifyBoundaryPairs,
                      permuteLocalDofs, _sharedPermFromEq)
@@ -382,9 +382,9 @@ class _MaskTable:
 class _DiagAccumulator:
     """Accumulate only the diagonal entries (ref getDiagonal pxi:2269)."""
 
-    def __init__(self, N):
+    def __init__(self, N, dtype=None):
         self.N = N
-        self.diag = np.zeros(N + 1, dtype=REAL)
+        self.diag = np.zeros(N + 1, dtype=dtype or REAL)
 
     def add(self, rows, cols, vals):
         sel = (rows == cols) & (rows >= 0)
@@ -394,9 +394,9 @@ class _DiagAccumulator:
 class DenseAccumulator:
     """Accumulate (row, col, val) into a dense [N+1, N+1] with dump slot."""
 
-    def __init__(self, N):
+    def __init__(self, N, dtype=None):
         self.N = N
-        self.A = np.zeros((N + 1, N + 1), dtype=REAL)
+        self.A = np.zeros((N + 1, N + 1), dtype=dtype or REAL)
 
     def add(self, rows, cols, vals):
         r = np.where(rows >= 0, rows, self.N)
@@ -787,6 +787,11 @@ class nonlocalBuilder:
         self.kernel = kernel
         self.params = params or {}
         self.zeroExterior = False if kernel.finiteHorizon else zeroExterior
+        if kernel.isComplex:
+            # Greens kernels have no boundary (Gauss-theorem) kernel
+            # (ref kernelsCy.pyx:1307,1321 raise for boundary complex);
+            # their bilinear form is the pure double integral
+            self.zeroExterior = False
         self.comm = comm
 
     # ------------------------------------------------------------- helpers
@@ -1166,7 +1171,12 @@ class nonlocalBuilder:
         N = dm.num_dofs
         info = self._makeRules(classifyPairsDense(
             dm, self.kernel, target_order=self.params.get('target_order')))
-        if jax.devices()[0].platform == 'cpu':
+        if self.kernel.isComplex:
+            # complex assembly (ref ComplexnonlocalBuilder, the {SCALAR}
+            # template instantiated for COMPLEX): same panel machinery,
+            # complex accumulator
+            acc = DenseAccumulator(N, dtype=COMPLEX)
+        elif jax.devices()[0].platform == 'cpu':
             acc = DenseAccumulator(N)
         else:
             acc = DeviceDenseAccumulator(N, dtype=self.params.get('dtype'))
@@ -1193,7 +1203,8 @@ class nonlocalBuilder:
         from .panels import classifyPairsDense
         info = self._makeRules(classifyPairsDense(
             self.dm, self.kernel, target_order=self.params.get('target_order')))
-        acc = _DiagAccumulator(N)
+        acc = _DiagAccumulator(
+            N, dtype=COMPLEX if self.kernel.isComplex else None)
         self._runPairBuckets(acc, info)
         if self.zeroExterior:
             self._addZeroExterior(acc)

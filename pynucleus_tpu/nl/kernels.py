@@ -27,6 +27,7 @@ from ..fem.functions import constant as constFunction, function
 
 __all__ = ['interfaceTwoPoint', 'Kernel', 'FractionalKernel', 'getFractionalKernel',
            'getIntegrableKernel', 'getKernel', 'kernelFactory',
+           'ComplexKernel', 'getComplexKernel', 'GREENS_2D', 'GREENS_3D',
            'constFractionalOrder', 'variableConstFractionalOrder',
            'fractionalOrderFactory', 'interactionFactory',
            'fullSpace', 'ball2', 'ballInf',
@@ -43,6 +44,39 @@ EXPONENTIAL = 'exponential'
 POLYNOMIAL = 'polynomial'
 LOGINVERSEDISTANCE = 'logInverseDistance'
 MONOMIAL = 'monomial'
+GREENS_2D = 'greens2D'
+GREENS_3D = 'greens3D'
+
+
+# --------------------------------------------------- Bessel J0/Y0 (device)
+
+def _bessel_j0y0(x):
+    """J0(x), Y0(x) for x > 0 as one traced expression (device).
+
+    Abramowitz & Stegun 9.4.1-9.4.3 rational approximations (abs err
+    <~5e-8): power series in (x/3)^2 below 3, modulus/phase form above.
+    Used by the Greens-function kernels (ref kernelsCy.pyx:43-44
+    hankel10complex = i*H0^(1) = i*J0 - Y0, via scipy.special.hankel1)."""
+    xs = jnp.where(x > 1e-30, x, 1e-30)
+    # small branch: t = (x/3)^2
+    t = (xs / 3.0) ** 2
+    j0s = (1.0 + t * (-2.2499997 + t * (1.2656208 + t * (-0.3163866
+          + t * (0.0444479 + t * (-0.0039444 + t * 0.0002100))))))
+    y0s = (2.0 / np.pi) * jnp.log(0.5 * xs) * j0s \
+        + (0.36746691 + t * (0.60559366 + t * (-0.74350384 + t * (0.25300117
+           + t * (-0.04261214 + t * (0.00427916 - t * 0.00024846))))))
+    # large branch: u = 3/x, J0 = f cos(th)/sqrt(x), Y0 = f sin(th)/sqrt(x)
+    u = 3.0 / jnp.maximum(xs, 3.0)
+    f = (0.79788456 + u * (-0.00000077 + u * (-0.00552740 + u * (-0.00009512
+         + u * (0.00137237 + u * (-0.00072805 + u * 0.00014476))))))
+    th = xs - 0.78539816 + u * (-0.04166397 + u * (-0.00003954
+         + u * (0.00262573 + u * (-0.00054125 + u * (-0.00029333
+         + u * 0.00013558)))))
+    rsqrt = 1.0 / jnp.sqrt(xs)
+    j0l = f * jnp.cos(th) * rsqrt
+    y0l = f * jnp.sin(th) * rsqrt
+    small = xs <= 3.0
+    return jnp.where(small, j0s, j0l), jnp.where(small, y0s, y0l)
 
 
 # ------------------------------------------------------------ fractional orders
@@ -890,6 +924,7 @@ class Kernel:
     scalingValue, singularityValue, boundary flag, symmetric, complement.
     """
     variableOrder = False
+    isComplex = False
 
     def __init__(self, dim, kernelType, horizon, interaction, scalingValue,
                  singularityValue, boundary=False, symmetric=True,
@@ -1242,14 +1277,102 @@ def getIntegrableKernel(dim, kernel, horizon, interaction=None, scaling=None,
     return k
 
 
+class ComplexKernel(Kernel):
+    """Complex-valued Greens-function kernels (ref kernelsCy.pyx:1224-1322).
+
+    greens2D: gamma(x,y) = C * i*H0^(1)(lam*|x-y|)  with lam =
+        -Im(greensLambda) (ref kernelsCy.pyx:1246-1250,519-526); declared
+        singularity 0 (log-integrable), matching the reference.
+    greens3D: gamma(x,y) = C * exp(-greensLambda*|x-y|) / |x-y| with complex
+        greensLambda (ref kernelsCy.pyx:1251-1256,529-537); singularity -1.
+
+    Assembled through the same double-difference panel machinery as the real
+    kernels (the reference templates nonlocalAssembly over {SCALAR}); the
+    builder allocates complex accumulators when ``kernel.isComplex``.
+    """
+    isComplex = True
+
+    def __init__(self, dim, kernelType, horizon=np.inf, interaction=None,
+                 scaling=1.0, greensLambda=1.0j, phi=None):
+        if kernelType == GREENS_2D:
+            assert dim == 2, 'greens2D kernel needs dim=2'
+            sing = 0.0
+        elif kernelType == GREENS_3D:
+            assert dim == 3, 'greens3D kernel needs dim=3'
+            sing = -1.0
+        else:
+            raise NotImplementedError(kernelType)
+        hv = horizon.value if hasattr(horizon, 'value') else float(horizon)
+        if interaction is None:
+            interaction = fullSpace() if hv == np.inf else ball2()
+        sv = scaling.value if hasattr(scaling, 'value') else float(scaling)
+        super().__init__(dim, kernelType, hv, interaction, sv, sing,
+                         symmetric=True)
+        self.greensLambda = complex(greensLambda)
+        if phi is not None:
+            if getattr(phi, 'smooth', False):
+                self.phiJax = phi.jaxEval
+            else:
+                self.phi = phi
+
+    def _radialJax(self, r2):
+        C = self.scalingValue
+        r = jnp.sqrt(r2)
+        if self.kernelType == GREENS_2D:
+            # i*H0^(1)(lam r) = i*J0(lam r) - Y0(lam r)
+            lam = -self.greensLambda.imag
+            j0, y0 = _bessel_j0y0(lam * r)
+            return C * (-y0 + 1j * j0)
+        lam = self.greensLambda
+        return C * jnp.exp(-lam.real * r) \
+            * (jnp.cos(lam.imag * r) - 1j * jnp.sin(lam.imag * r)) / r
+
+    def __call__(self, x, y):
+        """Host evaluation with scipy's exact Bessel functions."""
+        x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+        y = np.atleast_2d(np.asarray(y, dtype=np.float64))
+        r = float(np.sqrt(((x - y) ** 2).sum()))
+        C = self.scalingValue
+        if self.finiteHorizon and r > self.horizonValue:
+            return 0.0j
+        if self.kernelType == GREENS_2D:
+            from scipy.special import hankel1
+            val = C * 1j * hankel1(0.0, -self.greensLambda.imag * r)
+        else:
+            val = C * np.exp(-self.greensLambda * r) / r
+        if self.phi is not None:
+            val = val * float(self.phi.evalPairs(x, y)[0])
+        return complex(val)
+
+    def getBoundaryKernel(self):
+        raise NotImplementedError(
+            'boundary kernel not defined for complex kernels '
+            '(ref kernelsCy.pyx:1307,1321 raises too)')
+
+    def _key(self):
+        return super()._key() + (self.greensLambda,)
+
+
+def getComplexKernel(dim, kernel=GREENS_2D, greensLambda=1.0j, horizon=np.inf,
+                     interaction=None, scaling=1.0, phi=None, **kwargs):
+    """Factory for the complex Greens kernels (the reference constructs
+    ComplexKernel directly; DoFMaps.pyx:836-880 dispatches on its type)."""
+    return ComplexKernel(dim, kernel, horizon=horizon, interaction=interaction,
+                         scaling=scaling, greensLambda=greensLambda, phi=phi)
+
+
 def getKernel(dim, kernel=FRACTIONAL, **kwargs):
     if kernel == FRACTIONAL:
         return getFractionalKernel(dim, **kwargs)
+    if kernel in (GREENS_2D, GREENS_3D):
+        return getComplexKernel(dim, kernel=kernel, **kwargs)
     return getIntegrableKernel(dim, kernel=kernel, **kwargs)
 
 
 kernelFactory = factory()
 kernelFactory.register('fractional', getFractionalKernel)
+kernelFactory.register('greens2D', lambda dim, **kw: getComplexKernel(dim, kernel=GREENS_2D, **kw))
+kernelFactory.register('greens3D', lambda dim, **kw: getComplexKernel(dim, kernel=GREENS_3D, **kw))
 for _kt in (INDICATOR, PERIDYNAMIC, GAUSSIAN, EXPONENTIAL, POLYNOMIAL,
             LOGINVERSEDISTANCE):
     kernelFactory.register(
