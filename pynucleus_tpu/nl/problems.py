@@ -253,7 +253,12 @@ class fractionalLaplacianProblem(nonlocalBaseProblem):
                                                       'knownSolution'], group=p)
         self.setDriverFlag('element', acceptedValues=['P1', 'P2', 'P3', 'P0'],
                            group=p)
-        self.setDriverFlag('adaptive', acceptedValues=[None], group=p,
+        self.setDriverFlag('adaptive', acceptedValues=['residualMelenk',
+                                                       'residualNochetto',
+                                                       'residual',
+                                                       'hierarchical',
+                                                       'knownSolution', None],
+                           group=p,
                            argInterpreter=lambda v: None if v == 'None' else v)
         self.setDriverFlag('noRef', -1, group=p)
 
@@ -262,11 +267,18 @@ class fractionalLaplacianProblem(nonlocalBaseProblem):
         if noRef is None or noRef <= 0:
             domain = params['domain']
             element = params['element']
-            # ref nonlocalProblems.py:556-603
+            adaptive = params.get('adaptive')
+            # ref nonlocalProblems.py:556-603: the adaptive flag names an
+            # error-indicator choice and raises the refinement budget; the
+            # indicators themselves are unimplemented in the reference too
+            # (the flag's only consumer is this noRef table)
             if domain == 'interval':
-                noRef = {'P0': 6, 'P1': 6, 'P2': 5, 'P3': 5}[element]
+                if adaptive is None:
+                    noRef = {'P0': 6, 'P1': 6, 'P2': 5, 'P3': 5}[element]
+                else:
+                    noRef = {'P1': 22, 'P2': 21}[element]
             elif domain == 'disc':
-                noRef = 5
+                noRef = 5 if adaptive is None else 7
             elif domain == 'square':
                 noRef = 20
             else:
