@@ -1293,7 +1293,8 @@ class nonlocalBuilder:
             return (A, None) if returnNearField else A
         from .panels import classifyPairList
         from .h2 import (buildClusterTree, admissibleClusters, H2Matrix,
-                         tensorChebyshevGrid, tensorLagrangeEval, _H2Level)
+                         tensorChebyshevGrid, tensorLagrangeEval, _H2Level,
+                         batchedChebyshevGrids, batchedLagrangeEval)
         from ..fem.quadrature import simplexDuffy
         dm, mesh, kernel = self.dm, self.mesh, self.kernel
         N = dm.num_dofs
@@ -1334,37 +1335,44 @@ class nonlocalBuilder:
             for p_, nid in enumerate(byLevel[ell]):
                 pos[nid] = p_
 
-        # ---- transfer matrices per level (child coeffs -> parent coeffs)
+        # ---- transfer matrices per level (child coeffs -> parent coeffs;
+        # batched over the level's nodes -- the per-node python loop is the
+        # host bottleneck past ~100k dofs)
         levels = []
         for ell in range(nLvl):
-            size = len(byLevel[ell])
+            ids = byLevel[ell]
+            size = len(ids)
             entry = _H2Level(size)
             if ell > 0:
-                T = np.zeros((size, M, M))
-                parentIdx = np.zeros(size, dtype=np.int64)
-                for p_, nid in enumerate(byLevel[ell]):
-                    nd = nodes[nid]
-                    par = nodes[nd.parent]
-                    parentIdx[p_] = pos[par.id]
-                    grid_child = tensorChebyshevGrid(m, nd.box)
-                    T[p_] = tensorLagrangeEval(m, par.box, grid_child)
-                entry['T'] = jnp.asarray(T)
+                childBoxes = np.stack([nodes[nid].box for nid in ids])
+                parBoxes = np.stack([nodes[nodes[nid].parent].box
+                                     for nid in ids])
+                parentIdx = np.fromiter((pos[nodes[nid].parent] for nid in ids),
+                                        dtype=np.int64, count=size)
+                gridC = batchedChebyshevGrids(m, childBoxes)   # [size, M, d]
+                entry['T'] = jnp.asarray(
+                    batchedLagrangeEval(m, parBoxes, gridC))   # [size, M, M]
                 entry['parentIdx'] = jnp.asarray(parentIdx, dtype=INDEX)
             levels.append(entry)
 
         # ---- far-field kernel blocks per level (batched: ONE jitted kernel
-        # eval over all [pairs, M, M] Chebyshev grid products per level)
-        gridCache = {}
-
-        def nodeGrid(nid):
-            if nid not in gridCache:
-                gridCache[nid] = tensorChebyshevGrid(m, nodes[nid].box)
-            return gridCache[nid]
+        # eval over all [pairs, M, M] Chebyshev grid products per level);
+        # all node grids built in one vectorized shot
+        farIds = sorted({nid for cplist in Pfar.values()
+                         for pair in cplist for nid in pair})
+        if farIds:
+            gridsAll = batchedChebyshevGrids(
+                m, np.stack([nodes[nid].box for nid in farIds]))
+            gridRow = {nid: k for k, nid in enumerate(farIds)}
 
         for ell, cplist in Pfar.items():
             pN = len(cplist)
-            gi = np.stack([nodeGrid(i) for (i, j) in cplist])   # [pN, M, d]
-            gj = np.stack([nodeGrid(j) for (i, j) in cplist])
+            ri = np.fromiter((gridRow[i] for (i, j) in cplist),
+                             dtype=np.int64, count=pN)
+            rj = np.fromiter((gridRow[j] for (i, j) in cplist),
+                             dtype=np.int64, count=pN)
+            gi = gridsAll[ri]                                   # [pN, M, d]
+            gj = gridsAll[rj]
             # cross terms -u(x)v(y) carry factor -2 (both orderings of
             # the ordered cluster pair; ref clusterMethodCy.pyx:2216)
             K = -2.0 * np.asarray(_farFieldBlocks(
@@ -1404,25 +1412,33 @@ class nonlocalBuilder:
             dofSlot[nd.dofs] = np.arange(len(nd.dofs))
             lvlIdx[li] = nd.level
             posIdx[li] = pos[nd.id]
-        # accumulate integrals cell by cell (vectorized over cells per leaf)
-        cellLeafSets = {}
-        for c in range(mesh.num_cells):
-            for l in range(dpe):
-                i = d[c, l]
-                if i >= 0:
-                    cellLeafSets.setdefault(int(dofLeaf[i]), set()).add(c)
-        for li, cset in cellLeafSets.items():
-            nd = leaves[li]
-            cs = np.array(sorted(cset), dtype=np.int64)
-            Lk = tensorLagrangeEval(m, nd.box,
-                                    Xq[cs].reshape(-1, dim))   # [M, nc*Q]
-            Lk = Lk.reshape(M, len(cs), -1)                    # [M, nc, Q]
-            contrib = np.einsum('c,q,lq,mcq->clm', vols[cs], wq, PHIel, Lk)
-            for ci, c in enumerate(cs):
-                for l in range(dpe):
-                    i = d[c, l]
-                    if i >= 0 and dofLeaf[i] == li:
-                        leafPhi[li, dofSlot[i]] += contrib[ci, l]
+        # accumulate integrals: fully vectorized over (cell, leaf) incidence
+        # pairs, chunked to bound the [B, M, Q] Lagrange intermediate (the
+        # former per-cell python loop was the host bottleneck past ~50k dofs)
+        Cn = mesh.num_cells
+        cIdx = np.repeat(np.arange(Cn), dpe)
+        dFlat = d.reshape(-1)
+        ok = dFlat >= 0
+        pairsCL = np.unique(
+            np.stack([cIdx[ok], dofLeaf[dFlat[ok]]], axis=1), axis=0)
+        cp, lp = pairsCL[:, 0], pairsCL[:, 1]
+        leafBoxes = np.stack([nd.box for nd in leaves])        # [L, dim, 2]
+        PW = PHIel * wq[None, :]                               # [dpe, Q]
+        flatPhi = leafPhi.reshape(L * maxLeafN, M)
+        Q_ = Xq.shape[1]
+        chunkB = max(1, (1 << 24) // max(M * Q_, 1))
+        for s0 in range(0, len(cp), chunkB):
+            sl = slice(s0, s0 + chunkB)
+            cs, ls = cp[sl], lp[sl]
+            Lk = batchedLagrangeEval(m, leafBoxes[ls], Xq[cs])  # [B, M, Q]
+            contrib = np.einsum('b,lq,bmq->blm', vols[cs], PW, Lk)
+            dcs = d[cs]                                         # [B, dpe]
+            valid = dcs >= 0
+            dsafe = np.where(valid, dcs, 0)
+            sel = valid & (dofLeaf[dsafe] == ls[:, None])
+            flat = ls[:, None] * maxLeafN + np.where(sel, dofSlot[dsafe], 0)
+            np.add.at(flatPhi, flat[sel], contrib[sel])
+        leafPhi = flatPhi.reshape(L, maxLeafN, M)
 
         # ---- near field (ref assembleClusters pxi:1663-2160): for each near
         # cluster pair (I, J):
@@ -1477,8 +1493,12 @@ class nonlocalBuilder:
         S.sum_duplicates()
         S.sort_indices()
 
-        inI = np.zeros(N, dtype=bool)
-        inJ = np.zeros(N, dtype=bool)
+        # dof -> owning near-cluster node id (Pnear nodes are leaves, which
+        # partition the dofs); membership tests dofNode[d] == I replace the
+        # former O(N)-reset boolean arrays (quadratic at 100k+ dofs)
+        dofNode = np.full(N, -1, dtype=np.int64)
+        for nid in {n for pair in Pnear for n in pair}:
+            dofNode[nodes[nid].dofs] = nid
         surfPairs = []       # (cellNo, facetVerts, normal, mask, sgn)
         allKeys = []         # candidate cell pairs: lo * C + hi
         allMasks = []        # [K, 2dpe, 2dpe] uint8
@@ -1500,10 +1520,6 @@ class nonlocalBuilder:
             cells2 = np.unique(inc[dJ].tocoo().col)
             U = np.union1d(cells1, cells2)
             inter = np.intersect1d(cells1, cells2)
-            inI[:] = False
-            inI[dI] = True
-            inJ[:] = False
-            inJ[dJ] = True
 
             # --- interaction cell pairs (vectorized over the pair's cells)
             aa = np.repeat(cells1, len(cells2))
@@ -1518,8 +1534,8 @@ class nonlocalBuilder:
             gd = np.concatenate([dofs[lo], dofs[hi]], axis=1)  # [K, 2dpe]
             valid = gd >= 0
             gval = np.where(valid, gd, 0)
-            rI = inI[gval] & valid
-            rJ = inJ[gval] & valid
+            rI = (dofNode[gval] == I) & valid
+            rJ = (dofNode[gval] == J) & valid
             m2 = (rI[:, :, None] & rJ[:, None, :]) \
                 | (rJ[:, :, None] & rI[:, None, :])
             keep = m2.any(axis=(1, 2))
@@ -1533,8 +1549,8 @@ class nonlocalBuilder:
                 gdS = dofs[inter]                           # [nI, dpe]
                 validS = gdS >= 0
                 gvalS = np.where(validS, gdS, 0)
-                rIS = inI[gvalS] & validS
-                rJS = inJ[gvalS] & validS
+                rIS = (dofNode[gvalS] == I) & validS
+                rJS = (dofNode[gvalS] == J) & validS
                 m1s = (rIS[:, :, None] & rJS[:, None, :]) \
                     | (rJS[:, :, None] & rIS[:, None, :])
                 keepS = m1s.any(axis=(1, 2))

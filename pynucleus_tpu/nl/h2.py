@@ -88,6 +88,66 @@ def tensorChebyshevGrid(m, box):
     return np.stack([g.ravel() for g in grids], axis=1)
 
 
+def _tensorDigits(m, dim):
+    """[M, dim] digit table: index k of the axis0-major tensor grid has
+    digit I[k, d] along axis d."""
+    M = m ** dim
+    k = np.arange(M)
+    I = np.zeros((M, dim), dtype=np.int64)
+    for d in range(dim - 1, -1, -1):
+        I[:, d] = k % m
+        k = k // m
+    return I
+
+
+def batchedChebyshevGrids(m, boxes):
+    """boxes [B, dim, 2] -> [B, M, dim] tensor grids: vectorized
+    tensorChebyshevGrid (the per-node python loop is O(#tree nodes) and
+    dominates host time at >100k dofs)."""
+    boxes = np.asarray(boxes)
+    B, dim, _ = boxes.shape
+    eta = chebyshevPoints(m)                         # [m] on [0, 1]
+    I = _tensorDigits(m, dim)                        # [M, dim]
+    lo = boxes[:, :, 0]                              # [B, dim]
+    wid = boxes[:, :, 1] - boxes[:, :, 0]
+    # grid[b, k, d] = lo[b,d] + wid[b,d] * eta[I[k,d]]
+    return lo[:, None, :] + wid[:, None, :] * eta[I][None, :, :]
+
+
+def _chebLagrange01(m, t):
+    """Standard Chebyshev-Lagrange basis on [0,1] at t [...]-> [..., m]
+    (barycentric; exact at nodes)."""
+    nodes = chebyshevPoints(m)
+    k = np.arange(m)
+    wbar = (-1.0) ** k * np.sin((2 * k + 1) * np.pi / (2 * m))
+    diff = t[..., None] - nodes                      # [..., m]
+    exact = np.abs(diff) < 1e-14
+    diff = np.where(exact, 1.0, diff)
+    terms = wbar / diff
+    L = terms / terms.sum(axis=-1, keepdims=True)
+    hit = exact.any(axis=-1)
+    if hit.any():
+        L[hit] = exact[hit].astype(np.float64)
+    return L
+
+
+def batchedLagrangeEval(m, boxes, X):
+    """Vectorized tensorLagrangeEval: boxes [B, dim, 2], X [B, n, dim] ->
+    [B, M, n] (basis axis0-major, matching tensorLagrangeEval)."""
+    boxes = np.asarray(boxes)
+    X = np.asarray(X)
+    B, n, dim = X.shape
+    lo = boxes[:, None, :, 0]
+    wid = boxes[:, None, :, 1] - boxes[:, None, :, 0]
+    t = (X - lo) / wid                               # [B, n, dim]
+    out = None
+    for d in range(dim):
+        Ld = _chebLagrange01(m, t[:, :, d]).transpose(0, 2, 1)  # [B, m, n]
+        out = Ld if out is None else \
+            (out[:, :, None, :] * Ld[:, None, :, :]).reshape(B, -1, n)
+    return out
+
+
 # ------------------------------------------------------------------ tree ---
 
 @dataclass
@@ -253,54 +313,101 @@ def admissibleClusters(kernel, nodes, eta, interpolation_order, dim,
     far pairs are batched Chebyshev einsums instead of singular quadrature),
     at the cost of borderline-pair interpolation error near the
     singularity."""
-    Pfar = {}
-    Pnear = []
     M = interpolation_order ** dim
     ffSize = minFarFieldBlockSize if minFarFieldBlockSize is not None \
         else M * M
 
-    def rec(i, j):
-        n1, n2 = nodes[i], nodes[j]
-        dist = _dist(n1.box, n2.box)
+    # node arrays (the former pair recursion did per-pair numpy box math --
+    # minutes of host time at 1M dofs; this BFS classifies whole waves)
+    nN = len(nodes)
+    lo = np.stack([nd.box[:, 0] for nd in nodes])
+    hi = np.stack([nd.box[:, 1] for nd in nodes])
+    diam = np.linalg.norm(hi - lo, axis=1)
+    nDofs = np.fromiter((len(nd.dofs) for nd in nodes), np.int64, nN)
+    isLeaf = np.fromiter((nd.isLeaf for nd in nodes), bool, nN)
+    mixed = np.fromiter((nd.mixed for nd in nodes), bool, nN)
+    level = np.fromiter((nd.level for nd in nodes), np.int64, nN)
+    cnt = np.fromiter((len(nd.children) for nd in nodes), np.int64, nN)
+    childArr = np.concatenate(
+        [np.asarray(nd.children, dtype=np.int64) for nd in nodes
+         if nd.children] or [np.empty(0, dtype=np.int64)])
+    childOff = np.zeros(nN + 1, dtype=np.int64)
+    childOff[1:] = np.cumsum(cnt)
+
+    def _aranges(reps):
+        total = int(reps.sum())
+        starts = np.repeat(np.cumsum(reps) - reps, reps)
+        return np.arange(total) - starts
+
+    def childrenOf(v):
+        """Flattened children of each node in v (ragged, v-major order)."""
+        reps = cnt[v]
+        idx = np.repeat(childOff[v], reps) + _aranges(reps)
+        return childArr[idx]
+
+    farI, farJ = [], []
+    nearI, nearJ = [], []
+    ii = np.array([0], dtype=np.int64)
+    jj = np.array([0], dtype=np.int64)
+    while len(ii):
+        dvec = np.maximum(np.maximum(lo[ii] - hi[jj], lo[jj] - hi[ii]), 0.0)
+        dist = np.linalg.norm(dvec, axis=1)
+        keep = np.ones(len(ii), dtype=bool)
+        onHorizon = np.zeros(len(ii), dtype=bool)
         if kernel.finiteHorizon:
             hv = kernel.horizonValue
-            maxDist = _maxDist(n1.box, n2.box)
-            if not kernel.complement and dist > hv:
-                return
-            if kernel.complement and maxDist <= hv:
-                return
-            onHorizon = dist <= hv <= maxDist
-        else:
-            onHorizon = False
-        diam1 = _diam(n1.box)
-        diam2 = _diam(n2.box)
-        sizeProd = len(n1.dofs) * len(n2.dofs)
+            dmax = np.maximum(np.abs(hi[ii] - lo[jj]),
+                              np.abs(hi[jj] - lo[ii]))
+            maxDist = np.linalg.norm(dmax, axis=1)
+            if not kernel.complement:
+                keep = dist <= hv
+            else:
+                keep = maxDist > hv
+            onHorizon = (dist <= hv) & (hv <= maxDist)
+        sizeProd = nDofs[ii] * nDofs[jj]
         # pairs below the (m^dim)^2 block size need strong separation: near
         # the singularity the kernel magnitude amplifies the Chebyshev
         # interpolation error of borderline-separated tiny pairs
-        etaEff = eta if sizeProd >= M * M else 0.5
-        admissible = (etaEff * dist >= max(diam1, diam2) and not onHorizon
-                      and ffSize <= sizeProd
-                      and not n1.mixed and not n2.mixed)
-        if admissible:
-            Pfar.setdefault(n1.level, []).append((i, j))
-            return
-        if n1.isLeaf and n2.isLeaf:
-            Pnear.append((i, j))
-            return
-        # refine the pair: split the node with larger diameter (both if tied)
-        if n1.isLeaf:
-            for c2 in n2.children:
-                rec(i, c2)
-        elif n2.isLeaf:
-            for c1 in n1.children:
-                rec(c1, j)
-        else:
-            for c1 in n1.children:
-                for c2 in n2.children:
-                    rec(c1, c2)
+        etaEff = np.where(sizeProd >= M * M, eta, 0.5)
+        # equal levels required so the level-batched far matvec can index
+        # src/dst coefficients within one level (unequal-level admissible
+        # pairs -- possible only through leaf/block asymmetry -- refine on
+        # to exact near pairs instead)
+        admissible = keep & (etaEff * dist >= np.maximum(diam[ii], diam[jj])) \
+            & ~onHorizon & (ffSize <= sizeProd) \
+            & ~mixed[ii] & ~mixed[jj] & (level[ii] == level[jj])
+        farI.append(ii[admissible])
+        farJ.append(jj[admissible])
+        bothLeaf = isLeaf[ii] & isLeaf[jj]
+        near = keep & ~admissible & bothLeaf
+        nearI.append(ii[near])
+        nearJ.append(jj[near])
+        ref = keep & ~admissible & ~bothLeaf
+        iR, jR = ii[ref], jj[ref]
+        # split non-leaves: i leaf -> (i, ch(j)); j leaf -> (ch(i), j);
+        # neither -> ch(i) x ch(j)
+        A = isLeaf[iR]
+        B = isLeaf[jR] & ~A
+        Cm = ~isLeaf[iR] & ~isLeaf[jR]
+        nxtI = [np.repeat(iR[A], cnt[jR[A]]), childrenOf(iR[B])]
+        nxtJ = [childrenOf(jR[A]), np.repeat(jR[B], cnt[iR[B]])]
+        iC, jC = iR[Cm], jR[Cm]
+        if len(iC):
+            ciFlat = childrenOf(iC)                       # i-child, i-major
+            repsJ = cnt[np.repeat(jC, cnt[iC])]           # per i-child
+            nxtI.append(np.repeat(ciFlat, repsJ))
+            nxtJ.append(childrenOf(np.repeat(jC, cnt[iC])))
+        ii = np.concatenate(nxtI)
+        jj = np.concatenate(nxtJ)
 
-    rec(0, 0)
+    farI = np.concatenate(farI)
+    farJ = np.concatenate(farJ)
+    Pfar = {}
+    for ell in np.unique(level[farI]):
+        sel = level[farI] == ell
+        Pfar[int(ell)] = list(zip(farI[sel].tolist(), farJ[sel].tolist()))
+    Pnear = list(zip(np.concatenate(nearI).tolist(),
+                     np.concatenate(nearJ).tolist()))
     return Pfar, Pnear
 
 
