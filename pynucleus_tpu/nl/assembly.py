@@ -1499,7 +1499,8 @@ class nonlocalBuilder:
         dofNode = np.full(N, -1, dtype=np.int64)
         for nid in {n for pair in Pnear for n in pair}:
             dofNode[nodes[nid].dofs] = nid
-        surfPairs = []       # (cellNo, facetVerts, normal, mask, sgn)
+        # surface items as array chunks (cell, facetVerts, normal, mask, sgn)
+        sp_cell, sp_fac, sp_nrm, sp_msk, sp_sgn = [], [], [], [], []
         allKeys = []         # candidate cell pairs: lo * C + hi
         allMasks = []        # [K, 2dpe, 2dpe] uint8
 
@@ -1508,6 +1509,10 @@ class nonlocalBuilder:
         # form of int_{U^c} gamma(x,y) dy needs [G]-corrections where the
         # radial antiderivative jumps with s(x, y)
         jumps = self._getKernelJumps() if kernel.variable else []
+        if jumps:
+            jF = np.stack([np.asarray(j[0]) for j in jumps]).astype(np.int64)
+            jN = np.stack([np.asarray(j[1]) for j in jumps])
+            jC = np.array([[j[2], j[3]] for j in jumps], dtype=np.int64)
 
         for (I, J) in Pnear:
             # the dual traversal yields both orderings; masks are symmetric,
@@ -1545,7 +1550,6 @@ class nonlocalBuilder:
             # --- surface of the union (diagonal mass from outside U)
             if len(inter):
                 facets, normals = _cellSetBoundary(mesh, U)
-                Uset = set(int(u) for u in U)
                 gdS = dofs[inter]                           # [nI, dpe]
                 validS = gdS >= 0
                 gvalS = np.where(validS, gdS, 0)
@@ -1553,20 +1557,32 @@ class nonlocalBuilder:
                 rJS = (dofNode[gvalS] == J) & validS
                 m1s = (rIS[:, :, None] & rJS[:, None, :]) \
                     | (rJS[:, :, None] & rIS[:, None, :])
-                keepS = m1s.any(axis=(1, 2))
-                for ii in np.nonzero(keepS)[0]:
-                    c = int(inter[ii])
-                    m1 = m1s[ii]
-                    for fi in range(len(facets)):
-                        surfPairs.append((c, facets[fi], normals[fi], m1, 1.0))
+                keepIdx = np.nonzero(m1s.any(axis=(1, 2)))[0]
+                nK = len(keepIdx)
+                F = len(facets)
+                if nK and F:
+                    cK = inter[keepIdx]
+                    mK = m1s[keepIdx]
+                    sp_cell.append(np.repeat(cK, F))
+                    sp_fac.append(np.tile(facets, (nK, 1)))
+                    sp_nrm.append(np.tile(normals, (nK, 1)))
+                    sp_msk.append(np.repeat(mK, F, axis=0))
+                    sp_sgn.append(np.ones(nK * F))
                     # jump facets strictly inside U^c: two runs with the
                     # order evaluated on either side, difference weighted by
                     # the facet normal (ref assembleClusters pxi:2032-2108)
-                    for (jf, jn, jc1, jc2) in jumps:
-                        if jc1 in Uset or jc2 in Uset:
-                            continue
-                        surfPairs.append((c, jf, jn, m1, 1.0))
-                        surfPairs.append((c, jf, jn, m1, -1.0))
+                    if jumps:
+                        outside = ~(np.isin(jC[:, 0], U)
+                                    | np.isin(jC[:, 1], U))
+                        jIdx = np.nonzero(outside)[0]
+                        nJ = len(jIdx)
+                        if nJ:
+                            for sgn in (1.0, -1.0):
+                                sp_cell.append(np.repeat(cK, nJ))
+                                sp_fac.append(np.tile(jF[jIdx], (nK, 1)))
+                                sp_nrm.append(np.tile(jN[jIdx], (nK, 1)))
+                                sp_msk.append(np.repeat(mK, nJ, axis=0))
+                                sp_sgn.append(np.full(nK * nJ, sgn))
 
         # --- global dedup of candidate pairs with OR-merged masks
         if allKeys:
@@ -1603,8 +1619,12 @@ class nonlocalBuilder:
         self._runPairBuckets(acc, info, maskLookup=pairMasks)
 
         # ---- run the surface pairs
-        if surfPairs:
-            self._runUnionSurface(acc, surfPairs)
+        if sp_cell:
+            self._runUnionSurface(acc, (np.concatenate(sp_cell),
+                                        np.concatenate(sp_fac, axis=0),
+                                        np.concatenate(sp_nrm, axis=0),
+                                        np.concatenate(sp_msk, axis=0),
+                                        np.concatenate(sp_sgn)))
 
         # regional operator: subtract the Omega x Omega^c part that the union
         # surfaces added (ref assembleClusters pxi:2110-2143)
@@ -1770,16 +1790,11 @@ class nonlocalBuilder:
         qd = mpb['quad_order_diagonal']
         sigb = bkernel.getSingularityValue()
 
-        # ---- array-ize the item list (vectorized processing below)
-        S = len(surfPairs)
-        cellNos = np.fromiter((it[0] for it in surfPairs), dtype=np.int64,
-                              count=S)
-        facets = np.stack([np.asarray(it[1]) for it in surfPairs]) \
-            .astype(np.int64)
-        normals = np.stack([np.asarray(it[2]) for it in surfPairs])
-        masksArr = np.stack([it[3] for it in surfPairs])
-        sgns = np.fromiter((it[4] for it in surfPairs), dtype=np.float64,
-                           count=S)
+        # surfPairs arrives as arrays (cellNos, facets, normals, masks, sgns)
+        cellNos, facets, normals, masksArr, sgns = surfPairs
+        cellNos = np.asarray(cellNos, dtype=np.int64)
+        facets = np.asarray(facets, dtype=np.int64)
+        S = len(cellNos)
         nvS = facets.shape[1]
         nv = mdim + 1
 
@@ -1813,8 +1828,9 @@ class nonlocalBuilder:
         for u in range(uniqSig.shape[0]):
             k = int(np.argmax(sigInv == u))
             permLut.append(_sharedPermFromEq(eq[k]))
-        nSharedArr = np.fromiter((permLut[g][0] for g in sigInv),
-                                 dtype=np.int64, count=S)
+        nSharedArr = np.array([permLut[u][0]
+                               for u in range(uniqSig.shape[0])],
+                              dtype=np.int64)[sigInv]
 
         def runBucketV(rule, sel, perm1=None, perm2=None, useDet=True):
             # singular (collapsed-parametrization) rules are normalized to
