@@ -1477,8 +1477,23 @@ class nonlocalBuilder:
         # dof -> cells incidence
         mask = dofs >= 0
         cc, ll = np.nonzero(mask)
-        inc = sp.coo_matrix((np.ones(mask.sum()), (dofs[cc, ll], cc)),
-                            shape=(N, C)).tocsr()
+
+        # per-near-node sorted cell lists (the former per-pair scipy fancy
+        # indexing cost ~0.5ms/pair -- dominant at 100k+ cluster pairs)
+        nearIds = sorted({n for pair in Pnear for n in pair})
+        nodeRow = np.full(len(nodes), -1, dtype=np.int64)
+        nodeRow[nearIds] = np.arange(len(nearIds))
+        dofNode = np.full(N, -1, dtype=np.int64)
+        for nid in nearIds:
+            dofNode[nodes[nid].dofs] = nid
+        lc = np.unique(np.stack([nodeRow[dofNode[dofs[cc, ll]]], cc],
+                                axis=1), axis=0)
+        ncOff = np.searchsorted(lc[:, 0], np.arange(len(nearIds) + 1))
+        ncArr = lc[:, 1]
+
+        def nodeCells(nid):
+            r = nodeRow[nid]
+            return ncArr[ncOff[r]:ncOff[r + 1]]
 
         # pattern
         rows, cols = [], []
@@ -1493,12 +1508,8 @@ class nonlocalBuilder:
         S.sum_duplicates()
         S.sort_indices()
 
-        # dof -> owning near-cluster node id (Pnear nodes are leaves, which
-        # partition the dofs); membership tests dofNode[d] == I replace the
+        # dofNode (built above): membership tests dofNode[d] == I replace the
         # former O(N)-reset boolean arrays (quadratic at 100k+ dofs)
-        dofNode = np.full(N, -1, dtype=np.int64)
-        for nid in {n for pair in Pnear for n in pair}:
-            dofNode[nodes[nid].dofs] = nid
         # surface items as array chunks (cell, facetVerts, normal, mask, sgn)
         sp_cell, sp_fac, sp_nrm, sp_msk, sp_sgn = [], [], [], [], []
         allKeys = []         # candidate cell pairs: lo * C + hi
@@ -1519,12 +1530,10 @@ class nonlocalBuilder:
             # so process each unordered pair once
             if I > J:
                 continue
-            dI = nodes[I].dofs
-            dJ = nodes[J].dofs
-            cells1 = np.unique(inc[dI].tocoo().col)
-            cells2 = np.unique(inc[dJ].tocoo().col)
+            cells1 = nodeCells(I)
+            cells2 = nodeCells(J)
             U = np.union1d(cells1, cells2)
-            inter = np.intersect1d(cells1, cells2)
+            inter = np.intersect1d(cells1, cells2, assume_unique=True)
 
             # --- interaction cell pairs (vectorized over the pair's cells)
             aa = np.repeat(cells1, len(cells2))

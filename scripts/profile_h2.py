@@ -27,7 +27,8 @@ dm = dofmapFactory('P1', mesh)
 print(f'cells={mesh.num_cells} dofs={dm.num_dofs} platform={jax.devices()[0].platform}')
 
 kernel = getFractionalKernel(2, s=0.75)
-builder = nonlocalBuilder(dm, kernel)
+dtype = np.float32 if jax.devices()[0].platform != 'cpu' else np.float64
+builder = nonlocalBuilder(dm, kernel, params={'dtype': dtype})
 
 import cProfile, pstats                                      # noqa: E402
 t0 = time.time()
