@@ -15,6 +15,19 @@ jax.config.update("jax_enable_x64", True)
 # accumulation (singular-rule weights span many orders of magnitude)
 jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent XLA compilation cache: the assembly engine compiles one kernel
+# per (panel shape, quadrature size) bucket; over the remote-TPU tunnel each
+# compile costs 20-40s and dominates cold builds.  The cache survives
+# processes, so drivers/benchmarks pay compiles once per mesh size.
+_cacheDir = os.environ.get("PYNUCLEUS_TPU_COMPILE_CACHE",
+                           os.path.expanduser("~/.cache/pynucleus_tpu_xla"))
+if _cacheDir:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cacheDir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 import numpy as np
 import jax.numpy as jnp
 
