@@ -36,6 +36,9 @@ from pynucleus_tpu.nl.assembly import nonlocalBuilder
 from pynucleus_tpu.parallel.dist import (makeDeviceMesh,
                                          DistributedRowBlockOperator,
                                          DistributedHaloOperator)
+from pynucleus_tpu.parallel.dist_h2 import (DistributedH2Matrix,
+                                            DistributedCSROperator)
+from pynucleus_tpu.nl.h2 import H2Matrix
 
 
 def main(argv=None):
@@ -117,9 +120,25 @@ def main(argv=None):
             ops['A_h2_reduced'] = builder.getH2()
     base = ops.get('A_h2', ops.get('A_sparse', ops.get('A_dense')))
     if d.buildDistributedH2Bcast:
-        ops['A_distributed_bcast'] = DistributedRowBlockOperator(base, mesh)
+        # global-vector mode (ref DistributedH2Matrix_globalData,
+        # clusterMethodCy.pyx:3127): H2 structure stays intact, owners ship
+        # full outboxes
+        if isinstance(base, H2Matrix):
+            ops['A_distributed_bcast'] = DistributedH2Matrix(
+                base, mesh, bcast=True)
+        else:
+            ops['A_distributed_bcast'] = DistributedRowBlockOperator(
+                base, mesh)
     if d.buildDistributedH2:
-        ops['A_distributed_halo'] = DistributedHaloOperator(base, mesh)
+        # local-vector halo mode (ref DistributedH2Matrix_localData,
+        # clusterMethodCy.pyx:3368): sharded near CSR + cluster coefficient
+        # exchange -- no densification
+        if isinstance(base, H2Matrix):
+            ops['A_distributed_halo'] = DistributedH2Matrix(base, mesh)
+        elif hasattr(base, 'rowids'):
+            ops['A_distributed_halo'] = DistributedCSROperator(base, mesh)
+        else:
+            ops['A_distributed_halo'] = DistributedHaloOperator(base, mesh)
 
     ys = {k: np.asarray(op.matvec(x)) for k, op in ops.items()}
 
