@@ -4,11 +4,14 @@ MG/FMG cycles and MG-preconditioned Krylov methods (PCG, PGMRES, PBICGSTAB,
 FMG-PCG, FMG-PGMRES), on interval/square/cube for P1-P3 elements.
 
 TPU-native counterpart of /root/reference/drivers/runParallelGMG.py.  The
-reference parallelizes over MPI ranks with overlapping-mesh partitions; here
-the fine-level operator is a device-resident CSR matvec (gather+segment-sum)
-and multi-device execution shards that matvec over a jax device mesh
-(pynucleus_tpu.parallel) — rank counts do not change the numerics, matching
-the reference caches where 1-rank and 4-rank runs agree to solver tolerance.
+reference parallelizes over MPI ranks with overlapping-mesh partitions
+(algebraicOverlaps halo accumulate); here `--ranks N` creates an N-device
+jax.sharding.Mesh and the fine levels' CSR matvecs are row-sharded with a
+packed-outbox halo exchange (pynucleus_tpu.parallel.dist_h2
+.DistributedCSROperator); Jacobi/Chebyshev smoothing is diagonal scaling
+(local) + the sharded matvec, coarse levels are replicated (the reference's
+S5 coarse gather).  Rank counts do not change the numerics, matching the
+reference caches where 1-rank and 4-rank runs agree to solver tolerance.
 """
 import os
 import sys
@@ -100,8 +103,14 @@ def main(argv=None):
     smootherParams = {'jacobi': {'presmoothingSteps': 2,
                                  'postsmoothingSteps': 2,
                                  'omega': 2.0 / 3.0}}
+    deviceMesh = None
+    if d.ranks > 1:
+        import jax as _jax
+        from pynucleus_tpu.parallel import makeDeviceMesh
+        deviceMesh = makeDeviceMesh(min(d.ranks, len(_jax.devices())))
     ml = multigrid(hierarchy=hierarchy,
-                   smoother=(d.smoother, smootherParams[d.smoother]))
+                   smoother=(d.smoother, smootherParams[d.smoother]),
+                   deviceMesh=deviceMesh)
     ml.tolerance = tol
     ml.maxIter = d.maxiter
     ml.setup()

@@ -278,7 +278,7 @@ class multigrid(iterative_solver):
     ordered coarse -> fine (ref multigrid pxi:86)."""
 
     def __init__(self, hierarchy=None, smoother=('jacobi', {'omega': 2.0 / 3.0}),
-                 **kwargs):
+                 deviceMesh=None, shardThreshold=2000, **kwargs):
         self.hierarchyList = hierarchy
         A = hierarchy[-1]['A'] if hierarchy else None
         super().__init__(A)
@@ -286,6 +286,25 @@ class multigrid(iterative_solver):
         self.smootherType = smoother
         self.maxIter = 50
         self.cycle = 'V'
+        # S2 (distributed GMG, ref algebraicOverlaps.pyx:794-1050 +
+        # levels.py:262-298): with a device mesh, levels above the threshold
+        # get row-sharded operators (CSR halo / distributed H2); smoothers
+        # are Jacobi/Chebyshev, whose diagonal scaling is local, so the only
+        # communication per smoothing step is the matvec's halo exchange.
+        # Coarse levels stay replicated (ref S5 coarse gather).
+        self.deviceMesh = deviceMesh
+        self.shardThreshold = shardThreshold
+
+    def _shardOperator(self, A):
+        """Wrap a level operator for multi-device execution."""
+        from ..parallel.dist_h2 import (DistributedH2Matrix,
+                                        DistributedCSROperator)
+        from ..nl.h2 import H2Matrix
+        if isinstance(A, H2Matrix):
+            return DistributedH2Matrix(A, self.deviceMesh)
+        if hasattr(A, 'rowids'):
+            return DistributedCSROperator(A, self.deviceMesh)
+        return A
 
     def setup(self, A=None):
         levels = self.hierarchyList
@@ -303,10 +322,17 @@ class multigrid(iterative_solver):
             kind = self.smootherType
             if kind == 'chebyshev':
                 pre = post = 3
+        shard = (self.deviceMesh is not None
+                 and int(self.deviceMesh.devices.size) > 1)
         for lvlNo, lvl in enumerate(levels):
-            As.append(lvl['A'])
+            A_ = lvl['A']
+            if shard and lvlNo > 0 and A_.num_rows >= self.shardThreshold:
+                A_ = self._shardOperator(A_)
+            As.append(A_)
             Ps.append(lvl.get('P', None) if lvlNo > 0 else None)
-            Dinvs.append(1.0 / lvl['A'].diagonal)
+            Dinvs.append(1.0 / A_.diagonal)
+        if shard:
+            self.A = As[-1]
         rhos = None
         if kind == 'chebyshev':
             from ..base.linalg import estimateSpectralRadius

@@ -87,6 +87,25 @@ def test_interval_P1():
     _check('interval', 'P1')
 
 
+def test_sharded_vs_serial_residual_history():
+    """S2: --ranks 8 row-shards the fine-level CSR matvecs over the virtual
+    8-device mesh (DistributedCSROperator halo exchange); the residual
+    history must match the serial run exactly."""
+    import jax
+    nd = min(8, len(jax.devices()))
+    d1 = runParallelGMG(['--domain', 'interval', '--element', 'P1',
+                         '--ranks', '1'])
+    dN = runParallelGMG(['--domain', 'interval', '--element', 'P1',
+                         '--ranks', str(nd)])
+    h1 = d1.outputGroups['resHist'].toDict()
+    hN = dN.outputGroups['resHist'].toDict()
+    assert set(h1) == set(hN)
+    for k in h1:
+        a, b = np.asarray(h1[k]), np.asarray(hN[k])
+        assert a.shape == b.shape, k
+        assert np.allclose(a, b, rtol=1e-10, atol=1e-12), (k, a, b)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize('domain,element',
                          [('interval', 'P2'), ('interval', 'P3'),
