@@ -165,6 +165,92 @@ class jacobi_solver(solver):
         return Diagonal_LinearOperator(self.invD)
 
 
+class _hostPrecOperator(LinearOperator):
+    """Preconditioner applying a host function (ILU/IChol triangular solves
+    — sequential by nature, so they stay on host like the reference's
+    Cython solves) inside jitted Krylov loops via jax.pure_callback."""
+
+    def __init__(self, fn, n):
+        self._fn = fn
+        self.num_rows = self.num_columns = n
+
+    def matvec(self, x):
+        out = jax.ShapeDtypeStruct(x.shape, x.dtype)
+        return jax.pure_callback(
+            lambda v: np.asarray(self._fn(np.asarray(v)), dtype=v.dtype),
+            out, x, vmap_method='sequential')
+
+
+jax.tree_util.register_pytree_node(
+    _hostPrecOperator,
+    lambda op: ((), (op._fn, op.num_rows)),
+    lambda s, d: _hostPrecOperator(*s))
+
+
+def _toCSRTriple(A):
+    """(indptr, indices, data, n) of an operator, via scipy."""
+    import scipy.sparse as sp
+    if hasattr(A, 'indptr') and getattr(A, 'indptr', None) is not None:
+        M = sp.csr_matrix((np.asarray(A.data), np.asarray(A.indices),
+                           np.asarray(A.indptr)),
+                          shape=(A.num_rows, A.num_columns))
+    else:
+        M = sp.csr_matrix(np.asarray(A.toarray()))
+    M.sum_duplicates()
+    M.sort_indices()
+    return M
+
+
+class ichol_solver(solver):
+    """Incomplete Cholesky IC(0) (ref solver_ichol.pxi / linalg.pyx:44
+    ichol_csr): native C++ factorization + host triangular solves."""
+
+    def setup(self, A=None):
+        from .sparse_native import IChol
+        if A is not None:
+            self.A = A
+        M = _toCSRTriple(self.A)
+        self._fac = IChol(M.indptr, M.indices, M.data, M.shape[0])
+        self.num_rows = M.shape[0]
+        self.initialized = True
+
+    def solve(self, b, x=None):
+        return jnp.asarray(self._fac.apply(np.asarray(b)))
+
+    def asPreconditioner(self):
+        return _hostPrecOperator(self._fac.apply, self.num_rows)
+
+    def __str__(self):
+        return 'Incomplete Cholesky'
+
+
+class ilu_solver(solver):
+    """Incomplete LU via scipy's SuperLU spilu — the reference uses the
+    same backend (ref solvers.pyx:188 ilu_solver, fill_factor=1)."""
+
+    def __init__(self, A=None, num_rows=-1):
+        super().__init__(A, num_rows)
+        self.fill_factor = 1.0
+
+    def setup(self, A=None):
+        from scipy.sparse.linalg import spilu
+        if A is not None:
+            self.A = A
+        M = _toCSRTriple(self.A).tocsc()
+        self._ilu = spilu(M, fill_factor=self.fill_factor)
+        self.num_rows = M.shape[0]
+        self.initialized = True
+
+    def solve(self, b, x=None):
+        return jnp.asarray(self._ilu.solve(np.asarray(b)))
+
+    def asPreconditioner(self):
+        return _hostPrecOperator(self._ilu.solve, self.num_rows)
+
+    def __str__(self):
+        return 'Incomplete LU'
+
+
 class iterative_solver(solver):
     def __init__(self, A=None, num_rows=-1):
         super().__init__(A, num_rows)
@@ -519,6 +605,8 @@ solverFactory = solverFactoryClass()
 solverFactory.register('lu', lu_solver)
 solverFactory.register('chol', chol_solver, aliases=['cholesky', 'cholmod'])
 solverFactory.register('jacobi', jacobi_solver)
+solverFactory.register('ichol', ichol_solver)
+solverFactory.register('ilu', ilu_solver)
 solverFactory.register('cg', cg_solver)
 solverFactory.register('gmres', gmres_solver)
 solverFactory.register('bicgstab', bicgstab_solver)

@@ -136,7 +136,8 @@ class _mgLevels:
     (ref smoothers.pyx chebyshevSmoother:439)."""
 
     def __init__(self, As, Ps, Dinvs, omega, coarse_lu, coarse_piv,
-                 preSteps=1, postSteps=1, smootherKind='jacobi', rhos=None):
+                 preSteps=1, postSteps=1, smootherKind='jacobi', rhos=None,
+                 precOps=None):
         self.As = As
         self.Ps = Ps                # Ps[l] : level l-1 -> l, Ps[0] unused
         self.Dinvs = Dinvs
@@ -147,16 +148,21 @@ class _mgLevels:
         self.postSteps = postSteps
         self.smootherKind = smootherKind
         self.rhos = rhos
+        # per-level preconditioner appliers for the ILU smoother (host
+        # triangular solves via pure_callback; ref smoothers.pyx:482)
+        self.precOps = precOps
 
 
 jax.tree_util.register_pytree_node(
     _mgLevels,
     lambda m: ((m.As, m.Ps, m.Dinvs, m.omega, m.coarse_lu, m.coarse_piv),
                (m.preSteps, m.postSteps, m.smootherKind,
-                tuple(m.rhos) if m.rhos is not None else None)),
+                tuple(m.rhos) if m.rhos is not None else None,
+                tuple(m.precOps) if m.precOps is not None else None)),
     lambda s, d: _mgLevels(*d, preSteps=s[0], postSteps=s[1],
                            smootherKind=s[2],
-                           rhos=list(s[3]) if s[3] is not None else None))
+                           rhos=list(s[3]) if s[3] is not None else None,
+                           precOps=list(s[4]) if s[4] is not None else None))
 
 
 def _chebSmooth(A, Dinv, b, x, rho, degree, lowerFrac=0.25, zeroGuess=False):
@@ -191,10 +197,16 @@ def _vcycle(levels: _mgLevels, lvl, b, x, gamma=1):
     Dinv = levels.Dinvs[lvl]
     om = levels.omega
     cheb = levels.smootherKind == 'chebyshev'
+    ilu = levels.smootherKind == 'ilu'
     # presmooth (first sweep exploits x=0)
     if cheb:
         x = _chebSmooth(A, Dinv, b, x, levels.rhos[lvl], levels.preSteps,
                         zeroGuess=True)
+    elif ilu:
+        M = levels.precOps[lvl]
+        x = M.matvec(b)
+        for _ in range(levels.preSteps - 1):
+            x = x + M.matvec(b - A.matvec(x))
     else:
         x = om * (Dinv * b)
         for _ in range(levels.preSteps - 1):
@@ -210,6 +222,10 @@ def _vcycle(levels: _mgLevels, lvl, b, x, gamma=1):
     # postsmooth
     if cheb:
         x = _chebSmooth(A, Dinv, b, x, levels.rhos[lvl], levels.postSteps)
+    elif ilu:
+        M = levels.precOps[lvl]
+        for _ in range(levels.postSteps):
+            x = x + M.matvec(b - A.matvec(x))
     else:
         for _ in range(levels.postSteps):
             x = x + om * (Dinv * (b - A.matvec(x)))
@@ -267,6 +283,10 @@ def _fmg_solve(levels, b, gamma=1, maxiter=1):
     om = levels.omega
     if levels.smootherKind == 'chebyshev':
         x = _chebSmooth(A, Dinv, b, x, levels.rhos[nl], levels.postSteps)
+    elif levels.smootherKind == 'ilu':
+        M = levels.precOps[nl]
+        for _ in range(levels.postSteps):
+            x = x + M.matvec(b - A.matvec(x))
     else:
         for _ in range(levels.postSteps):
             x = x + om * (Dinv * (b - A.matvec(x)))
@@ -334,15 +354,33 @@ class multigrid(iterative_solver):
         if shard:
             self.A = As[-1]
         rhos = None
+        precOps = None
         if kind == 'chebyshev':
             from ..base.linalg import estimateSpectralRadius
             rhos = [estimateSpectralRadius(A_, Dinv_)
                     for A_, Dinv_ in zip(As, Dinvs)]
+        elif kind == 'ilu':
+            # ILU smoother (ref smoothers.pyx:482 iluSmoother): factors on
+            # host, applied through pure_callback inside the jitted cycle
+            from ..base.solvers import ilu_solver
+            precOps = []
+            for lvlNo, lvl in enumerate(levels):
+                if lvlNo == 0:
+                    precOps.append(None)
+                    continue
+                s = ilu_solver(A=lvl['A'])
+                # SuperLU's fill_factor=1 (the reference solver default)
+                # truncates too aggressively for smoothing; allow the full
+                # ILU fill
+                s.fill_factor = 10.0
+                s.setup()
+                precOps.append(s.asPreconditioner())
         A0 = jnp.asarray(levels[0]['A'].toarray())
         lu, piv = jax.scipy.linalg.lu_factor(A0)
         self.levels = _mgLevels(As, Ps, Dinvs, omega, lu, piv,
                                 preSteps=pre, postSteps=post,
-                                smootherKind=kind, rhos=rhos)
+                                smootherKind=kind, rhos=rhos,
+                                precOps=precOps)
         self.initialized = True
 
     def solve(self, b, x=None):

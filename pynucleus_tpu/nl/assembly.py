@@ -91,6 +91,89 @@ def _bucket_contrib(vertices, vertIdx1, vertIdx2, volsym,
     return t @ PSIP                               # [P, nPSI*nPSI]  (MXU)
 
 
+@partial(jax.jit, donate_argnums=(0,),
+         static_argnames=('kernel', 'nTiles', 'Ct'))
+def _grid_distant_pass(A, X, Y, ccf, vols, rowDofPad, colDof,
+                       PhiXw, PhiX, PhiY, PsiYw, w1, w2, t_lo, t_hi,
+                       kernel=None, nTiles=None, Ct=None):
+    """Scatter-free dense assembly of one distance window of distant pairs.
+
+    The per-pair gather/scatter of the bucket path is replaced by a CELL-PAIR
+    GRID: a lax.scan over row tiles of the full C x C grid evaluates the
+    kernel on the tensor quadrature (Q1 x-points vs Q2 y-points, all
+    broadcast — no index gathers), contracts over quadrature with batched
+    matmuls (MXU), and reduces to dofs with ONE row-granular segment-sum per
+    tile.  This is the TPU-native replacement for the reference's O(C^2)
+    per-pair Cython loop (nonlocalAssembly_{SCALAR}.pxi:1387-1450).
+
+    Pair selection: ordered pair (c1, c2) is handled iff
+    t_lo <= d2(c1,c2) < t_hi, with d2 the squared cell-center distance
+    computed IN FLOAT32 with a fixed expression replicated on the host;
+    thresholds are gap midpoints between realized d2 values, so host and
+    device partition the pairs identically despite FMA rounding.
+
+    Per ordered pair the symmetric local 2dpe x 2dpe matrix decomposes as
+      xx-diag (rows c1), yy-diag (rows c2): grid row/column reductions;
+      cross block (factor 2; the transposed ordering supplies the other
+      cross position): a [dpe, Q1] x [Q1, Q2] x [Q2, dpe] contraction.
+
+    A [N+1, N+1] donated; X [C, Q1, dim], Y [C, Q2, dim] quadrature points;
+    ccf [C, dim] float32 centers; rowDofPad [C, dpe] (boundary -> N);
+    colDof [C*dpe]; PhiXw = phi(x-pts) * w1, PsiYw = -phi(y-pts) * w2."""
+    N = A.shape[0] - 1
+    C, Q1, dim = X.shape
+    Q2 = Y.shape[1]
+    dpe = PhiX.shape[0]
+
+    def body(carry, t):
+        A, Bxx, Byy = carry
+        rows = t * Ct + jnp.arange(Ct)
+        valid = rows < C
+        rc = jnp.clip(rows, 0, C - 1)
+        Xt = X[rc]                                     # [Ct, Q1, dim]
+        c1 = ccf[rc]
+        d2 = None
+        for d in range(dim):
+            dd = c1[:, d][:, None] - ccf[:, d][None, :]
+            d2 = dd * dd if d2 is None else d2 + dd * dd
+        m = (d2 >= t_lo) & (d2 < t_hi) & valid[:, None]
+        r2 = None
+        for d in range(dim):
+            dd = Xt[:, :, None, None, d] - Y[None, None, :, :, d]
+            r2 = dd * dd if r2 is None else r2 + dd * dd  # [Ct,Q1,C,Q2]
+        g = _radial_eval(kernel, r2)
+        vol1 = jnp.where(valid, vols[rc], 0.0)
+        G = jnp.where(m[:, None, :, None], g, 0.0) \
+            * (vol1[:, None, None, None] * vols[None, None, :, None])
+        # ---- cross block (MXU): contract q2, then q1
+        Gv = jnp.einsum('xqyr,br->xqyb', G, PsiYw)
+        Tc = 2.0 * jnp.einsum('aq,xqyb->xayb', PhiXw, Gv)  # [Ct,dpe,C,dpe]
+        # ---- diag blocks via row/column reductions
+        Rx = jnp.einsum('xqyr,r->xq', G, w2)               # [Ct, Q1]
+        Bxx = Bxx.at[rc].add(jnp.einsum('aq,bq,xq->xab', PhiXw, PhiX, Rx)
+                             * valid[:, None, None])
+        Sy = jnp.einsum('xqyr,q->yr', G, w1)               # [C, Q2]
+        Byy = Byy + jnp.einsum('ar,br,yr->yab', PhiY * w2[None, :], PhiY, Sy)
+        # ---- cross into A: column segment-sum + row-granular scatter
+        Tc2 = Tc.reshape(Ct * dpe, C * dpe).T              # [C*dpe, Ct*dpe]
+        colred = jax.ops.segment_sum(Tc2, colDof, num_segments=N + 1)
+        rowD = jnp.where(rowDofPad[rc] >= 0, rowDofPad[rc], N).reshape(-1)
+        rowD = jnp.where(jnp.repeat(valid, dpe), rowD, N)
+        A = A.at[rowD].add(colred.T)
+        return (A, Bxx, Byy), None
+
+    Bxx = jnp.zeros((C, dpe, dpe), dtype=A.dtype)
+    Byy = jnp.zeros((C, dpe, dpe), dtype=A.dtype)
+    (A, Bxx, Byy), _ = jax.lax.scan(body, (A, Bxx, Byy),
+                                    jnp.arange(nTiles))
+    # diagonal blocks: scatter C*dpe^2 values once
+    rAll = jnp.where(rowDofPad >= 0, rowDofPad, N)         # [C, dpe]
+    rb = jnp.broadcast_to(rAll[:, :, None], (C, dpe, dpe)).reshape(-1)
+    cb = jnp.broadcast_to(rAll[:, None, :], (C, dpe, dpe)).reshape(-1)
+    A = A.at[rb, cb].add((Bxx + Byy).reshape(-1))
+    return A
+
+
 @partial(jax.jit, static_argnames=('kernel', 'nPSI'),
          donate_argnums=(0,))
 def _bucket_natural_scatter_scan(A, vertices, cellsArr, dofsArr, volsArr,
@@ -997,6 +1080,14 @@ class nonlocalBuilder:
 
         # --- distant panels, bucketed by quad order (high orders merged)
         di, dj, orders = info['distant']
+        useGrid = 'gridPasses' in info or (
+            fast and not kernel.variable and not kernel.finiteHorizon
+            and not getattr(kernel, 'complement', False)
+            and phi is None and len(orders) > 0
+            and self.params.get('denseGrid', len(orders) > (1 << 14)))
+        if useGrid:
+            di, dj, orders = self._runDistantGrid(acc, runner, info,
+                                                  di, dj, orders)
         if len(orders):
             omax = int(orders.max())
             orders = np.where(orders > 16, omax, orders)
@@ -1045,6 +1136,107 @@ class nonlocalBuilder:
         ci, cj, cutOrders = info.get('cut', (np.zeros(0, dtype=np.int64),) * 3)
         if len(ci):
             self._runCutPairs(acc, ci, cj, cutOrders, maskLookup)
+
+    def _runDistantGrid(self, acc, runner, info, di, dj, orders):
+        """Scatter-free grid assembly of the low-order distant pairs (see
+        _grid_distant_pass); returns the correction subset (close pairs)
+        for the per-pair bucket path.
+
+        Pair windows are selected by squared f32 cell-center distance with
+        gap-midpoint thresholds: the same f32 values partition the pairs on
+        host and device even under FMA rounding differences."""
+        from ..fem.quadrature import simplexDuffy
+        dm, mesh, kernel = self.dm, self.mesh, self.kernel
+        dtype = runner.dtype
+        mdim = mesh.manifold_dim
+        dim = mesh.dim
+        C = mesh.num_cells
+        N = dm.num_dofs
+
+        cc32 = mesh.vertices[mesh.cells].mean(axis=1).astype(np.float32)
+
+        if 'gridPasses' in info:
+            # thresholds precomputed by the sparse classifier
+            # (classifyPairsDenseGrid); info['distant'] is already the
+            # correction subset
+            cuts = info['gridPasses']
+            if not cuts:
+                return di, dj, orders
+            keep = None
+        else:
+            from .panels import _d2f32
+            d2p = _d2f32(cc32, di, dj)
+            tp, _ = info['touching']
+            d2t = _d2f32(cc32, tp[:, 0], tp[:, 1]) if len(tp) else \
+                np.zeros(0, dtype=np.float32)
+
+            gridOrders = sorted(int(o) for o in np.unique(orders) if o <= 4)
+            if not gridOrders:
+                return di, dj, orders
+
+            def threshold(maxGridOrder):
+                """Gap-midpoint threshold: everything at or above it is
+                safe at maxGridOrder (no touching/id/higher-order pair
+                above it)."""
+                excl = np.concatenate([d2t, d2p[orders > maxGridOrder],
+                                       np.zeros(1, dtype=np.float32)])
+                v = float(excl.max())
+                while True:
+                    above = d2p[d2p > v]
+                    if len(above) == 0:
+                        return None
+                    nxt = float(above.min())
+                    if (nxt - v) > 1e-6 * max(nxt, 1e-30):
+                        return 0.5 * (v + nxt)
+                    v = nxt  # degenerate gap: push borderline pairs inward
+
+            # ascending orders: order 2 takes the farthest window [t2, inf),
+            # order 4 the closer [t4, t2); everything below tMin is
+            # corrected by the exact bucket path
+            cuts = []
+            hi = np.float32(np.inf)
+            for o in gridOrders:
+                t = threshold(o)
+                if t is None or np.float32(t) >= hi:
+                    continue
+                cuts.append((o, np.float32(t), hi))
+                hi = np.float32(t)
+            if not cuts:
+                return di, dj, orders
+            tMin = min(t for (_, t, _) in cuts)
+            keep = d2p < tMin
+
+        V = mesh.vertices[mesh.cells]
+        vols = jnp.asarray(mesh.simplexVolumes(), dtype=dtype)
+        ccf = jnp.asarray(cc32)
+        rowDofPad = jnp.asarray(dm.dofs, dtype=INDEX)
+        colDof = jnp.asarray(
+            np.where(dm.dofs >= 0, dm.dofs, N).reshape(-1), dtype=INDEX)
+
+        for o, t_lo, t_hi in cuts:
+            b1, w1 = simplexDuffy(o, mdim)
+            Q1 = len(w1)
+            X = jnp.asarray(np.einsum('qk,ckd->cqd', b1, V), dtype=dtype)
+            Phi = dm.evalPhi(b1)                           # [dpe, Q1]
+            PhiX = jnp.asarray(Phi, dtype=dtype)
+            PhiXw = jnp.asarray(Phi * w1[None, :], dtype=dtype)
+            PsiYw = jnp.asarray(-Phi * w1[None, :], dtype=dtype)
+            w1d = jnp.asarray(w1, dtype=dtype)
+            Ct = int(max(8, min(C, (1 << 25) // max(C * Q1 * Q1, 1))))
+            nTiles = -(-C // Ct)
+            acc.A = _grid_distant_pass(
+                acc.A, X, X, ccf, vols, rowDofPad, colDof,
+                PhiXw, PhiX, PhiX, PsiYw, w1d, w1d,
+                jnp.float32(t_lo), jnp.float32(t_hi),
+                kernel=kernel, nTiles=nTiles, Ct=Ct)
+
+        self._gridStats = {'corrections': int(len(di) if keep is None
+                                              else keep.sum()),
+                           'passes': [(o, float(t)) for o, t, _ in cuts]}
+        if keep is None:
+            return di, dj, orders
+        self._gridStats['gridPairs'] = int((~keep).sum())
+        return di[keep], dj[keep], orders[keep]
 
     def _runCutPairs(self, acc, ci, cj, orders, maskLookup=None):
         # Exact 1D interval clipping for pairs cut by the horizon; 2D falls
@@ -1161,18 +1353,38 @@ class nonlocalBuilder:
                 rb = np.where(em, rb, DROP)
             acc.add(rb.reshape(-1), cb.reshape(-1), M.reshape(-1))
 
+    def _gridEligible(self):
+        """Kernel classes the scatter-free dense grid handles (symmetric
+        constant-order radial kernels over the full space)."""
+        k = self.kernel
+        return (not k.isComplex and k.symmetric and not k.variable
+                and not k.finiteHorizon
+                and not getattr(k, 'complement', False)
+                and getattr(k, 'phi', None) is None)
+
     def getDense(self, trySparsification=False):
-        from .panels import classifyPairsDense
+        from .panels import classifyPairsDense, classifyPairsDenseGrid
         dm = self.dm
         N = dm.num_dofs
-        info = self._makeRules(classifyPairsDense(
-            dm, self.kernel, target_order=self.params.get('target_order')))
+        wantGrid = self.params.get('denseGrid')
+        useGrid = self._gridEligible() and wantGrid is not False \
+            and (jax.devices()[0].platform != 'cpu' or bool(wantGrid))
+        if useGrid:
+            # sparse O(C log C + near pairs) classification: the device grid
+            # covers everything beyond the pass thresholds
+            info = self._makeRules(classifyPairsDenseGrid(
+                dm, self.kernel,
+                target_order=self.params.get('target_order')))
+        else:
+            info = self._makeRules(classifyPairsDense(
+                dm, self.kernel,
+                target_order=self.params.get('target_order')))
         if self.kernel.isComplex:
             # complex assembly (ref ComplexnonlocalBuilder, the {SCALAR}
             # template instantiated for COMPLEX): same panel machinery,
             # complex accumulator
             acc = DenseAccumulator(N, dtype=COMPLEX)
-        elif jax.devices()[0].platform == 'cpu':
+        elif jax.devices()[0].platform == 'cpu' and not useGrid:
             acc = DenseAccumulator(N)
         else:
             acc = DeviceDenseAccumulator(N, dtype=self.params.get('dtype'))

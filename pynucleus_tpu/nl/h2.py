@@ -481,7 +481,7 @@ class H2Matrix(LinearOperator):
     def T(self):
         if self.symmetric:
             return self
-        raise NotImplementedError()
+        return _H2Transpose(self)
 
     def getnear(self):
         return self.Anear
@@ -491,6 +491,35 @@ class H2Matrix(LinearOperator):
         return (f'<H2Matrix {self.num_rows}x{self.num_columns} '
                 f'nnz_near={self.Anear.nnz} farPairs={far} '
                 f'levels={len(self.levels)}>')
+
+
+class _H2Transpose(LinearOperator):
+    """Transpose matvec of a nonsymmetric H2 operator: the same level-major
+    passes with far-pair src/dst roles swapped and K transposed, plus the
+    transposed near field (ref clusterMethodCy transpose matvec variants
+    around :2269-2348)."""
+
+    def __init__(self, op):
+        self.op = op
+        self.num_rows = op.num_columns
+        self.num_columns = op.num_rows
+
+    def matvec(self, x):
+        return _h2_matvec_T(self.op, x)
+
+    @property
+    def T(self):
+        return self.op
+
+    @property
+    def diagonal(self):
+        return self.op.diagonal
+
+
+jax.tree_util.register_pytree_node(
+    _H2Transpose,
+    lambda t: ((t.op,), ()),
+    lambda aux, ch: _H2Transpose(ch[0]))
 
 
 def _h2_flatten(op):
@@ -508,6 +537,61 @@ def _h2_unflatten(aux, children):
 
 
 jax.tree_util.register_pytree_node(H2Matrix, _h2_flatten, _h2_unflatten)
+
+
+@jax.jit
+def _h2_matvec_T(op, x):
+    """Transpose matvec: far field with src<->dst swapped and K transposed;
+    near field via the CSR transpose (segment-sum over columns)."""
+    nLvl = len(op.levels)
+    M = op.leafPhi.shape[2]
+
+    xg = jnp.where(op.leafDofs >= 0, x[jnp.clip(op.leafDofs, 0)], 0.0)
+    cLeaf = jnp.einsum('lnm,ln->lm', op.leafPhi, xg)
+
+    coeffs = []
+    for ell in range(nLvl):
+        coeffs.append(jnp.zeros((op.levels[ell]['size'], M), dtype=x.dtype))
+    lvlIdx = np.array(op.leafLevelPos[0])
+    posIdx = np.array(op.leafLevelPos[1])
+    for ell in range(nLvl):
+        sel = np.nonzero(lvlIdx == ell)[0]
+        if len(sel):
+            coeffs[ell] = coeffs[ell].at[posIdx[sel]].add(cLeaf[sel])
+
+    for ell in range(nLvl - 1, 0, -1):
+        lvl = op.levels[ell]
+        up = jnp.einsum('nij,nj->ni', lvl['T'], coeffs[ell])
+        coeffs[ell - 1] = coeffs[ell - 1] + jax.ops.segment_sum(
+            up, lvl['parentIdx'], num_segments=op.levels[ell - 1]['size'])
+
+    out = [jnp.zeros_like(c) for c in coeffs]
+    for ell in range(nLvl):
+        lvl = op.levels[ell]
+        if lvl['K'] is not None:
+            # A^T: pair (dst, src, K) acts as (src, dst, K^T)
+            contrib = jnp.einsum('pji,pj->pi', lvl['K'],
+                                 coeffs[ell][lvl['dst']])
+            out[ell] = out[ell].at[lvl['src']].add(contrib)
+
+    for ell in range(1, nLvl):
+        lvl = op.levels[ell]
+        down = out[ell - 1][lvl['parentIdx']]
+        out[ell] = out[ell] + jnp.einsum('nji,nj->ni', lvl['T'], down)
+
+    yLeaf = jnp.zeros_like(cLeaf)
+    for ell in range(nLvl):
+        sel = np.nonzero(lvlIdx == ell)[0]
+        if len(sel):
+            yLeaf = yLeaf.at[sel].set(out[ell][posIdx[sel]])
+
+    yvals = jnp.einsum('lnm,lm->ln', op.leafPhi, yLeaf)
+    N = op.num_rows
+    flat = jnp.where(op.leafDofs >= 0, op.leafDofs, N).reshape(-1)
+    y = jax.ops.segment_sum(yvals.reshape(-1), flat, num_segments=N + 1)[:N]
+
+    y = y + op.Anear.rmatvec(x)
+    return y
 
 
 @jax.jit

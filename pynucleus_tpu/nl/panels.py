@@ -320,6 +320,134 @@ def classifyPairsDense(dm, kernel, target_order=None):
     }
 
 
+def _d2f32(centers32, ii, jj):
+    """Squared f32 center distance with a FIXED expression — replicated
+    verbatim on the device grid so both sides partition pairs identically."""
+    acc = None
+    for d in range(centers32.shape[1]):
+        dd = centers32[ii, d] - centers32[jj, d]
+        acc = dd * dd if acc is None else acc + dd * dd
+    return acc
+
+
+def classifyPairsDenseGrid(dm, kernel, target_order=None, gridOrders=(2, 4)):
+    """Sparse classification for the grid-based dense assembly: O(C log C +
+    near pairs) instead of materializing all O(C^2) pairs.
+
+    The device grid (assembly._grid_distant_pass) handles every pair with
+    f32 center distance >= the lowest pass threshold; here we find only
+      - touching/id pairs (sparse vertex adjacency),
+      - the correction pairs below the threshold (KD-tree radius search),
+      - the pass thresholds themselves (gap midpoints over the candidate
+        distances, verified against a conservative worst-case order bound
+        so no pair outside the search radius can need order > min(passes)).
+
+    Replaces the reference's O(C^2) outer loop (nonlocalAssembly pxi:1387)
+    for the full-space symmetric constant-order case."""
+    from scipy.spatial import cKDTree
+    mesh = dm.mesh
+    cells = mesh.cells
+    C = mesh.num_cells
+    verts = mesh.vertices
+    assert not kernel.finiteHorizon
+    mp = orderModelParams(dm, kernel, target_order)
+
+    touching_pairs = _cellAdjacency(cells, mesh.num_vertices)
+    sharedInfo = _sharedVertices(cells, touching_pairs)
+
+    centers = verts[cells].mean(axis=1)
+    centers32 = centers.astype(np.float32)
+    hs = _cellDiameter(verts, cells)
+    logh = np.log(hs)
+    hmax = float(hs.max())
+    oMin = min(gridOrders)
+
+    def worstOrderBeyond(dist):
+        """Upper bound on the quadrature order of ANY pair at center
+        distance >= dist: probe the order model with one side swept over
+        all realized cells and the other fixed at each h-extreme (the model
+        is monotone decreasing in distance but not monotone in h, so both
+        extremes are probed)."""
+        cenP = np.zeros((C, centers.shape[1]))
+        cenP[:, 0] = dist
+        cenProbe = np.concatenate([np.zeros((C, centers.shape[1])), cenP])
+        hsProbe = np.concatenate([hs, hs])
+        jj = np.arange(C, dtype=np.int64)
+        worst = 0
+        for anchor in (int(np.argmax(hs)), int(np.argmin(hs))):
+            ii = np.full(C, anchor, dtype=np.int64)
+            o = distantOrders(dm, kernel, hsProbe, cenProbe, ii, C + jj, mp)
+            worst = max(worst, int(o.max()))
+        return worst
+
+    # grow the search radius until nothing beyond it can need order > oMin
+    rSearch = 4.0 * hmax
+    diam = float(mesh.diam)
+    while rSearch < 2.0 * diam and worstOrderBeyond(rSearch) > oMin:
+        rSearch *= 2.0
+    rSearch = min(rSearch, 2.0 * diam)
+
+    tree = cKDTree(centers)
+    cand = tree.query_pairs(rSearch, output_type='ndarray')
+    if len(cand):
+        ci, cj = cand[:, 0].astype(np.int64), cand[:, 1].astype(np.int64)
+        # drop touching pairs from the candidate set
+        keys = np.minimum(ci, cj) * C + np.maximum(ci, cj)
+        tkeys = touching_pairs[:, 0] * C + touching_pairs[:, 1] \
+            if len(touching_pairs) else np.zeros(0, dtype=np.int64)
+        far = ~np.isin(keys, tkeys)
+        ci, cj = ci[far], cj[far]
+    else:
+        ci = cj = np.zeros(0, dtype=np.int64)
+    candOrders = distantOrders(dm, kernel, hs, centers, ci, cj, mp) \
+        if len(ci) else np.zeros(0, dtype=np.int64)
+    candOrders = ((candOrders + 1) // 2) * 2
+    d2c = _d2f32(centers32, ci, cj) if len(ci) else \
+        np.zeros(0, dtype=np.float32)
+    d2t = _d2f32(centers32, touching_pairs[:, 0], touching_pairs[:, 1]) \
+        if len(touching_pairs) else np.zeros(0, dtype=np.float32)
+    rs2 = np.float32(rSearch * rSearch)
+
+    def threshold(o):
+        excl = np.concatenate([d2t, d2c[candOrders > o],
+                               np.zeros(1, dtype=np.float32)])
+        v = float(excl.max())
+        while True:
+            above = d2c[d2c > v]
+            nxt = float(above.min()) if len(above) else float(rs2)
+            if nxt <= v:
+                return None
+            if (nxt - v) > 1e-6 * max(nxt, 1e-30):
+                return 0.5 * (v + nxt)
+            v = nxt
+
+    passes = []
+    hi = np.float32(np.inf)
+    for o in sorted(gridOrders):
+        t = threshold(o)
+        if t is None or np.float32(t) >= hi:
+            continue
+        passes.append((int(o), np.float32(t), hi))
+        hi = np.float32(t)
+    if passes:
+        tMin = min(t for (_, t, _) in passes)
+        keep = d2c < tMin
+        di, dj, orders = ci[keep], cj[keep], candOrders[keep]
+    else:
+        # degenerate (tiny mesh): everything is a correction; the grid is
+        # skipped and the bucket path assembles all candidate pairs
+        di, dj, orders = ci, cj, candOrders
+
+    return {
+        'id': np.arange(C, dtype=np.int64),
+        'touching': (touching_pairs, sharedInfo),
+        'distant': (di, dj, orders),
+        'cut': (np.zeros(0, dtype=np.int64),) * 3,
+        'gridPasses': passes,
+        **mp,
+    }
+
+
 def _cellDiameter(verts, cells):
     V = verts[cells]
     m = cells.shape[1] - 1
