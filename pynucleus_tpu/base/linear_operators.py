@@ -130,6 +130,75 @@ def _register(cls, data_fields, static_fields):
     jax.tree_util.register_pytree_node(cls, flatten, unflatten)
 
 
+class VectorLinearOperator:
+    """Operator with vector-valued entries: matvec maps x [M] to y [N, K]
+    (ref base LinearOperator_{SCALAR}.pxi:648 {SCALAR_label}
+    VectorLinearOperator; used for s-derivative assemblies A'(s)·x whose
+    per-entry values have kernel.valueSize components)."""
+
+    def __init__(self, num_rows, num_columns, vectorSize):
+        self.num_rows = num_rows
+        self.num_columns = num_columns
+        self.vectorSize = vectorSize
+
+    def __call__(self, x, trans=False):
+        return self.matvecTrans(x) if trans else self.matvec(x)
+
+
+class Dense_VectorLinearOperator(VectorLinearOperator):
+    """data [N, M, K] (ref Dense_VectorLinearOperator, nonlocalAssembly
+    pxi:1354)."""
+
+    def __init__(self, data):
+        self.data = data if isinstance(data, jax.Array) else jnp.asarray(data)
+        super().__init__(data.shape[0], data.shape[1], data.shape[2])
+
+    def matvec(self, x):
+        return jnp.einsum('nmk,m->nk', self.data, x)
+
+    def matvecTrans(self, x):
+        return jnp.einsum('nmk,n->mk', self.data, x)
+
+    def toarray(self):
+        return np.asarray(self.data)
+
+    def __add__(self, other):
+        return Dense_VectorLinearOperator(self.data + other.data)
+
+    def __mul__(self, fac):
+        return Dense_VectorLinearOperator(fac * self.data)
+
+    __rmul__ = __mul__
+
+    def __repr__(self):
+        return (f'<Dense_VectorLinearOperator {self.num_rows}x'
+                f'{self.num_columns}x{self.vectorSize}>')
+
+
+jax.tree_util.register_pytree_node(
+    Dense_VectorLinearOperator,
+    lambda op: ((op.data,), ()),
+    lambda aux, ch: Dense_VectorLinearOperator(ch[0]))
+
+
+class H2_VectorLinearOperator(VectorLinearOperator):
+    """Vector-valued H2: one level-major H2 operator per value component
+    (ref VectorH2Matrix, clusterMethodCy.pyx:2670 — the reference threads
+    valueSize through coefficientsUp/DownVec; component-wise H2 apply is
+    the batched equivalent)."""
+
+    def __init__(self, components):
+        self.components = list(components)
+        c0 = self.components[0]
+        super().__init__(c0.num_rows, c0.num_columns, len(self.components))
+
+    def matvec(self, x):
+        return jnp.stack([c.matvec(x) for c in self.components], axis=1)
+
+    def matvecTrans(self, x):
+        return jnp.stack([c.T.matvec(x) for c in self.components], axis=1)
+
+
 class Dense_LinearOperator(LinearOperator):
     def __init__(self, data):
         self.data = data if isinstance(data, jax.Array) else jnp.asarray(data)

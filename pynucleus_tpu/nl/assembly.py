@@ -889,6 +889,11 @@ class nonlocalBuilder:
         dm, mesh = self.dm, self.mesh
         mdim = mesh.manifold_dim
         p = max(dm.polynomialOrder, 1)
+        # s-derivative kernels carry an extra log|x-y| factor that the
+        # Gauss-Jacobi singularity cancellation only resolves at higher
+        # order (the weight absorbs the power law exactly, the log remains)
+        pBump = 4 * int(getattr(self.kernel, 'derivative', 0) or 0)
+        p = p + pBump
         continuous = dm.polynomialOrder >= 1
         out = {}
         if mdim == 1:
@@ -1483,6 +1488,37 @@ class nonlocalBuilder:
         acc = CSRAccumulator(S)
         self._runPairBuckets(acc, info)
         return acc.result()
+
+    # ------------------------------------------------------------ vector --
+    def _componentKernels(self):
+        """Scalar kernels for each of the kernel's valueSize components
+        (constant-s derivative kernels have one component; ref
+        IndexManagerVector loops q over kernel.valueSize)."""
+        return [self.kernel]
+
+    def getDenseVector(self):
+        """Dense vector-valued assembly (ref getDense vecA branch,
+        nonlocalAssembly pxi:1354 Dense_VectorLinearOperator): entries carry
+        kernel.valueSize components; constant-order derivative kernels
+        assemble their single component through the scalar panel engine."""
+        from ..base.linear_operators import Dense_VectorLinearOperator
+        comps = []
+        for k in self._componentKernels():
+            b = nonlocalBuilder(self.dm, k, zeroExterior=self.zeroExterior,
+                                params=dict(self.params))
+            comps.append(np.asarray(b.getDense().toarray()))
+        return Dense_VectorLinearOperator(np.stack(comps, axis=2))
+
+    def getH2Vector(self):
+        """Vector-valued H2 (ref VectorH2Matrix clusterMethodCy.pyx:2670):
+        component-wise level-major H2 operators."""
+        from ..base.linear_operators import H2_VectorLinearOperator
+        comps = []
+        for k in self._componentKernels():
+            b = nonlocalBuilder(self.dm, k, zeroExterior=self.zeroExterior,
+                                params=dict(self.params))
+            comps.append(b.getH2())
+        return H2_VectorLinearOperator(comps)
 
     # --------------------------------------------------------------- H2 ---
     def getH2(self, returnNearField=False):

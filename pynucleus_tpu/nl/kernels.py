@@ -1222,9 +1222,96 @@ class FractionalKernel(Kernel):
         return super().getModifiedKernel(horizon, interaction)
 
 
+class DerivativeFractionalKernel(FractionalKernel):
+    """d^k/ds^k of the constant-order fractional kernel (ref kernelsCy.pyx
+    FractionalKernel derivative=1/2 :1576-1598,1911-1944 with
+    constantFractionalLaplacianScalingDerivative).
+
+    TPU-native: instead of hand-derived digamma formulas, the derivative is
+    jax-autodiffed from the closed-form normalized radial profile
+    g(s, r^2) = C(d, s, delta) * r^{2*(singularity/2)}, so value and any
+    derivative order share one code path.  valueSize = 1 (constant s has one
+    parameter; ref valueSize = s.numParameters)."""
+
+    def __init__(self, dim, s, horizon=np.inf, interaction=None,
+                 normalized=True, boundary=False, temperedLambda=0.0,
+                 derivative=1):
+        super().__init__(dim, s, horizon=horizon, interaction=interaction,
+                         normalized=normalized, boundary=boundary,
+                         temperedLambda=temperedLambda)
+        assert not self.variable, \
+            'derivative kernels need constant fractional order'
+        self.derivative = int(derivative)
+        self.normalized = normalized
+        self.valueSize = 1
+
+    def _gOfS(self, sv, r2):
+        """Closed-form normalized profile as a differentiable function of
+        s (mirrors constantFractionalLaplacianScaling; jax ops only)."""
+        from jax.scipy.special import gammaln
+        d = self.dim
+        hv = self.horizonValue
+        if self.normalized:
+            if hv == np.inf:
+                C = (2.0 ** (2.0 * sv) * sv / np.pi ** (0.5 * d) * 0.5
+                     * jnp.exp(gammaln(sv + 0.5 * d) - gammaln(1.0 - sv)))
+            else:
+                C = ((2.0 - 2.0 * sv) * hv ** (2.0 * sv - 2.0) * d
+                     * np.exp(float(_gammalnHost(0.5 * d)))
+                     / np.pi ** (0.5 * d) * 0.5)
+        else:
+            C = 0.5 * jnp.ones_like(sv) if hasattr(sv, 'shape') else 0.5
+        if self.boundary:
+            return (C / sv) * r2 ** (0.5 * (1.0 - self.dim) - sv)
+        val = C * r2 ** (-0.5 * self.dim - sv)
+        if self.temperedLambda != 0.0:
+            val = val * jnp.exp(-self.temperedLambda * jnp.sqrt(r2))
+        return val
+
+    def _radialJax(self, r2):
+        sv = jnp.asarray(float(self.sValue), dtype=r2.dtype)
+        f = lambda s_: self._gOfS(s_, r2)           # noqa: E731
+        for _ in range(self.derivative):
+            f = (lambda g: lambda s_: jax.jvp(g, (s_,),
+                                              (jnp.ones_like(s_),))[1])(f)
+        return f(sv)
+
+    def __call__(self, x, y):
+        x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+        y = np.atleast_2d(np.asarray(y, dtype=np.float64))
+        r2 = float(((x - y) ** 2).sum())
+        if r2 == 0.0:
+            return 0.0
+        if self.finiteHorizon and r2 > self.horizonValue ** 2:
+            return 0.0
+        if self.complement and r2 < self.horizonValue ** 2:
+            return 0.0
+        val = float(np.asarray(self._radialJax(jnp.asarray([r2])))[0])
+        if self.phi is not None:
+            val = val * float(self.phi.evalPairs(x, y)[0])
+        return val
+
+    def getBoundaryKernel(self):
+        """d/ds of the boundary (Gauss-theorem) kernel: the s-derivative is
+        taken of C(s)/s * r^{1-d-2s} as a whole."""
+        return DerivativeFractionalKernel(
+            self.dim, self.s, horizon=self.horizonValue,
+            normalized=self.normalized, boundary=True,
+            temperedLambda=self.temperedLambda, derivative=self.derivative)
+
+    def _key(self):
+        return super()._key() + ('derivative', self.derivative,
+                                 self.normalized)
+
+
+def _gammalnHost(x):
+    from scipy.special import gammaln as _g
+    return _g(x)
+
+
 def getFractionalKernel(dim, s, horizon=np.inf, interaction=None, scaling=None,
                         normalized=True, piecewise=True, phi=None,
-                        boundary=False, **kwargs):
+                        boundary=False, derivative=0, **kwargs):
     from .operator_interpolation import admissibleSet, RangedFractionalKernel
     if isinstance(s, admissibleSet):
         return RangedFractionalKernel(dim, s, horizon=horizon,
@@ -1234,6 +1321,16 @@ def getFractionalKernel(dim, s, horizon=np.inf, interaction=None, scaling=None,
     hv = horizon.value if hasattr(horizon, 'value') else float(horizon)
     if interaction is None:
         interaction = fullSpace() if hv == np.inf else ball2()
+    if derivative:
+        k = DerivativeFractionalKernel(
+            dim, s, hv, interaction, normalized=normalized,
+            boundary=boundary, derivative=derivative)
+        if phi is not None:
+            if getattr(phi, 'smooth', False):
+                k.phiJax = phi.jaxEval
+            else:
+                k.phi = phi
+        return k
     k = FractionalKernel(dim, s, hv, interaction, scaling,
                          normalized=normalized, boundary=boundary)
     if phi is not None:
