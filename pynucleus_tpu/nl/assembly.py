@@ -174,6 +174,43 @@ def _grid_distant_pass(A, X, Y, ccf, vols, rowDofPad, colDof,
     return A
 
 
+@partial(jax.jit, static_argnames=('kernel', 'nPSI', 'useNormals'),
+         donate_argnums=(0,))
+def _bucket_rows_scatter_scan(A, vertices, vi1, vi2, dr, vs, nm,
+                              bary_x, bary_y, w, PSIP,
+                              kernel=None, nPSI=None, useNormals=False):
+    """Explicit-pair bucket in ONE device launch (lax.scan over pre-chunked
+    [nChunks, chunk, ...] arrays): the boundary (zeroExterior) distant
+    bucket's host-chunked launches paid one tunnel round trip per chunk."""
+    N = A.shape[0] - 1
+
+    def body(Acc, chunk):
+        v1i, v2i, drc, vsc, nmc = chunk
+        v1 = vertices[v1i]
+        v2 = vertices[v2i]
+        x = jnp.einsum('pvd,vq->pqd', v1, bary_x)
+        y = jnp.einsum('pvd,vq->pqd', v2, bary_y)
+        r2 = jnp.sum((x - y) ** 2, axis=-1)
+        g = _radial_eval(kernel, r2, x, y)
+        if kernel.finiteHorizon or kernel.complement:
+            g = g * kernel.interaction.jaxIndicator(
+                x, y, kernel.horizonValue ** 2)
+        if useNormals:
+            rsafe = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+            fac = jnp.einsum('pd,pqd->pq', nmc, y - x) / rsafe
+            g = g * jnp.where(r2 > 0, fac, 0.0)
+        t = (g * w[None, :]) * vsc[:, None]
+        M = t @ PSIP
+        rows = jnp.where(drc >= 0, drc, N)
+        P = rows.shape[0]
+        rb = jnp.broadcast_to(rows[:, :, None], (P, nPSI, nPSI)).reshape(-1)
+        cb = jnp.broadcast_to(rows[:, None, :], (P, nPSI, nPSI)).reshape(-1)
+        return Acc.at[rb, cb].add(M.reshape(-1)), None
+
+    A, _ = jax.lax.scan(body, A, (vi1, vi2, dr, vs, nm))
+    return A
+
+
 @partial(jax.jit, static_argnames=('kernel', 'nPSI'),
          donate_argnums=(0,))
 def _bucket_natural_scatter_scan(A, vertices, cellsArr, dofsArr, volsArr,
@@ -778,6 +815,48 @@ class _BucketRunner:
                                                    nPSI * nPSI)),
                         bary_x, bary_y, w, PSIP),
                        kernel=self.kernel)
+
+    def runRowsScan(self, acc, rule, PSI, vertIdx1, vertIdx2, dofRows,
+                    volsym, normals=None):
+        """Whole explicit-pair bucket in one scan launch into a device dense
+        accumulator (boundary distant panels; see _bucket_rows_scatter_scan).
+        """
+        P = vertIdx1.shape[0]
+        if P == 0:
+            return
+        PSIP = jnp.asarray(_psi_prod(PSI), dtype=self.dtype)
+        bary_x = jnp.asarray(rule.bary_x, dtype=self.dtype)
+        bary_y = jnp.asarray(rule.bary_y, dtype=self.dtype)
+        w = jnp.asarray(rule.w, dtype=self.dtype)
+        nPSI = PSI.shape[0]
+        Q = rule.num_nodes
+        maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)), 256)
+        chunk = _chunk_size(min(maxP, P))
+        nCh = (P + chunk - 1) // chunk
+        tot = nCh * chunk
+        dim = self.vertices.shape[1]
+        nv1, nv2 = vertIdx1.shape[1], vertIdx2.shape[1]
+
+        def padTo(a, shape, fill=0):
+            out = np.full(shape, fill, dtype=a.dtype)
+            out[:P] = a
+            return out
+
+        vi1 = padTo(np.asarray(vertIdx1), (tot, nv1)).reshape(nCh, chunk, nv1)
+        vi2 = padTo(np.asarray(vertIdx2), (tot, nv2)).reshape(nCh, chunk, nv2)
+        dr = padTo(np.asarray(dofRows), (tot, nPSI),
+                   fill=-1).reshape(nCh, chunk, nPSI)
+        vs = padTo(np.asarray(volsym, dtype=np.float64),
+                   (tot,)).reshape(nCh, chunk)
+        nm = padTo(np.asarray(normals), (tot, dim)).reshape(nCh, chunk, dim) \
+            if normals is not None else np.zeros((nCh, chunk, dim))
+        acc.A = _bucket_rows_scatter_scan(
+            acc.A, self.vertices,
+            jnp.asarray(vi1, dtype=INDEX), jnp.asarray(vi2, dtype=INDEX),
+            jnp.asarray(dr, dtype=INDEX), jnp.asarray(vs, dtype=self.dtype),
+            jnp.asarray(nm, dtype=self.dtype),
+            bary_x, bary_y, w, PSIP, kernel=self.kernel, nPSI=nPSI,
+            useNormals=self.useNormals)
 
     def run(self, acc, rule, PSI, vertIdx1, vertIdx2, dofRows, volsym,
             normals=None, entryMask=None, PHI=None, yOffset=None):
@@ -2245,8 +2324,11 @@ class nonlocalBuilder:
                         nm[out_k] = surface.normals[j]
                 runner.run(acc, rule, PHI, vi1, vi2, dr, vs, normals=nm)
 
-        # distant surface pairs
+        # distant surface pairs (one scan launch per order when the
+        # accumulator is device-resident; tunnel round trips otherwise
+        # dominated at 1M+ boundary pairs)
         di, dj, orders = binfo['distant']
+        deviceAcc = isinstance(acc, DeviceDenseAccumulator)
         for order in np.unique(orders):
             sel = orders == order
             ii, jj = di[sel], dj[sel]
@@ -2256,7 +2338,12 @@ class nonlocalBuilder:
             vs = vols[ii] * (svols[jj] if mdim >= 2 else 1.0) * sign
             vi2 = scells[jj] if mdim >= 2 else scells[jj].reshape(-1, 1)
             nm = surface.normals[jj] if useNormals else None
-            runner.run(acc, rule, PHI, cells[ii], vi2, dr, vs, normals=nm)
+            if deviceAcc:
+                runner.runRowsScan(acc, rule, PHI, cells[ii], vi2, dr, vs,
+                                   normals=nm)
+            else:
+                runner.run(acc, rule, PHI, cells[ii], vi2, dr, vs,
+                           normals=nm)
 
 
 

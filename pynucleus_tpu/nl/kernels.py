@@ -33,7 +33,9 @@ __all__ = ['interfaceTwoPoint', 'Kernel', 'FractionalKernel', 'getFractionalKern
            'fullSpace', 'ball2', 'ballInf',
            'constantFractionalLaplacianScaling', 'constantIntegrableScaling',
            'FRACTIONAL', 'INDICATOR', 'PERIDYNAMIC', 'GAUSSIAN', 'EXPONENTIAL',
-           'LOGINVERSEDISTANCE', 'MONOMIAL', 'POLYNOMIAL']
+           'LOGINVERSEDISTANCE', 'MONOMIAL', 'POLYNOMIAL',
+           'horizonFunction', 'variableHorizonFractionalKernel',
+           'DerivativeFractionalKernel']
 
 # kernel types (ref kernelsCy.pyx:50-73)
 FRACTIONAL = 'fractional'
@@ -1222,6 +1224,95 @@ class FractionalKernel(Kernel):
         return super().getModifiedKernel(horizon, interaction)
 
 
+class variableHorizonFractionalKernel(FractionalKernel):
+    """Fractional kernel with a position-dependent horizon delta(x)
+    (ref kernelsCy.pxd:21-43 — horizon is a ``function`` — and
+    kernelNormalization.pyx:656 variableFractionalLaplacianScalingWith
+    DifferentHorizon: the normalization is evaluated pointwise at
+    delta(x)).
+
+    gamma(x, y) = C(d, s, delta(x)) |x-y|^{-d-2s} 1_{|x-y| <= delta(x)}.
+    The x-dependent indicator makes the kernel nonsymmetric; assembly goes
+    through the existing nonsymmetric panel machinery with pointwise
+    evaluation (evalXY), and the horizon screen brackets pairs with
+    [min delta, max delta]."""
+
+    def __init__(self, dim, s, horizonFun, normalized=True,
+                 horizonBounds=None):
+        if horizonBounds is None:
+            horizonBounds = (float(horizonFun.min), float(horizonFun.max))
+        self.horizonFun = horizonFun
+        self.horizonMin = float(horizonBounds[0])
+        super().__init__(dim, s, horizon=float(horizonBounds[1]),
+                         interaction=ball2(), normalized=normalized)
+        assert not self.variable, \
+            'variable horizon with variable order is not supported yet'
+        self.variableHorizon = True
+        self.symmetric = False
+        self.normalized = normalized
+        # pointwise normalization happens in evalXY; keep a representative
+        # constant for reporting only
+        if normalized:
+            self.scalingValue = constantFractionalLaplacianScaling(
+                dim, self.sValue, self.horizonValue)
+
+    def jaxHorizon(self, x):
+        return self.horizonFun.jaxEval(x)
+
+    def evalXY(self, x, y, r2):
+        sv = self.sValue
+        d = self.dim
+        delta = self.horizonFun.jaxEval(x)
+        if self.normalized:
+            # finite-horizon normalization at delta(x)
+            # (ref kernelNormalization variableFractionalLaplacianScaling
+            # WithDifferentHorizon; Gamma(d/2) constant folded on host)
+            from scipy.special import gamma as _G
+            C = ((2.0 - 2.0 * sv) * delta ** (2.0 * sv - 2.0) * d
+                 * float(_G(0.5 * d)) / np.pi ** (0.5 * d) * 0.5)
+        else:
+            C = 0.5
+        val = C * r2 ** (-0.5 * d - sv)
+        return jnp.where(r2 <= delta * delta, val, 0.0)
+
+    def __call__(self, x, y):
+        x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+        y = np.atleast_2d(np.asarray(y, dtype=np.float64))
+        r2 = float(((x - y) ** 2).sum())
+        if r2 == 0.0:
+            return 0.0
+        return float(np.asarray(self.evalXY(
+            jnp.asarray(x[0]), jnp.asarray(y[0]), jnp.asarray(r2))))
+
+    def _key(self):
+        return super()._key() + ('variableHorizon',
+                                 getattr(self.horizonFun, '_key',
+                                         lambda: id(self.horizonFun))(),
+                                 self.horizonMin, self.normalized)
+
+
+class horizonFunction:
+    """Position-dependent horizon delta(x) with host and device eval and
+    explicit bounds (the screening brackets; ref kernelsCy horizon is a
+    ``function`` with max_horizon)."""
+
+    def __init__(self, fn, lo, hi, name='horizon'):
+        self._fn = fn
+        self.min = float(lo)
+        self.max = float(hi)
+        self._name = name
+
+    def __call__(self, x):
+        return np.clip(np.asarray(self._fn(np.asarray(x))),
+                       self.min, self.max)
+
+    def jaxEval(self, x):
+        return jnp.clip(self._fn(x), self.min, self.max)
+
+    def _key(self):
+        return ('horizonFunction', self._name, self.min, self.max)
+
+
 class DerivativeFractionalKernel(FractionalKernel):
     """d^k/ds^k of the constant-order fractional kernel (ref kernelsCy.pyx
     FractionalKernel derivative=1/2 :1576-1598,1911-1944 with
@@ -1318,6 +1409,13 @@ def getFractionalKernel(dim, s, horizon=np.inf, interaction=None, scaling=None,
                                       normalized=normalized, **kwargs)
     if not isinstance(s, fractionalOrderBase):
         s = constFractionalOrder(s)
+    if isinstance(horizon, horizonFunction) or (
+            not np.isscalar(horizon) and not hasattr(horizon, 'value')
+            and callable(horizon)):
+        # variable (function-valued) horizon (ref kernelsCy.pxd horizon is
+        # a function); kernelNormalization "withDifferentHorizon" scaling
+        return variableHorizonFractionalKernel(dim, s, horizon,
+                                               normalized=normalized)
     hv = horizon.value if hasattr(horizon, 'value') else float(horizon)
     if interaction is None:
         interaction = fullSpace() if hv == np.inf else ball2()

@@ -380,12 +380,40 @@ def classifyPairsDenseGrid(dm, kernel, target_order=None, gridOrders=(2, 4)):
             worst = max(worst, int(o.max()))
         return worst
 
-    # grow the search radius until nothing beyond it can need order > oMin
-    rSearch = 4.0 * hmax
     diam = float(mesh.diam)
-    while rSearch < 2.0 * diam and worstOrderBeyond(rSearch) > oMin:
-        rSearch *= 2.0
-    rSearch = min(rSearch, 2.0 * diam)
+
+    def formulaCut(o):
+        """Smallest distance beyond which the conservative bound guarantees
+        order <= o (bisection on the monotone-in-distance order model); None
+        if no such distance below 2*diam."""
+        lo, hi = 0.25 * float(hs.min()), 2.0 * diam
+        if worstOrderBeyond(hi) > o:
+            return None
+        if worstOrderBeyond(lo) <= o:
+            return lo
+        for _ in range(48):
+            mid = np.sqrt(lo * hi)
+            if worstOrderBeyond(mid) <= o:
+                hi = mid
+            else:
+                lo = mid
+        return hi
+
+    # formula thresholds per pass (device-side pass assignment uses the
+    # same f32 d2 on both sides of each inter-pass boundary, so no
+    # consistency machinery is needed there)
+    fCuts = {}
+    for o in sorted(gridOrders):
+        c = formulaCut(o)
+        if c is not None:
+            fCuts[o] = c
+    if not fCuts:
+        # degenerate (tiny/coarse mesh): no grid; classify everything below
+        # 2*diam as corrections via the radius search at full diameter
+        fCuts = {}
+    oMaxGrid = max(fCuts) if fCuts else min(gridOrders)
+    rSearch = (fCuts[oMaxGrid] * 1.02) if fCuts else 2.0 * diam
+    rSearch = max(rSearch, 2.5 * hmax)
 
     tree = cKDTree(centers)
     cand = tree.query_pairs(rSearch, output_type='ndarray')
@@ -408,7 +436,10 @@ def classifyPairsDenseGrid(dm, kernel, target_order=None, gridOrders=(2, 4)):
         if len(touching_pairs) else np.zeros(0, dtype=np.float32)
     rs2 = np.float32(rSearch * rSearch)
 
-    def threshold(o):
+    def gapThreshold(o):
+        """Correction boundary: gap midpoint above the realized d2 of every
+        touching/higher-order candidate, so host (corrections) and device
+        (grid) partition pairs identically despite f32 FMA wobble."""
         excl = np.concatenate([d2t, d2c[candOrders > o],
                                np.zeros(1, dtype=np.float32)])
         v = float(excl.max())
@@ -423,19 +454,27 @@ def classifyPairsDenseGrid(dm, kernel, target_order=None, gridOrders=(2, 4)):
 
     passes = []
     hi = np.float32(np.inf)
-    for o in sorted(gridOrders):
-        t = threshold(o)
+    orderedCuts = sorted(fCuts)          # ascending grid orders
+    for idx, o in enumerate(orderedCuts):
+        if o == oMaxGrid:
+            t = gapThreshold(o)          # realized boundary, gap-safe
+        else:
+            t = fCuts[o] ** 2
         if t is None or np.float32(t) >= hi:
             continue
         passes.append((int(o), np.float32(t), hi))
         hi = np.float32(t)
+    if passes and passes[-1][0] != oMaxGrid:
+        # the gap-safe innermost pass got dropped; without it the correction
+        # boundary would sit on a raw formula value (host/device f32 wobble)
+        passes = []
     if passes:
         tMin = min(t for (_, t, _) in passes)
         keep = d2c < tMin
         di, dj, orders = ci[keep], cj[keep], candOrders[keep]
     else:
-        # degenerate (tiny mesh): everything is a correction; the grid is
-        # skipped and the bucket path assembles all candidate pairs
+        # no usable pass: everything found is a correction; the bucket path
+        # assembles all candidate pairs (grid contributes nothing)
         di, dj, orders = ci, cj, candOrders
 
     return {
@@ -476,6 +515,14 @@ def _horizonScreen(verts, cells, centers, di, dj, kernelOrHv):
     for all cell pairs."""
     if np.isscalar(kernelOrHv):
         rIn = rOut = kernelOrHv
+    elif getattr(kernelOrHv, 'variableHorizon', False):
+        # variable horizon delta(x): bracket with [min delta, max delta];
+        # pairs in the band get the pointwise-indicator cut quadrature
+        kernel = kernelOrHv
+        dim = verts.shape[1]
+        inter = kernel.interaction
+        rIn = inter.innerRadius2(kernel.horizonMin, dim)
+        rOut = inter.outerRadius2(kernel.horizonValue, dim)
     else:
         kernel = kernelOrHv
         hv = kernel.horizonValue
