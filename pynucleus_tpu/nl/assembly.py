@@ -174,6 +174,67 @@ def _grid_distant_pass(A, X, Y, ccf, vols, rowDofPad, colDof,
     return A
 
 
+@partial(jax.jit, donate_argnums=(0,),
+         static_argnames=('kernel', 'nTiles', 'Ct', 'useNormals',
+                          'maskIn'))
+def _grid_boundary_pass(A, X, Ysurf, svolw2, vols, rowDofPad, normals,
+                        PhiXw, PhiX, w1, maskRow, maskCol,
+                        kernel=None, nTiles=None, Ct=None, useNormals=False,
+                        maskIn=False):
+    """Scatter-free zeroExterior (Gauss-theorem surface) assembly: the
+    boundary term only contributes (dof_i x dof_i) diagonal blocks, so on
+    the (cell x surface-cell) grid the surface axis is a pure reduction —
+    contributions never scatter (cf. the per-pair loop it replaces,
+    ref nonlocalAssembly pxi:1430-1448 zeroExterior).
+
+    X [C, Q1, dim] cell quadrature points; Ysurf [S, Q2, dim] surface
+    points; svolw2 [S, Q2] = surfaceVol * w2; normals [S, dim];
+    maskRow/maskCol [nTiles, maxM]: per-tile pair lists (local row, surface
+    col; pad -1) EXCLUDED from the grid (maskIn=False) or the only ones
+    INCLUDED (maskIn=True)."""
+    N = A.shape[0] - 1
+    C, Q1, dim = X.shape
+    S, Q2, _ = Ysurf.shape
+    dpe = PhiX.shape[0]
+
+    def body(carry, xs):
+        Bxx, = carry
+        t, mr, mc = xs
+        rows = t * Ct + jnp.arange(Ct)
+        valid = rows < C
+        rc = jnp.clip(rows, 0, C - 1)
+        Xt = X[rc]
+        ok = mr >= 0
+        marks = jnp.zeros((Ct + 1, S), dtype=jnp.int32)
+        marks = marks.at[jnp.where(ok, mr, Ct),
+                         jnp.clip(mc, 0, S - 1)].add(1)
+        marked = marks[:Ct] > 0
+        m = (marked if maskIn else ~marked) & valid[:, None]
+        r2 = None
+        dd = Xt[:, :, None, None, :] - Ysurf[None, None, :, :, :]
+        r2 = jnp.sum(dd * dd, axis=-1)                # [Ct, Q1, S, Q2]
+        g = _radial_eval(kernel, r2)
+        if useNormals:
+            rsafe = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+            fac = jnp.einsum('sd,xqsrd->xqsr', normals, -dd) / rsafe
+            g = g * jnp.where(r2 > 0, fac, 0.0)
+        vol1 = jnp.where(valid, vols[rc], 0.0)
+        G = jnp.where(m[:, None, :, None], g, 0.0) \
+            * vol1[:, None, None, None]
+        R = jnp.einsum('xqsr,sr->xq', G, svolw2)      # [Ct, Q1]
+        Bxx = Bxx.at[rc].add(jnp.einsum('aq,bq,xq->xab', PhiXw, PhiX, R)
+                             * valid[:, None, None])
+        return (Bxx,), None
+
+    Bxx = jnp.zeros((C, dpe, dpe), dtype=A.dtype)
+    (Bxx,), _ = jax.lax.scan(body, (Bxx,),
+                             (jnp.arange(nTiles), maskRow, maskCol))
+    rAll = jnp.where(rowDofPad >= 0, rowDofPad, N)
+    rb = jnp.broadcast_to(rAll[:, :, None], (C, dpe, dpe)).reshape(-1)
+    cb = jnp.broadcast_to(rAll[:, None, :], (C, dpe, dpe)).reshape(-1)
+    return A.at[rb, cb].add(Bxx.reshape(-1))
+
+
 @partial(jax.jit, static_argnames=('kernel', 'nPSI', 'useNormals'),
          donate_argnums=(0,))
 def _bucket_rows_scatter_scan(A, vertices, vi1, vi2, dr, vs, nm,
@@ -2324,11 +2385,15 @@ class nonlocalBuilder:
                         nm[out_k] = surface.normals[j]
                 runner.run(acc, rule, PHI, vi1, vi2, dr, vs, normals=nm)
 
-        # distant surface pairs (one scan launch per order when the
-        # accumulator is device-resident; tunnel round trips otherwise
-        # dominated at 1M+ boundary pairs)
+        # distant surface pairs
         di, dj, orders = binfo['distant']
         deviceAcc = isinstance(acc, DeviceDenseAccumulator)
+        gridOK = deviceAcc and sign == 1.0 and not bkernel.variable \
+            and getattr(bkernel, 'phi', None) is None
+        if gridOK and len(orders):
+            touchPairs = binfo['touching'][0]
+            di, dj, orders = self._runBoundaryGrid(
+                acc, runner, surface, bkernel, di, dj, orders, touchPairs)
         for order in np.unique(orders):
             sel = orders == order
             ii, jj = di[sel], dj[sel]
@@ -2344,6 +2409,83 @@ class nonlocalBuilder:
             else:
                 runner.run(acc, rule, PHI, cells[ii], vi2, dr, vs,
                            normals=nm)
+
+    def _runBoundaryGrid(self, acc, runner, surface, bkernel, di, dj,
+                         orders, touchPairs):
+        """Grid passes over (cell x surface) for the low-order boundary
+        pairs (see _grid_boundary_pass); returns the high-order correction
+        subset for the scan path.  Pair selection is list-driven (the
+        boundary pair set is O(C*S), already enumerated); the pass-2 grid
+        excludes touching pairs and everything above its order."""
+        from ..fem.quadrature import simplexDuffy
+        dm, mesh = self.dm, self.mesh
+        dtype = runner.dtype
+        mdim = mesh.manifold_dim
+        C = mesh.num_cells
+        S = surface.num_cells
+        N = dm.num_dofs
+        useNormals = mdim >= 2
+        vols = jnp.asarray(mesh.simplexVolumes(), dtype=dtype)
+        svols = surface.simplexVolumes() if mdim >= 2 else np.ones(S)
+        rowDofPad = jnp.asarray(dm.dofs, dtype=INDEX)
+        V = mesh.vertices[mesh.cells]
+        SV = mesh.vertices[surface.cells].reshape(S, max(mdim, 1), -1) \
+            if mdim >= 2 else mesh.vertices[surface.cells.reshape(S, 1)]
+        normals = jnp.asarray(surface.normals, dtype=dtype) if useNormals \
+            else jnp.zeros((S, mesh.dim), dtype=dtype)
+
+        keep = np.ones(len(di), dtype=bool)
+        for passNo, o in enumerate(sorted({2, 4})):
+            if passNo == 0:
+                sel = orders <= o
+                maskIn = False          # exclude everything NOT in pass
+                mi = np.concatenate([di[~sel], touchPairs[:, 0]]) \
+                    if len(touchPairs) else di[~sel]
+                mj = np.concatenate([dj[~sel], touchPairs[:, 1]]) \
+                    if len(touchPairs) else dj[~sel]
+            else:
+                sel = (orders > 2) & (orders <= o)
+                maskIn = True           # include exactly these pairs
+                mi, mj = di[sel], dj[sel]
+            if not sel.any():
+                continue
+            keep &= ~sel
+            b1, w1 = simplexDuffy(o, mdim)
+            Q1 = len(w1)
+            if mdim >= 2:
+                b2, w2 = simplexDuffy(o, mdim - 1)
+            else:
+                b2, w2 = np.ones((1, 1)), np.ones(1)
+            Q2 = len(w2)
+            X = jnp.asarray(np.einsum('qk,ckd->cqd', b1, V), dtype=dtype)
+            Ysurf = jnp.asarray(np.einsum('qk,skd->sqd', b2, SV),
+                                dtype=dtype)
+            Phi = dm.evalPhi(b1)
+            PhiX = jnp.asarray(Phi, dtype=dtype)
+            PhiXw = jnp.asarray(Phi * w1[None, :], dtype=dtype)
+            svolw2 = jnp.asarray(svols[:, None] * w2[None, :], dtype=dtype)
+            Ct = int(max(8, min(C, (1 << 24) // max(S * Q1 * Q2, 1))))
+            nTiles = -(-C // Ct)
+            # per-tile mask pair lists
+            tOf = mi // Ct
+            perTile = np.bincount(tOf, minlength=nTiles) if len(mi) else \
+                np.zeros(nTiles, dtype=np.int64)
+            maxM = max(int(perTile.max()) if len(mi) else 0, 1)
+            mR = np.full((nTiles, maxM), -1, dtype=np.int64)
+            mC = np.zeros((nTiles, maxM), dtype=np.int64)
+            fill = np.zeros(nTiles, dtype=np.int64)
+            for p in range(len(mi)):
+                t = int(tOf[p])
+                mR[t, fill[t]] = mi[p] - t * Ct
+                mC[t, fill[t]] = mj[p]
+                fill[t] += 1
+            acc.A = _grid_boundary_pass(
+                acc.A, X, Ysurf, svolw2, vols, rowDofPad, normals,
+                PhiXw, PhiX, jnp.asarray(w1, dtype=dtype),
+                jnp.asarray(mR, dtype=INDEX), jnp.asarray(mC, dtype=INDEX),
+                kernel=bkernel, nTiles=nTiles, Ct=Ct,
+                useNormals=useNormals, maskIn=maskIn)
+        return di[keep], dj[keep], orders[keep]
 
 
 

@@ -486,6 +486,61 @@ class H2Matrix(LinearOperator):
     def getnear(self):
         return self.Anear
 
+    # ---- HDF5 checkpointing (assembly is expensive; operators are
+    # checkpointable in the reference: H2Matrix.HDF5write/read,
+    # clusterMethodCy.pyx:2449-2551, tree serializers :1492-1778)
+    def HDF5write(self, node):
+        node.attrs['type'] = 'h2'
+        node.attrs['num_rows'] = self.num_rows
+        node.attrs['symmetric'] = self.symmetric
+        node.create_dataset('leafDofs', data=np.asarray(self.leafDofs))
+        node.create_dataset('leafPhi', data=np.asarray(self.leafPhi))
+        node.create_dataset('leafLvl',
+                            data=np.asarray(self.leafLevelPos[0]))
+        node.create_dataset('leafPos',
+                            data=np.asarray(self.leafLevelPos[1]))
+        An = node.create_group('Anear')
+        An.create_dataset('rowids', data=np.asarray(self.Anear.rowids))
+        An.create_dataset('indices', data=np.asarray(self.Anear.indices))
+        An.create_dataset('data', data=np.asarray(self.Anear.data))
+        An.attrs['num_rows'] = self.Anear.num_rows
+        An.attrs['num_columns'] = self.Anear.num_columns
+        lv = node.create_group('levels')
+        lv.attrs['n'] = len(self.levels)
+        for ell, l in enumerate(self.levels):
+            g = lv.create_group(str(ell))
+            g.attrs['size'] = l.size
+            for nm in ('T', 'parentIdx', 'K', 'src', 'dst'):
+                v = getattr(l, nm)
+                if v is not None:
+                    g.create_dataset(nm, data=np.asarray(v))
+
+    @staticmethod
+    def HDF5read(node):
+        assert node.attrs['type'] == 'h2'
+        An = node['Anear']
+        Anear = CSR_LinearOperator(
+            np.asarray(An['indices']), data=np.asarray(An['data']),
+            rowids=np.asarray(An['rowids']),
+            num_rows=int(An.attrs['num_rows']),
+            num_columns=int(An.attrs['num_columns']))
+        levels = []
+        lv = node['levels']
+        for ell in range(int(lv.attrs['n'])):
+            g = lv[str(ell)]
+            entry = _H2Level(int(g.attrs['size']))
+            for nm in ('T', 'parentIdx', 'K', 'src', 'dst'):
+                if nm in g:
+                    dt = INDEX if nm in ('parentIdx', 'src', 'dst') else None
+                    entry[nm] = jnp.asarray(np.asarray(g[nm]), dtype=dt)
+            levels.append(entry)
+        return H2Matrix(
+            Anear, jnp.asarray(np.asarray(node['leafDofs']), dtype=INDEX),
+            jnp.asarray(np.asarray(node['leafPhi'])),
+            (np.asarray(node['leafLvl']), np.asarray(node['leafPos'])),
+            levels, int(node.attrs['num_rows']),
+            symmetric=bool(node.attrs['symmetric']))
+
     def __repr__(self):
         far = sum(lvl['K'].shape[0] for lvl in self.levels if lvl['K'] is not None)
         return (f'<H2Matrix {self.num_rows}x{self.num_columns} '

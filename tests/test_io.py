@@ -71,3 +71,26 @@ def test_vertex_values_p1_identity():
         vx = mesh.vertices[vNo, 0]
         if 0.0 < vx < 1.0:
             assert abs(vv[vNo] - vx) < 1e-14
+
+
+def test_h2_hdf5_roundtrip(tmp_path):
+    """H2 operator checkpointing (ref clusterMethodCy.pyx H2Matrix
+    HDF5write/read :2449-2551, tree serializers :1492-1778)."""
+    import h5py
+    import jax.numpy as jnp
+    from pynucleus_tpu.fem import simpleInterval, P1_DoFMap
+    from pynucleus_tpu.nl import getFractionalKernel
+    from pynucleus_tpu.nl.assembly import nonlocalBuilder
+    from pynucleus_tpu.nl.h2 import H2Matrix
+    m = simpleInterval(-1.0, 1.0)
+    for _ in range(6):
+        m = m.refine()
+    dm = P1_DoFMap(m)
+    H = nonlocalBuilder(dm, getFractionalKernel(1, 0.6)).getH2()
+    fn = tmp_path / 'h2.h5'
+    with h5py.File(fn, 'w') as hf:
+        H.HDF5write(hf.create_group('A'))
+    with h5py.File(fn, 'r') as hf:
+        H2 = H2Matrix.HDF5read(hf['A'])
+    x = jnp.asarray(np.sin(np.linspace(-1, 1, dm.num_dofs)))
+    assert float(jnp.linalg.norm(H.matvec(x) - H2.matvec(x))) < 1e-13
