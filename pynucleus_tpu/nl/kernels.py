@@ -35,10 +35,11 @@ __all__ = ['interfaceTwoPoint', 'Kernel', 'FractionalKernel', 'getFractionalKern
            'FRACTIONAL', 'INDICATOR', 'PERIDYNAMIC', 'GAUSSIAN', 'EXPONENTIAL',
            'LOGINVERSEDISTANCE', 'MONOMIAL', 'POLYNOMIAL',
            'horizonFunction', 'variableHorizonFractionalKernel',
-           'DerivativeFractionalKernel']
+           'DerivativeFractionalKernel', 'MANIFOLD_FRACTIONAL']
 
 # kernel types (ref kernelsCy.pyx:50-73)
 FRACTIONAL = 'fractional'
+MANIFOLD_FRACTIONAL = 'manifold_fractional'
 INDICATOR = 'indicator'
 PERIDYNAMIC = 'peridynamic'
 GAUSSIAN = 'gaussian'
@@ -980,7 +981,7 @@ class Kernel:
         """Radial profile g(r2) WITHOUT the interaction-domain indicator."""
         C = self.scalingValue
         t = self.kernelType
-        if t == FRACTIONAL:
+        if t in (FRACTIONAL, MANIFOLD_FRACTIONAL):
             val = C * r2 ** (0.5 * self.singularityValue)
             if self.temperedLambda != 0.0:
                 val = val * jnp.exp(-self.temperedLambda * jnp.sqrt(r2))
@@ -1043,7 +1044,7 @@ class Kernel:
         r2 = float(((x - y) ** 2).sum())
         C = self.scalingValue
         t = self.kernelType
-        if t == FRACTIONAL:
+        if t in (FRACTIONAL, MANIFOLD_FRACTIONAL):
             if r2 == 0.0:
                 # integrable-singularity limit: the (u(x)-u(y)) factor in
                 # every flux integrand vanishes faster for s < 1/2
@@ -1137,29 +1138,41 @@ class Kernel:
 
 
 class FractionalKernel(Kernel):
-    """gamma(x,y) = scaling * |x-y|^{-d-2s} (ref kernelsCy.pyx:1564)."""
+    """gamma(x,y) = scaling * |x-y|^{-d-2s} (ref kernelsCy.pyx:1564).
+
+    ``manifold=True`` gives the MANIFOLD_FRACTIONAL type (ref
+    kernelsCy.pyx:50-73,1594): the fractional kernel of a (dim-1)-manifold
+    embedded in R^dim, using the chordal distance |x-y| with the effective
+    dimension dim-1 in singularity and normalization.  (The reference
+    declares this type but every eval branch raises NotImplementedError and
+    its scaling constant is undefined; here it actually assembles on
+    manifold meshes, e.g. surface meshes from get_surface_mesh.)"""
 
     def __init__(self, dim, s, horizon=np.inf, interaction=None, scaling=None,
-                 normalized=True, boundary=False, temperedLambda=0.0):
+                 normalized=True, boundary=False, temperedLambda=0.0,
+                 manifold=False):
         self.s = s
+        self.manifold = manifold
+        dEff = dim - 1 if manifold else dim
         self.variableOrder = not type(s) is constFractionalOrder
         sval = s.value if hasattr(s, 'value') else \
             (0.5 * (s.min + s.max) if not np.isscalar(s) else float(s))
         if scaling is None:
             if normalized:
                 scaling = constantFractionalLaplacianScaling(
-                    dim, sval, float(horizon), temperedLambda)
+                    dEff, sval, float(horizon), temperedLambda)
             else:
                 scaling = 0.5
-        singularity = (1 if boundary else 0) - dim - 2 * sval
+        singularity = (1 if boundary else 0) - dEff - 2 * sval
         symmetric = getattr(s, 'symmetric', True)
-        super().__init__(dim, FRACTIONAL, horizon, interaction, scaling,
+        super().__init__(dim, MANIFOLD_FRACTIONAL if manifold else FRACTIONAL,
+                         horizon, interaction, scaling,
                          singularity, boundary=boundary, symmetric=symmetric,
                          temperedLambda=temperedLambda)
         self.variable = self.variableOrder and not isinstance(
             s, variableConstFractionalOrder)
-        self.min_singularity = (1 if boundary else 0) - dim - 2 * s.max
-        self.max_singularity = (1 if boundary else 0) - dim - 2 * s.min
+        self.min_singularity = (1 if boundary else 0) - dEff - 2 * s.max
+        self.max_singularity = (1 if boundary else 0) - dEff - 2 * s.min
 
     @property
     def sValue(self):
@@ -1402,7 +1415,8 @@ def _gammalnHost(x):
 
 def getFractionalKernel(dim, s, horizon=np.inf, interaction=None, scaling=None,
                         normalized=True, piecewise=True, phi=None,
-                        boundary=False, derivative=0, **kwargs):
+                        boundary=False, derivative=0, manifold=False,
+                        **kwargs):
     from .operator_interpolation import admissibleSet, RangedFractionalKernel
     if isinstance(s, admissibleSet):
         return RangedFractionalKernel(dim, s, horizon=horizon,
@@ -1430,7 +1444,8 @@ def getFractionalKernel(dim, s, horizon=np.inf, interaction=None, scaling=None,
                 k.phi = phi
         return k
     k = FractionalKernel(dim, s, hv, interaction, scaling,
-                         normalized=normalized, boundary=boundary)
+                         normalized=normalized, boundary=boundary,
+                         manifold=manifold)
     if phi is not None:
         if getattr(phi, 'smooth', False):
             k.phiJax = phi.jaxEval
