@@ -1530,7 +1530,7 @@ class nonlocalBuilder:
             # complex accumulator
             acc = DenseAccumulator(N, dtype=COMPLEX)
         elif jax.devices()[0].platform == 'cpu' and not useGrid:
-            acc = DenseAccumulator(N)
+            acc = DenseAccumulator(N, dtype=self.params.get('dtype'))
         else:
             acc = DeviceDenseAccumulator(N, dtype=self.params.get('dtype'))
         self._runPairBuckets(acc, info)
@@ -2434,19 +2434,16 @@ class nonlocalBuilder:
         normals = jnp.asarray(surface.normals, dtype=dtype) if useNormals \
             else jnp.zeros((S, mesh.dim), dtype=dtype)
 
+        # one pass at order 4 covers every pair requiring order <= 4 (the
+        # vast majority; computing order-2 pairs at order 4 only adds
+        # accuracy); exclusions = touching + order>4 corrections
         keep = np.ones(len(di), dtype=bool)
-        for passNo, o in enumerate(sorted({2, 4})):
-            if passNo == 0:
-                sel = orders <= o
-                maskIn = False          # exclude everything NOT in pass
-                mi = np.concatenate([di[~sel], touchPairs[:, 0]]) \
-                    if len(touchPairs) else di[~sel]
-                mj = np.concatenate([dj[~sel], touchPairs[:, 1]]) \
-                    if len(touchPairs) else dj[~sel]
-            else:
-                sel = (orders > 2) & (orders <= o)
-                maskIn = True           # include exactly these pairs
-                mi, mj = di[sel], dj[sel]
+        for o, maskIn in ((4, False),):
+            sel = orders <= o
+            mi = np.concatenate([di[~sel], touchPairs[:, 0]]) \
+                if len(touchPairs) else di[~sel]
+            mj = np.concatenate([dj[~sel], touchPairs[:, 1]]) \
+                if len(touchPairs) else dj[~sel]
             if not sel.any():
                 continue
             keep &= ~sel
@@ -2466,19 +2463,20 @@ class nonlocalBuilder:
             svolw2 = jnp.asarray(svols[:, None] * w2[None, :], dtype=dtype)
             Ct = int(max(8, min(C, (1 << 24) // max(S * Q1 * Q2, 1))))
             nTiles = -(-C // Ct)
-            # per-tile mask pair lists
+            # per-tile mask pair lists (vectorized fill)
             tOf = mi // Ct
             perTile = np.bincount(tOf, minlength=nTiles) if len(mi) else \
                 np.zeros(nTiles, dtype=np.int64)
             maxM = max(int(perTile.max()) if len(mi) else 0, 1)
             mR = np.full((nTiles, maxM), -1, dtype=np.int64)
             mC = np.zeros((nTiles, maxM), dtype=np.int64)
-            fill = np.zeros(nTiles, dtype=np.int64)
-            for p in range(len(mi)):
-                t = int(tOf[p])
-                mR[t, fill[t]] = mi[p] - t * Ct
-                mC[t, fill[t]] = mj[p]
-                fill[t] += 1
+            if len(mi):
+                srt = np.argsort(tOf, kind='stable')
+                ts = tOf[srt]
+                starts = np.searchsorted(ts, np.arange(nTiles))
+                pos = np.arange(len(mi)) - starts[ts]
+                mR[ts, pos] = mi[srt] - ts * Ct
+                mC[ts, pos] = mj[srt]
             acc.A = _grid_boundary_pass(
                 acc.A, X, Ysurf, svolw2, vols, rowDofPad, normals,
                 PhiXw, PhiX, jnp.asarray(w1, dtype=dtype),

@@ -391,7 +391,7 @@ def classifyPairsDenseGrid(dm, kernel, target_order=None, gridOrders=(2, 4)):
             return None
         if worstOrderBeyond(lo) <= o:
             return lo
-        for _ in range(48):
+        for _ in range(20):
             mid = np.sqrt(lo * hi)
             if worstOrderBeyond(mid) <= o:
                 hi = mid
@@ -419,11 +419,17 @@ def classifyPairsDenseGrid(dm, kernel, target_order=None, gridOrders=(2, 4)):
     cand = tree.query_pairs(rSearch, output_type='ndarray')
     if len(cand):
         ci, cj = cand[:, 0].astype(np.int64), cand[:, 1].astype(np.int64)
-        # drop touching pairs from the candidate set
+        # drop touching pairs from the candidate set (searchsorted against
+        # the small sorted touching-key set; np.isin would sort the
+        # multi-million candidate array instead)
         keys = np.minimum(ci, cj) * C + np.maximum(ci, cj)
-        tkeys = touching_pairs[:, 0] * C + touching_pairs[:, 1] \
-            if len(touching_pairs) else np.zeros(0, dtype=np.int64)
-        far = ~np.isin(keys, tkeys)
+        if len(touching_pairs):
+            tkeys = np.sort(touching_pairs[:, 0] * C + touching_pairs[:, 1])
+            pos = np.searchsorted(tkeys, keys)
+            pos = np.minimum(pos, len(tkeys) - 1)
+            far = tkeys[pos] != keys
+        else:
+            far = np.ones(len(keys), dtype=bool)
         ci, cj = ci[far], cj[far]
     else:
         ci = cj = np.zeros(0, dtype=np.int64)

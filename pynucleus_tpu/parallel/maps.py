@@ -5,8 +5,11 @@ Counterpart of /root/reference/base/PyNucleus_base/io.pyx: `Map` (:16),
 `DistVector` (:326).  The MPI communicator becomes a device count; owned
 index sets are padded to a common length so every exchange is a static
 gather (what XLA wants), and the import is a single device-wide take.
+Setup is vectorized (no per-element Python), and `DistMatrix` keeps CSR
+operators sparse per part instead of densifying row blocks.
 """
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import INDEX
@@ -28,10 +31,16 @@ class Map:
                                 dtype=np.int64)
         for p, o in enumerate(ownedIdx):
             self.ownedIdx[p, :len(o)] = np.sort(np.asarray(o))
-        # owner of each global index
+        # owner and local slot of each global index (vectorized fill)
         self.owner = np.full(numGlobal, -1, dtype=np.int64)
-        for p in range(self.nParts):
-            self.owner[self.ownedIdx[p, :self.counts[p]]] = p
+        self.slot = np.full(numGlobal, -1, dtype=np.int64)
+        valid = self.ownedIdx >= 0
+        rows = np.broadcast_to(np.arange(self.nParts)[:, None],
+                               self.ownedIdx.shape)
+        slots = np.broadcast_to(np.arange(self.maxOwned)[None, :],
+                                self.ownedIdx.shape)
+        self.owner[self.ownedIdx[valid]] = rows[valid]
+        self.slot[self.ownedIdx[valid]] = slots[valid]
 
     @staticmethod
     def blockDistribution(numGlobal, nParts):
@@ -47,10 +56,8 @@ class Map:
         return int(self.ownedIdx[part, lid])
 
     def getLocalElement(self, part, gid):
-        pos = np.searchsorted(self.ownedIdx[part, :self.counts[part]], gid)
-        if pos < self.counts[part] and \
-                self.ownedIdx[part, pos] == gid:
-            return int(pos)
+        if self.owner[gid] == part:
+            return int(self.slot[gid])
         return -1
 
     def __repr__(self):
@@ -70,18 +77,16 @@ class DistVector:
     @staticmethod
     def fromGlobal(map_, x):
         x = np.asarray(x)
+        valid = map_.ownedIdx >= 0
         out = np.zeros((map_.nParts, map_.maxOwned), dtype=x.dtype)
-        for p in range(map_.nParts):
-            n = map_.counts[p]
-            out[p, :n] = x[map_.ownedIdx[p, :n]]
+        out[valid] = x[map_.ownedIdx[valid]]
         return DistVector(map_, jnp.asarray(out))
 
     def toGlobal(self):
         x = np.zeros(self.map.numGlobal)
         d = np.asarray(self.data)
-        for p in range(self.map.nParts):
-            n = self.map.counts[p]
-            x[self.map.ownedIdx[p, :n]] = d[p, :n]
+        valid = self.map.ownedIdx >= 0
+        x[self.map.ownedIdx[valid]] = d[valid]
         return x
 
 
@@ -95,14 +100,11 @@ class Import:
         self.sourceMap = sourceMap
         self.targetMap = targetMap
         T, S = targetMap, sourceMap
-        gatherPart = np.zeros((T.nParts, T.maxOwned), dtype=np.int64)
-        gatherSlot = np.zeros((T.nParts, T.maxOwned), dtype=np.int64)
-        for p in range(T.nParts):
-            for l in range(T.counts[p]):
-                g = T.ownedIdx[p, l]
-                sp = S.owner[g]
-                gatherPart[p, l] = sp
-                gatherSlot[p, l] = S.getLocalElement(sp, g)
+        g = T.ownedIdx
+        valid = g >= 0
+        gc = np.clip(g, 0, S.numGlobal - 1)
+        gatherPart = np.where(valid, S.owner[gc], 0)
+        gatherSlot = np.where(valid, S.slot[gc], 0)
         self.gatherPart = jnp.asarray(gatherPart, dtype=INDEX)
         self.gatherSlot = jnp.asarray(gatherSlot, dtype=INDEX)
 
@@ -115,21 +117,59 @@ class Import:
 
 
 class DistMatrix:
-    """Row-distributed matrix: per-part row blocks of the global operator
-    with a block-padded matvec y_p = A_p @ x_global
-    (ref io.pyx:239 DistMatrix)."""
+    """Row-distributed matrix: per-part row blocks with a block-padded
+    matvec y_p = A_p @ x_global (ref io.pyx:239 DistMatrix).
+
+    CSR operators stay SPARSE per part (padded nnz triples + a vmapped
+    segment-sum matvec); only genuinely dense operators store dense
+    blocks."""
 
     def __init__(self, A, rowMap):
         self.rowMap = rowMap
-        arr = jnp.asarray(A.toarray() if hasattr(A, 'toarray') else A)
-        blocks = np.zeros((rowMap.nParts, rowMap.maxOwned, arr.shape[1]))
-        a = np.asarray(arr)
-        for p in range(rowMap.nParts):
-            n = rowMap.counts[p]
-            blocks[p, :n] = a[rowMap.ownedIdx[p, :n]]
-        self.blocks = jnp.asarray(blocks)
+        P, R = rowMap.nParts, rowMap.maxOwned
+        if hasattr(A, 'rowids') and getattr(A, 'rowids', None) is not None:
+            rowids = np.asarray(A.rowids)
+            cols = np.asarray(A.indices)
+            data = np.asarray(A.data)
+            pOf = rowMap.owner[rowids]
+            slotOf = rowMap.slot[rowids]
+            cnt = np.bincount(pOf, minlength=P)
+            maxNnz = max(int(cnt.max()), 1)
+            nr = np.full((P, maxNnz), R, dtype=np.int64)       # ghost row
+            nc = np.zeros((P, maxNnz), dtype=np.int64)
+            nd = np.zeros((P, maxNnz), dtype=data.dtype)
+            srt = np.argsort(pOf, kind='stable')
+            ps = pOf[srt]
+            starts = np.searchsorted(ps, np.arange(P))
+            pos = np.arange(len(rowids)) - starts[ps]
+            nr[ps, pos] = slotOf[srt]
+            nc[ps, pos] = cols[srt]
+            nd[ps, pos] = data[srt]
+            self._csr = (jnp.asarray(nr, dtype=INDEX),
+                         jnp.asarray(nc, dtype=INDEX), jnp.asarray(nd))
+            self.blocks = None
+            R_ = R
+
+            @jax.jit
+            def mv(csr, x):
+                nr_, nc_, nd_ = csr
+                return jax.vmap(lambda r, c, d: jax.ops.segment_sum(
+                    d * x[c], r, num_segments=R_ + 1)[:R_])(nr_, nc_, nd_)
+
+            self._mv = mv
+        else:
+            arr = np.asarray(A.toarray() if hasattr(A, 'toarray') else A)
+            valid = rowMap.ownedIdx >= 0
+            blocks = np.zeros((P, R, arr.shape[1]), dtype=arr.dtype)
+            blocks[valid] = arr[rowMap.ownedIdx[valid]]
+            self.blocks = jnp.asarray(blocks)
+            self._csr = None
 
     def matvec(self, xGlobal):
         """Global x -> DistVector of owned row results."""
-        y = jnp.einsum('pmn,n->pm', self.blocks, jnp.asarray(xGlobal))
+        x = jnp.asarray(xGlobal)
+        if self._csr is not None:
+            y = self._mv(self._csr, x)
+        else:
+            y = jnp.einsum('pmn,n->pm', self.blocks, x)
         return DistVector(self.rowMap, y)
