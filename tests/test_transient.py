@@ -22,6 +22,74 @@ CONFIGS = [
 
 IDS = ['s0.75-lu', 's0.25-cgmg']
 
+# widened interval matrix (VERDICT r1 item 10): every interval kernel family
+# of the reference's 41-config cache set; disc rows are pinned to our mesh
+# elsewhere (no `triangle` in the image)
+CONFIGS_SLOW = [
+    (['--domain', 'interval', '--s', 'const(0.25)', '--problem', 'constant',
+      '--element', 'P2', '--solverType', 'cg-mg', '--matrixFormat', 'dense'],
+     {'L^2(0,T; L^2(Omega)) error': 0.027495862469873365,
+      'L^2(0,T; L^2(Omega)) norm': 1.7019259587916384,
+      'L^2(Omega) error at t=finalTime': 0.012420534279834644}),
+    (['--domain', 'interval', '--s', 'const(0.75)', '--problem', 'constant',
+      '--element', 'P2', '--solverType', 'cg-mg', '--matrixFormat', 'dense'],
+     {'L^2(0,T; L^2(Omega)) error': 0.0009194690275845384,
+      'L^2(0,T; L^2(Omega)) norm': 0.9832074391209417,
+      'L^2(Omega) error at t=finalTime': 0.0004404667561743383}),
+    (['--domain', 'interval', '--s', 'const(0.25)', '--problem', 'constant',
+      '--element', 'P3', '--solverType', 'cg-mg', '--matrixFormat', 'dense'],
+     {'L^2(0,T; L^2(Omega)) error': 0.017267223086710897,
+      'L^2(0,T; L^2(Omega)) norm': 1.7026331344615124,
+      'L^2(Omega) error at t=finalTime': 0.007746289486904896}),
+    (['--domain', 'interval', '--s', 'const(0.75)', '--problem', 'constant',
+      '--element', 'P3', '--solverType', 'cg-mg', '--matrixFormat', 'dense'],
+     {'L^2(0,T; L^2(Omega)) error': 0.00045325268566045015,
+      'L^2(0,T; L^2(Omega)) norm': 0.9834064913824577,
+      'L^2(Omega) error at t=finalTime': 0.0003981668929333403}),
+    (['--domain', 'interval', '--s', 'const(0.25)', '--problem', 'constant',
+      '--element', 'P0', '--solverType', 'cg-mg', '--matrixFormat', 'dense'],
+     {'L^2(0,T; L^2(Omega)) error': 0.0149413089985309,
+      'L^2(0,T; L^2(Omega)) norm': 1.7025600858867103,
+      'L^2(Omega) error at t=finalTime': 0.007567757829891671}),
+    (['--domain', 'interval', '--s', 'constantNonSym(0.25)', '--problem',
+      'constant', '--element', 'P1', '--solverType', 'gmres-jacobi',
+      '--matrixFormat', 'dense'],
+     {'L^2(0,T; L^2(Omega)) error': 0.032183391672112704,
+      'L^2(0,T; L^2(Omega)) norm': 1.7018299532802796,
+      'L^2(Omega) error at t=finalTime': 0.014558730308751077}),
+    (['--domain', 'interval', '--s', 'constantNonSym(0.75)', '--problem',
+      'constant', '--element', 'P1', '--solverType', 'gmres-jacobi',
+      '--matrixFormat', 'dense'],
+     {'L^2(0,T; L^2(Omega)) error': 0.0013734475606580092,
+      'L^2(0,T; L^2(Omega)) norm': 0.9834424426125228,
+      'L^2(Omega) error at t=finalTime': 0.0006827320291472987}),
+    (['--domain', 'interval', '--s', 'twoDomainNonSym(0.25,0.75)',
+      '--problem', 'knownSolution', '--element', 'P1', '--solverType', 'lu',
+      '--matrixFormat', 'dense'],
+     {'L^2(0,T; L^2(Omega)) error': 0.0022559436330307435,
+      'L^2(0,T; L^2(Omega)) norm': 1.3223156438435326,
+      'L^2(Omega) error at t=finalTime': 0.001064703027872593}),
+    (['--domain', 'interval', '--s', 'varconst(0.75)', '--problem',
+      'constant', '--element', 'P1', '--solverType', 'cg-jacobi',
+      '--matrixFormat', 'dense'],
+     {'L^2(0,T; L^2(Omega)) error': 0.0013733862672740762,
+      'L^2(0,T; L^2(Omega)) norm': 0.9834423679199291,
+      'L^2(Omega) error at t=finalTime': 0.0006827374796469401}),
+]
+
+IDS_SLOW = ['P2-s0.25', 'P2-s0.75', 'P3-s0.25', 'P3-s0.75', 'P0-s0.25',
+            'nonsym0.25', 'nonsym0.75', 'twoDomain-known', 'varconst']
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('argv,expected', CONFIGS_SLOW, ids=IDS_SLOW)
+def test_runFractionalHeat_swept(argv, expected):
+    d, mS = runFractionalHeat(argv)
+    got = d.outputGroups['errors'].toDict()
+    for label, val in expected.items():
+        assert np.isclose(got[label], val, rtol=3e-2, atol=1e-8), \
+            (label, got[label], val)
+
 
 @pytest.mark.parametrize('argv,expected', CONFIGS, ids=IDS)
 def test_runFractionalHeat(argv, expected):
