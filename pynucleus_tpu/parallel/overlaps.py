@@ -32,7 +32,8 @@ from jax.sharding import PartitionSpec as P, NamedSharding
 from ..config import INDEX, REAL
 
 __all__ = ['buildCellOverlap', 'OverlappingDofPartition',
-           'AlgebraicOverlapManager']
+           'AlgebraicOverlapManager', 'Repartitioner',
+           'repartitionConnector']
 
 
 def buildCellOverlap(mesh, cellPartition, depth=1):
@@ -252,3 +253,81 @@ class AlgebraicOverlapManager:
                      jax.device_put(recvPos, spec),
                      jax.device_put(recvSlot, spec), X)
         return run
+
+
+class Repartitioner:
+    """Re-shard vectors between two overlapping dof partitions of the same
+    dof space (ref repartitioner.pyx:34 ``Repartitioner``: moves a
+    subdomain decomposition from one communicator to another; on a device
+    mesh this reduces to a STATIC owner-copy gather between the two
+    padded layouts — no communicators, one gather plan built once).
+    """
+
+    def __init__(self, src: OverlappingDofPartition,
+                 tgt: OverlappingDofPartition):
+        assert src.dm.num_dofs == tgt.dm.num_dofs
+        self.src, self.tgt = src, tgt
+        # for each tgt (p, slot): the src owner's (part, slot) of that dof
+        g = np.clip(tgt.l2g, 0, None)
+        owner = src.ownerOf[g]                          # [ndT, maxLocalT]
+        slot = src.slotOf[owner, g]
+        valid = tgt.l2g >= 0
+        self.gatherPart = np.where(valid, owner, 0).astype(np.int64)
+        self.gatherSlot = np.where(valid, np.maximum(slot, 0),
+                                   0).astype(np.int64)
+        self.validMask = valid
+
+    def apply(self, X):
+        """X [srcParts, srcMaxLocal] (copies of shared dofs must agree,
+        i.e. 'accumulated' state) -> [tgtParts, tgtMaxLocal]."""
+        X = np.asarray(X)
+        out = X[self.gatherPart, self.gatherSlot]
+        out[~self.validMask] = 0.0
+        return out
+
+    def deviceApply(self, mesh, axis='d'):
+        """Jitted device re-shard for equal part counts: the whole source
+        (owner copies) moves once over the ICI (`all_gather`), each device
+        gathers its target slots with static indices — the collective
+        analogue of the reference's point-to-point cell/dof Isends
+        (repartitioner.pyx getRepartitionedSubdomains)."""
+        gp = jnp.asarray(self.gatherPart, dtype=INDEX)
+        gs = jnp.asarray(self.gatherSlot, dtype=INDEX)
+        vm = jnp.asarray(self.validMask)
+        spec = NamedSharding(mesh, P(axis))
+        nd = self.src.nParts
+        maxL = self.src.maxLocal
+
+        def body(gp_, gs_, vm_, Xl):
+            gp_, gs_, vm_ = gp_[0], gs_[0], vm_[0]
+            buf = jax.lax.all_gather(Xl[0], axis)        # [nd, maxLocalS]
+            out = buf[gp_, gs_] * vm_
+            return out[None]
+
+        f = jax.shard_map(body, mesh=mesh,
+                          in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                          out_specs=P(axis))
+
+        @jax.jit
+        def run(X):
+            return f(jax.device_put(gp, spec), jax.device_put(gs, spec),
+                     jax.device_put(vm, spec), X)
+        return run
+
+
+def repartitionConnector(dm, mesh, srcCellPartition, tgtCellPartition,
+                         depth=1):
+    """Build the (srcPartition, tgtPartition, Repartitioner) triple that
+    connects two decompositions of one level — the single-program analogue
+    of ref connectors.py:151 ``repartitionConnector.getNewHierarchy``
+    (partition the current finest mesh with a new partitioner, move the
+    level across, rebuild overlaps on the new decomposition)."""
+    srcLocal = buildCellOverlap(mesh, srcCellPartition, depth)
+    tgtLocal = buildCellOverlap(mesh, tgtCellPartition, depth)
+    nOwnS = [int((np.asarray(srcCellPartition) == p).sum())
+             for p in range(len(srcLocal))]
+    nOwnT = [int((np.asarray(tgtCellPartition) == p).sum())
+             for p in range(len(tgtLocal))]
+    srcPart = OverlappingDofPartition(dm, srcLocal, numOwnCells=nOwnS)
+    tgtPart = OverlappingDofPartition(dm, tgtLocal, numOwnCells=nOwnT)
+    return srcPart, tgtPart, Repartitioner(srcPart, tgtPart)
