@@ -14,4 +14,6 @@ from .assembly import (  # noqa: F401
     buildSparsityPattern, scatterToCSR)
 from .lookup import cellFinder, lookupFunction  # noqa: F401
 from . import mesh_zoo  # noqa: F401  (registers the extended mesh catalogue)
+from . import mesh_construction  # noqa: F401  (PSLG geometry + mesher)
+meshConstruction = mesh_construction  # reference-parity module alias
 from .quadrature import gauss01, gaussJacobi01, simplexDuffy  # noqa: F401

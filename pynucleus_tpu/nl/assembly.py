@@ -1290,7 +1290,7 @@ class nonlocalBuilder:
         Pair windows are selected by squared f32 cell-center distance with
         gap-midpoint thresholds: the same f32 values partition the pairs on
         host and device even under FMA rounding differences."""
-        from ..fem.quadrature import simplexDuffy
+        from ..fem.quadrature import simplexCompact
         dm, mesh, kernel = self.dm, self.mesh, self.kernel
         dtype = runner.dtype
         mdim = mesh.manifold_dim
@@ -1359,7 +1359,7 @@ class nonlocalBuilder:
             np.where(dm.dofs >= 0, dm.dofs, N).reshape(-1), dtype=INDEX)
 
         for o, t_lo, t_hi in cuts:
-            b1, w1 = simplexDuffy(o, mdim)
+            b1, w1 = simplexCompact(o, mdim)
             Q1 = len(w1)
             X = jnp.asarray(np.einsum('qk,ckd->cqd', b1, V), dtype=dtype)
             Phi = dm.evalPhi(b1)                           # [dpe, Q1]
@@ -1440,7 +1440,9 @@ class nonlocalBuilder:
             for order in np.unique(orders):
                 sel = orders == order
                 ii, jj = ci[sel], cj[sel]
-                rule = distantRule(int(order), mdim)
+                # compact=False: the integrand carries the horizon
+                # indicator (discontinuous); point density matters here
+                rule = distantRule(int(order), mdim, compact=False)
                 PSI = rule.buildPSI(dm, nSharedVertices=0)
                 PHI = rule.buildPHI(dm, nSharedVertices=0) if not sym else None
                 if sym:
@@ -1679,7 +1681,7 @@ class nonlocalBuilder:
         from .h2 import (buildClusterTree, admissibleClusters, H2Matrix,
                          tensorChebyshevGrid, tensorLagrangeEval, _H2Level,
                          batchedChebyshevGrids, batchedLagrangeEval)
-        from ..fem.quadrature import simplexDuffy
+        from ..fem.quadrature import simplexCompact
         dm, mesh, kernel = self.dm, self.mesh, self.kernel
         N = dm.num_dofs
         dim = mesh.dim
@@ -1780,7 +1782,7 @@ class nonlocalBuilder:
 
         # per-cell quadrature data
         p_el = max(dm.polynomialOrder, 1)
-        bary, wq = simplexDuffy(p_el + m + 1, mdim)
+        bary, wq = simplexCompact(p_el + m + 1, mdim)
         PHIel = dm.evalPhi(bary)                      # [dpe, Q]
         V = mesh.vertices[mesh.cells]
         Xq = np.einsum('qk,ckd->cqd', bary, V)        # [C, Q, dim]
@@ -2075,7 +2077,9 @@ class nonlocalBuilder:
             for order in np.unique(orders):
                 osel = orders == order
                 oi, oj = ii[osel], jj[osel]
-                rule = distantRule(int(order), mesh.manifold_dim)
+                # cut pairs sample the horizon indicator: dense Duffy grid
+                rule = distantRule(int(order), mesh.manifold_dim,
+                                   compact=not isCut)
                 PSI = rule.buildPSI(dm, nSharedVertices=0)
                 vols = mesh.simplexVolumes()
                 dr = np.concatenate([dofs[oi], dofs[oj]], axis=1)
@@ -2417,7 +2421,7 @@ class nonlocalBuilder:
         subset for the scan path.  Pair selection is list-driven (the
         boundary pair set is O(C*S), already enumerated); the pass-2 grid
         excludes touching pairs and everything above its order."""
-        from ..fem.quadrature import simplexDuffy
+        from ..fem.quadrature import simplexCompact
         dm, mesh = self.dm, self.mesh
         dtype = runner.dtype
         mdim = mesh.manifold_dim
@@ -2447,10 +2451,10 @@ class nonlocalBuilder:
             if not sel.any():
                 continue
             keep &= ~sel
-            b1, w1 = simplexDuffy(o, mdim)
+            b1, w1 = simplexCompact(o, mdim)
             Q1 = len(w1)
             if mdim >= 2:
-                b2, w2 = simplexDuffy(o, mdim - 1)
+                b2, w2 = simplexCompact(o, mdim - 1)
             else:
                 b2, w2 = np.ones((1, 1)), np.ones(1)
             Q2 = len(w2)

@@ -26,7 +26,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..fem.quadrature import gauss01, gaussJacobi01, tensorRule, simplexDuffy
+from ..fem.quadrature import (gauss01, gaussJacobi01, tensorRule,
+                              simplexDuffy, simplexCompact)
 
 __all__ = ['PanelRule', 'sameCellRule1D', 'vertexRule1D', 'distantRule',
            'boundaryVertexRule1D', 'boundaryDistantRule',
@@ -122,15 +123,20 @@ def vertexRule1D(singularity, order_sing, order_reg, continuous=True):
     return PanelRule(bary_x, bary_y, weights, 'vertex1D')
 
 
-def distantRule(order, mdim1, mdim2=None):
+def distantRule(order, mdim1, mdim2=None, compact=True):
     """Tensor product of two simplex rules (ref nonlocalOperator pxi:549-600:
     Xiao-Gimbutas x Xiao-Gimbutas; we use Duffy-transform rules of the same
     polynomial exactness — the distant panels only need accuracy, not node
-    parity)."""
+    parity).  Compact symmetric (Dunavant/Keast) rules where tabulated:
+    the point count enters the pair cost as Q1*Q2.  Pass compact=False for
+    DISCONTINUOUS integrands (horizon-cut indicator sampling): there the
+    dense Duffy tensor grid's point count, not polynomial exactness, sets
+    the accuracy."""
     if mdim2 is None:
         mdim2 = mdim1
-    b1, w1 = simplexDuffy(order, mdim1)
-    b2, w2 = simplexDuffy(order, mdim2)
+    rule = simplexCompact if compact else simplexDuffy
+    b1, w1 = rule(order, mdim1)
+    b2, w2 = rule(order, mdim2)
     Q1, Q2 = w1.shape[0], w2.shape[0]
     bary_x = np.repeat(b1.T, Q2, axis=1)                  # [nv1, Q1*Q2]
     bary_y = np.tile(b2.T, (1, Q1))                       # [nv2, Q1*Q2]
@@ -155,11 +161,11 @@ def boundaryVertexRule1D(singularity, order):
 
 def boundaryDistantRule(order, mdim1, mdim2):
     """Cell x distant-surface-simplex rule."""
-    b1, w1 = simplexDuffy(order, mdim1)
+    b1, w1 = simplexCompact(order, mdim1)
     if mdim2 == 0:
         b2, w2 = np.ones((1, 1)), np.ones(1)
     else:
-        b2, w2 = simplexDuffy(order, mdim2)
+        b2, w2 = simplexCompact(order, mdim2)
     Q1, Q2 = w1.shape[0], w2.shape[0]
     bary_x = np.repeat(b1.T, Q2, axis=1)
     bary_y = np.tile(b2.T, (1, Q1))

@@ -1,0 +1,87 @@
+"""Phase timers inside getDense via monkeypatching (device path)."""
+import os
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+import pynucleus_tpu  # noqa: F401
+from pynucleus_tpu.fem import circle, P1_DoFMap
+from pynucleus_tpu.nl import getFractionalKernel
+from pynucleus_tpu.nl import assembly as asm
+
+times = defaultdict(float)
+counts = defaultdict(int)
+
+
+def timed(name, fn):
+    def wrap(*a, **kw):
+        t0 = time.perf_counter()
+        r = fn(*a, **kw)
+        try:
+            jax.block_until_ready(r)
+        except Exception:
+            pass
+        # sync device accumulators passed as args (run methods mutate acc.A)
+        for x in a:
+            Aattr = getattr(x, 'A', None)
+            if Aattr is not None and hasattr(Aattr, 'block_until_ready'):
+                Aattr.block_until_ready()
+        times[name] += time.perf_counter() - t0
+        counts[name] += 1
+        return r
+    return wrap
+
+
+def main():
+    noRef = int(os.environ.get('BENCH_NOREF', '6'))
+    m = circle(n=8)
+    for _ in range(noRef):
+        m = m.refine()
+    dm = P1_DoFMap(m)
+    kernel = getFractionalKernel(2, 0.75)
+    dev = jax.devices()[0]
+    dtype = np.float32 if dev.platform != 'cpu' else np.float64
+
+    import pynucleus_tpu.nl.panels as panels
+    orig = {}
+    for mod, name in [(panels, 'classifyPairsDenseGrid'),
+                      (panels, 'classifyBoundaryPairs'),
+                      (asm, '_grid_distant_pass'),
+                      (asm, '_grid_boundary_pass')]:
+        orig[name] = getattr(mod, name)
+        setattr(mod, name, timed(name, orig[name]))
+    # assembly.py imports classifyBoundaryPairs by name
+    asm.classifyBoundaryPairs = getattr(panels, 'classifyBoundaryPairs')
+    for name in ['run', 'runNatural', 'runNaturalMaskedCSR', 'runRowsScan']:
+        orig[name] = getattr(asm._BucketRunner, name)
+        setattr(asm._BucketRunner, name, timed('bucket.' + name, orig[name]))
+    for name in ['_runDistantGrid', '_runCutPairs', '_addZeroExterior',
+                 '_makeRules', '_pairSingularities', '_runBoundaryGrid']:
+        orig[name] = getattr(asm.nonlocalBuilder, name)
+        setattr(asm.nonlocalBuilder, name, timed(name, orig[name]))
+
+    C = m.num_cells
+    nPairs = C * (C + 1) // 2
+    print(f'device={dev.platform} cells={C} dofs={dm.num_dofs} '
+          f'pairs={nPairs/1e6:.1f}M', flush=True)
+    for it in range(2):
+        times.clear()
+        counts.clear()
+        t0 = time.perf_counter()
+        b = asm.nonlocalBuilder(dm, kernel, params={'dtype': dtype})
+        A = b.getDense()
+        jax.block_until_ready(A.data)
+        tot = time.perf_counter() - t0
+        print(f'iter{it}: total={tot:.2f}s '
+              f'rate={nPairs/tot/1e6:.2f}M pairs/s', flush=True)
+        for k in sorted(times, key=lambda k: -times[k]):
+            print(f'  {k:28s} {times[k]:8.2f}s  x{counts[k]}', flush=True)
+
+
+if __name__ == '__main__':
+    main()
