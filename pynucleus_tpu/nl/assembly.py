@@ -2333,8 +2333,12 @@ class nonlocalBuilder:
         kernel = self.kernel
         surface = mesh.get_surface_mesh()
         bkernel = kernel.getModifiedKernel(horizon=np.inf).getBoundaryKernel()
+        deviceAcc = isinstance(acc, DeviceDenseAccumulator)
+        gridOK = deviceAcc and sign == 1.0 and not bkernel.variable \
+            and getattr(bkernel, 'phi', None) is None
         binfo = classifyBoundaryPairs(dm, surface, bkernel,
-                                      target_order=self.params.get('target_order'))
+                                      target_order=self.params.get('target_order'),
+                                      correctionsOnly=gridOK)
         vols = mesh.simplexVolumes()
         svols = surface.simplexVolumes()
         cells = mesh.cells
@@ -2389,12 +2393,10 @@ class nonlocalBuilder:
                         nm[out_k] = surface.normals[j]
                 runner.run(acc, rule, PHI, vi1, vi2, dr, vs, normals=nm)
 
-        # distant surface pairs
+        # distant surface pairs; in grid mode binfo['distant'] holds only
+        # the order>4 corrections (classifyBoundaryPairs correctionsOnly)
         di, dj, orders = binfo['distant']
-        deviceAcc = isinstance(acc, DeviceDenseAccumulator)
-        gridOK = deviceAcc and sign == 1.0 and not bkernel.variable \
-            and getattr(bkernel, 'phi', None) is None
-        if gridOK and len(orders):
+        if gridOK:
             touchPairs = binfo['touching'][0]
             di, dj, orders = self._runBoundaryGrid(
                 acc, runner, surface, bkernel, di, dj, orders, touchPairs)
@@ -2416,11 +2418,12 @@ class nonlocalBuilder:
 
     def _runBoundaryGrid(self, acc, runner, surface, bkernel, di, dj,
                          orders, touchPairs):
-        """Grid passes over (cell x surface) for the low-order boundary
-        pairs (see _grid_boundary_pass); returns the high-order correction
-        subset for the scan path.  Pair selection is list-driven (the
-        boundary pair set is O(C*S), already enumerated); the pass-2 grid
-        excludes touching pairs and everything above its order."""
+        """One order-4 grid pass over the full (cell x surface) grid
+        (see _grid_boundary_pass), excluding the touching pairs and the
+        supplied order>4 corrections; returns the correction subset for the
+        scan path.  The caller provides ONLY the corrections
+        (classifyBoundaryPairs correctionsOnly contract), so no O(C*S)
+        enumeration ever exists."""
         from ..fem.quadrature import simplexCompact
         dm, mesh = self.dm, self.mesh
         dtype = runner.dtype
@@ -2441,16 +2444,11 @@ class nonlocalBuilder:
         # one pass at order 4 covers every pair requiring order <= 4 (the
         # vast majority; computing order-2 pairs at order 4 only adds
         # accuracy); exclusions = touching + order>4 corrections
-        keep = np.ones(len(di), dtype=bool)
         for o, maskIn in ((4, False),):
-            sel = orders <= o
-            mi = np.concatenate([di[~sel], touchPairs[:, 0]]) \
-                if len(touchPairs) else di[~sel]
-            mj = np.concatenate([dj[~sel], touchPairs[:, 1]]) \
-                if len(touchPairs) else dj[~sel]
-            if not sel.any():
-                continue
-            keep &= ~sel
+            mi = np.concatenate([di, touchPairs[:, 0]]) \
+                if len(touchPairs) else di
+            mj = np.concatenate([dj, touchPairs[:, 1]]) \
+                if len(touchPairs) else dj
             b1, w1 = simplexCompact(o, mdim)
             Q1 = len(w1)
             if mdim >= 2:
@@ -2487,7 +2485,7 @@ class nonlocalBuilder:
                 jnp.asarray(mR, dtype=INDEX), jnp.asarray(mC, dtype=INDEX),
                 kernel=bkernel, nTiles=nTiles, Ct=Ct,
                 useNormals=useNormals, maskIn=maskIn)
-        return di[keep], dj[keep], orders[keep]
+        return di, dj, orders
 
 
 

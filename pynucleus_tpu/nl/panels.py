@@ -569,11 +569,37 @@ def _pairMinDistance(verts, cells, di, dj):
     return np.sqrt((D ** 2).sum(axis=-1)).min(axis=(1, 2))
 
 
-def classifyBoundaryPairs(dm, surface, kernel, target_order=None):
+def _boundaryOrderModel(d, h1, h2, sval, c0, H0, horizon, hcut=None):
+    """Per-pair boundary quad order (same model as the volume distant one;
+    ref fractionalLaplacian1D.pyx:644-669 boundary getQuadOrder), rounded up
+    to even.  d/h1/h2 broadcastable; hcut = per-pair cut half-width for the
+    finite-horizon tripling (None = infinite horizon)."""
+    logdh1 = np.maximum(np.log(d / h1), 0.0)
+    logdh2 = np.maximum(np.log(d / h2), 0.0)
+    o1 = np.ceil((c0 + (2 * sval - 1) * np.abs(np.log(h2 / H0)) -
+                  2 * sval * np.log(d / h2)) / (logdh1 + 0.8))
+    o2 = np.ceil((c0 + (2 * sval - 1) * np.abs(np.log(h1 / H0)) -
+                  2 * sval * np.log(d / h1)) / (logdh2 + 0.8))
+    orders = np.maximum(np.maximum(o1, o2), 2)
+    if hcut is not None:
+        cut = (d - hcut < horizon) & (horizon < d + hcut)
+        orders = np.where(cut, orders * 3, orders)
+    return ((orders.astype(np.int64) + 1) // 2) * 2
+
+
+def classifyBoundaryPairs(dm, surface, kernel, target_order=None,
+                          correctionsOnly=False):
     """(cell, surface-cell) pairs for the zeroExterior term
     (ref nonlocalAssembly getDense zeroExterior loop + boundary getQuadOrder,
     fractionalLaplacian1D.pyx:644-669).  Kernel here is the BOUNDARY kernel.
-    Returns ('vertex' touching pairs with perms, 'distant' with orders)."""
+    Returns ('vertex' touching pairs with perms, 'distant' with orders).
+
+    correctionsOnly=True (the grid-consumer contract): 'distant' holds ONLY
+    the pairs needing order > 4 — the order<=4 grid pass covers everything
+    else implicitly, so the O(C*S) pair enumeration and per-pair order model
+    never materialize.  Pairs are screened by a conservative distance
+    threshold (the order model is nonincreasing in d and corner-monotone in
+    (h1, h2), so a bisection at the (h1, h2) corner extremes bounds it)."""
     mesh = dm.mesh
     cells = mesh.cells
     verts = mesh.vertices
@@ -599,23 +625,26 @@ def classifyBoundaryPairs(dm, surface, kernel, target_order=None):
             ((target_order + 1.0) * np.log(num_dofs * H0) +
              (2.0 * smax - 1.0) * abs(np.log(hmin / H0))) / 0.8)), 2)
 
-    # all pairs; touching = cell contains a vertex of the surface simplex
-    # (vectorized: the python perm construction only runs on touching pairs)
-    ci = np.repeat(np.arange(C, dtype=np.int64), S)
-    sj = np.tile(np.arange(S, dtype=np.int64), C)
-    c1v = cells[ci]                                   # [P, nv]
-    c2v = scells[sj]                                  # [P, nvS]
-    touch_mask = (c1v[:, :, None] == c2v[:, None, :]).any(axis=(1, 2))
+    # touching = cell contains a vertex of the surface simplex.  Incidence
+    # detection: only cells holding a boundary vertex can touch, so the
+    # candidate x surface comparison is O(C + nBnd*S), never C*S.
     if kernel.singularityValue >= 0:
         # smooth boundary kernels (gaussian/exponential potentials) need no
         # singularity-cancelling transformation: plain Gauss on every pair
-        touch_mask[:] = False
+        ti = tj = np.zeros(0, dtype=np.int64)
+    else:
+        bverts = np.unique(scells)
+        cand = np.nonzero(np.isin(cells, bverts).any(axis=1))[0]
+        m = (cells[cand][:, :, None, None] ==
+             scells[None, None, :, :]).any(axis=(1, 3))       # [nCand, S]
+        ti, tj = np.nonzero(m)
+        ti = cand[ti]
 
     touching = []
     perms = []
-    for k in np.nonzero(touch_mask)[0]:
-        c1 = cells[ci[k]]
-        c2 = scells[sj[k]]
+    for k in range(len(ti)):
+        c1 = cells[ti[k]]
+        c2 = scells[tj[k]]
         shared1, shared2 = [], []
         used2 = set()
         for a, v1 in enumerate(c1):
@@ -629,37 +658,63 @@ def classifyBoundaryPairs(dm, surface, kernel, target_order=None):
                     break
         rest1 = [a for a in range(len(c1)) if a not in shared1]
         rest2 = [b for b in range(len(c2)) if b not in used2]
-        touching.append((ci[k], sj[k]))
+        touching.append((ti[k], tj[k]))
         perms.append((len(shared1),
                       np.array(shared1 + rest1, dtype=np.int64),
                       np.array(shared2 + rest2, dtype=np.int64)))
 
-    di, dj = ci[~touch_mask], sj[~touch_mask]
-    centers1 = verts[cells].mean(axis=1)[di]
-    centers2 = verts[scells].mean(axis=1)[dj] if scells.shape[1] > 1 else \
-        verts[scells[:, 0]][dj]
-    d = np.linalg.norm(centers1 - centers2, axis=1)
-    h1 = _cellDiameter(verts, cells)[di]
-    if scells.shape[1] > 1:
-        h2 = _cellDiameter(verts, scells)[dj]
-    else:
-        h2 = np.full(len(dj), hmin)
+    centers1 = verts[cells].mean(axis=1)                      # [C, dim]
+    centers2 = verts[scells].mean(axis=1) if scells.shape[1] > 1 else \
+        verts[scells[:, 0]]                                   # [S, dim]
+    h1c = _cellDiameter(verts, cells)                         # [C]
+    h2c = _cellDiameter(verts, scells) if scells.shape[1] > 1 else \
+        np.full(S, hmin)                                      # [S]
     sval = max(smin, smax)
-    # boundary variant of the order model (target+1, logs clipped at 0)
-    logdh1 = np.maximum(np.log(d / h1), 0.0)
-    logdh2 = np.maximum(np.log(d / h2), 0.0)
-    lognH = np.log(num_dofs * H0)
-    c0 = (target_order + 1.0) * lognH
-    o1 = np.ceil((c0 + (2 * sval - 1) * np.abs(np.log(h2 / H0)) -
-                  2 * sval * np.log(d / h2)) / (logdh1 + 0.8))
-    o2 = np.ceil((c0 + (2 * sval - 1) * np.abs(np.log(h1 / H0)) -
-                  2 * sval * np.log(d / h1)) / (logdh2 + 0.8))
-    orders = np.maximum(np.maximum(o1, o2), 2)
-    if kernel.finiteHorizon:
-        h = 0.5 * np.maximum(h1, h2)
-        cut = (d - h < kernel.horizonValue) & (kernel.horizonValue < d + h)
-        orders = np.where(cut, orders * 3, orders)
-    orders = ((orders.astype(np.int64) + 1) // 2) * 2
+    c0 = (target_order + 1.0) * np.log(num_dofs * H0)
+    horizon = kernel.horizonValue if kernel.finiteHorizon else np.inf
+
+    # squared center distances, per-dim accumulation (no [C,S,dim] temp)
+    d2 = np.zeros((C, S))
+    for dd in range(centers1.shape[1]):
+        diff = centers1[:, dd][:, None] - centers2[:, dd][None, :]
+        d2 += diff * diff
+
+    def exactOrders(di, dj):
+        d = np.sqrt(d2[di, dj])
+        h1, h2 = h1c[di], h2c[dj]
+        hcut = 0.5 * np.maximum(h1, h2) if kernel.finiteHorizon else None
+        return _boundaryOrderModel(d, h1, h2, sval, c0, H0, horizon, hcut)
+
+    if correctionsOnly:
+        # conservative screen: bisect the largest d at which the order model
+        # can still exceed 4, over the (h1, h2) corner extremes (the model
+        # is piecewise-monotone in log h1/log h2, so corners bound it)
+        corners = [(a, b) for a in (h1c.min(), h1c.max())
+                   for b in (h2c.min(), h2c.max())]
+        dgrid = np.geomspace(max(hmin * 1e-3, 1e-12), 8.0 * mesh.diam, 4096)
+        worst = np.zeros(len(dgrid), dtype=np.int64)
+        for a, b in corners:
+            worst = np.maximum(worst, _boundaryOrderModel(
+                dgrid, a, b, sval, c0, H0, np.inf))
+        ok = worst <= 4
+        dthr = dgrid[np.argmax(ok)] if ok.any() else np.inf
+        screen = d2 < min(1.05 * dthr, 8.0 * mesh.diam) ** 2
+        if kernel.finiteHorizon and np.isfinite(horizon):
+            hmax = 0.5 * max(h1c.max(), h2c.max())
+            dmat = np.sqrt(d2)
+            screen |= (dmat - hmax < horizon) & (horizon < dmat + hmax)
+        if len(ti):
+            screen[ti, tj] = False
+        di, dj = np.nonzero(screen)
+        orders = exactOrders(di, dj)
+        sel = orders > 4
+        di, dj, orders = di[sel], dj[sel], orders[sel]
+    else:
+        mask = np.zeros((C, S), dtype=bool)
+        if len(ti):
+            mask[ti, tj] = True
+        di, dj = np.nonzero(~mask)
+        orders = exactOrders(di, dj)
 
     return {
         'touching': (np.array(touching, dtype=np.int64).reshape(-1, 2), perms),
