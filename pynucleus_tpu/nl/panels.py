@@ -330,7 +330,8 @@ def _d2f32(centers32, ii, jj):
     return acc
 
 
-def classifyPairsDenseGrid(dm, kernel, target_order=None, gridOrders=(2, 4)):
+def classifyPairsDenseGrid(dm, kernel, target_order=None,
+                           gridOrders=(2, 4)):
     """Sparse classification for the grid-based dense assembly: O(C log C +
     near pairs) instead of materializing all O(C^2) pairs.
 
@@ -407,10 +408,30 @@ def classifyPairsDenseGrid(dm, kernel, target_order=None, gridOrders=(2, 4)):
         c = formulaCut(o)
         if c is not None:
             fCuts[o] = c
-    if not fCuts:
-        # degenerate (tiny/coarse mesh): no grid; classify everything below
-        # 2*diam as corrections via the radius search at full diameter
-        fCuts = {}
+
+    # adaptive extension: the host bucket path pays O(1) per correction
+    # pair, so when the innermost cut still contains too many pairs
+    # (estimated from the mean cell density -- pairs(r) ~ C^2 ball_d(r) /
+    # 2 vol), add higher-order grid passes until the correction set is
+    # bucket-sized.  The cut radius shrinks ~exp(-c/o(o+2)) per step while
+    # a pass costs the device O(C^2 Q(o)^2), so a handful of passes always
+    # suffices (order 8 cap: the compact orbit tables end there; Duffy
+    # fallback rules would make a full-grid pass Q^2-prohibitive).
+    def pairEstimate(r):
+        md = mesh.manifold_dim
+        bv = 2.0 * r if md == 1 else \
+            (np.pi * r * r if md == 2 else 4.0 / 3.0 * np.pi * r ** 3)
+        return 0.5 * C * C * min(bv / max(meshVol, 1e-300), 1.0)
+
+    meshVol = float(mesh.simplexVolumes().sum())
+    CORRECTION_BUDGET = 6.0e6
+    while fCuts and pairEstimate(fCuts[max(fCuts)]) > CORRECTION_BUDGET \
+            and max(fCuts) < 8:
+        oNext = max(fCuts) + 2
+        c = formulaCut(oNext)
+        if c is None or c >= fCuts[max(fCuts)]:
+            break
+        fCuts[oNext] = c
     oMaxGrid = max(fCuts) if fCuts else min(gridOrders)
     rSearch = (fCuts[oMaxGrid] * 1.02) if fCuts else 2.0 * diam
     rSearch = max(rSearch, 2.5 * hmax)
