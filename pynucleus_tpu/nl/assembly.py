@@ -531,33 +531,48 @@ def _farFieldBlocks(gi, gj, kernel=None):
     return kernel.jaxEval(gi[:, :, None, :], gj[:, None, :, :])
 
 
-class _MaskTable:
-    """Deduplicated per-cell-pair entry masks keyed by lo * C + hi
-    (replaces the ref tupleDictMASK machinery); supports dict-style single
-    lookup and vectorized batch lookup."""
+class _PatternMaskLookup:
+    """Entry masks for near-field cell pairs, derived ON THE FLY from the
+    cluster structure (replaces the ref tupleDictMASK machinery and the
+    former stored per-pair mask table, whose [pairs, 2dpe, 2dpe] build was
+    the host bottleneck of the H2 near field).
 
-    def __init__(self, keys, masks, C):
-        self.keys = keys          # sorted [K]
-        self.masks = masks        # [K, 2dpe, 2dpe] bool
+    Entry (a, b) of cell pair (c1, c2) is admitted iff the owning leaf pair
+    (node(a), node(b)) ENUMERATES the cell pair, i.e. c1 and c2 are incident
+    to the two nodes in either order.  The Pnear-membership half of the old
+    mask is enforced downstream by CSR-pattern membership: the pattern is
+    exactly the union of near dof blocks, and both CSR accumulators drop
+    out-of-pattern entries at scatter time.
+
+    Masks are returned in the canonical (lo, hi) = (min, max) cell order --
+    the convention the stored table used; callers that process swapped
+    orderings roll the dpe-blocks themselves."""
+
+    def __init__(self, keys, C, dofs, dofNode, cellNodes):
+        self.keys = keys          # sorted unique lo * C + hi [K]
         self.C = C
+        self._dofs = dofs
+        self._dofNode = dofNode
+        self._cellNodes = cellNodes
 
     def pairs(self):
         return self.keys // self.C, self.keys % self.C
 
     def lookup(self, ii, jj):
-        """Vectorized mask fetch for (unordered) cell pairs known to be in
-        the table."""
+        """Vectorized mask computation for (unordered) cell pairs."""
         ii = np.asarray(ii)
         jj = np.asarray(jj)
-        k = np.minimum(ii, jj) * self.C + np.maximum(ii, jj)
-        pos = np.searchsorted(self.keys, k)
-        return self.masks[pos]
-
-    def __getitem__(self, key):
-        i, j = key
-        k = min(i, j) * self.C + max(i, j)
-        pos = int(np.searchsorted(self.keys, k))
-        return self.masks[pos]
+        lo = np.minimum(ii, jj)
+        hi = np.maximum(ii, jj)
+        dr = np.concatenate([self._dofs[lo], self._dofs[hi]], axis=1)
+        valid = dr >= 0
+        nr = np.where(valid, self._dofNode[np.where(valid, dr, 0)], -1)
+        inc1 = (nr[:, :, None] ==
+                self._cellNodes[lo][:, None, :]).any(axis=2) & valid
+        inc2 = (nr[:, :, None] ==
+                self._cellNodes[hi][:, None, :]).any(axis=2) & valid
+        return (inc1[:, :, None] & inc2[:, None, :]) \
+            | (inc2[:, :, None] & inc1[:, None, :])
 
 
 class _DiagAccumulator:
@@ -731,8 +746,7 @@ class DeviceCSRAccumulator:
         self.data = jnp.zeros(nnz + 1, dtype=self.dtype)
         self.hostData = np.zeros(nnz + 1, dtype=REAL)
         self.C = C
-        self.maskKeys_host = maskTable.keys
-        self.maskVals_host = maskTable.masks
+        self.maskTable = maskTable
 
     # --- host path (same slot logic as CSRAccumulator)
     def _slots(self, rows, cols):
@@ -762,9 +776,7 @@ class DeviceCSRAccumulator:
     def maskedSlots(self, ii, jj, nPSI, dpe, dofs):
         """Host-precomputed scatter slots [P, nPSI, nPSI] for natural-order
         masked pairs; masked/out-of-pattern entries map to the dump slot."""
-        em = self.maskVals_host[np.searchsorted(
-            self.maskKeys_host,
-            np.minimum(ii, jj) * self.C + np.maximum(ii, jj))]
+        em = self.maskTable.lookup(ii, jj)
         if nPSI == dpe:
             dr = dofs[ii]
             em = em[:, :dpe, :dpe]
@@ -1898,8 +1910,6 @@ class nonlocalBuilder:
         # former O(N)-reset boolean arrays (quadratic at 100k+ dofs)
         # surface items as array chunks (cell, facetVerts, normal, mask, sgn)
         sp_cell, sp_fac, sp_nrm, sp_msk, sp_sgn = [], [], [], [], []
-        allKeys = []         # candidate cell pairs: lo * C + hi
-        allMasks = []        # [K, 2dpe, 2dpe] uint8
 
         # jump interfaces of spatially-varying kernels (ref
         # getKernelBlocksAndJumps pxi:2352-2384): the Gauss-theorem surface
@@ -1911,36 +1921,68 @@ class nonlocalBuilder:
             jN = np.stack([np.asarray(j[1]) for j in jumps])
             jC = np.array([[j[2], j[3]] for j in jumps], dtype=np.int64)
 
-        for (I, J) in Pnear:
-            # the dual traversal yields both orderings; masks are symmetric,
-            # so process each unordered pair once
-            if I > J:
-                continue
+        # --- interaction cell pairs: fully vectorized expansion of
+        # cells(I) x cells(J) over all unordered near pairs, deduplicated by
+        # canonical key.  Per-pair masks are NOT built here -- they derive
+        # on the fly from (dofNode, cell-node incidence) in
+        # _PatternMaskLookup, which is what makes this O(sum |cI||cJ|)
+        # instead of O(sum |cI||cJ| (2dpe)^2) host work + memory.
+        IJ = np.array([(i, j) for (i, j) in Pnear if i <= j],
+                      dtype=np.int64).reshape(-1, 2)
+        rIp = nodeRow[IJ[:, 0]]
+        rJp = nodeRow[IJ[:, 1]]
+        n1 = ncOff[rIp + 1] - ncOff[rIp]
+        n2 = ncOff[rJp + 1] - ncOff[rJp]
+        tot = n1 * n2
+        cum = np.cumsum(tot)
+        keyChunks = []
+        CHUNK = 1 << 25
+        p0 = 0
+        while p0 < len(IJ):
+            p1 = min(int(np.searchsorted(cum, (cum[p0 - 1] if p0 else 0)
+                                         + CHUNK)) + 1, len(IJ))
+            p1 = max(p1, p0 + 1)
+            sl = slice(p0, p1)
+            totc = tot[sl]
+            T = int(totc.sum())
+            if T:
+                pe = np.repeat(np.arange(p0, p1), totc)
+                off = np.repeat(np.cumsum(totc) - totc, totc)
+                loc = np.arange(T) - off
+                aa = ncArr[ncOff[rIp[pe]] + loc // n2[pe]]
+                bb = ncArr[ncOff[rJp[pe]] + loc % n2[pe]]
+                keyChunks.append(np.unique(
+                    np.minimum(aa, bb) * C + np.maximum(aa, bb)))
+            p0 = p1
+        allKeys = np.unique(np.concatenate(keyChunks)) if keyChunks \
+            else np.zeros(0, dtype=np.int64)
+
+        # cell -> leaf-node incidence (nodes of the cell's dofs)
+        cellNodes = np.where(dofs >= 0,
+                             dofNode[np.where(dofs >= 0, dofs, 0)], -1)
+
+        # --- surface loop (diagonal mass from outside each pair's cell
+        # union): only pairs sharing at least one cell contribute; the
+        # shared-cell prefilter via per-cell node-pair keys skips the
+        # disjoint majority without per-pair set intersections
+        nL = len(nodes)
+        cn = np.sort(cellNodes, axis=1)
+        adjKeys = set()
+        for a in range(cn.shape[1]):
+            for b_ in range(a, cn.shape[1]):
+                P_, Q_ = cn[:, a], cn[:, b_]
+                okc = P_ >= 0
+                adjKeys.update((np.minimum(P_[okc], Q_[okc]) * nL
+                                + np.maximum(P_[okc], Q_[okc])).tolist())
+        ijKey = IJ[:, 0] * nL + IJ[:, 1]
+        touchPair = np.fromiter((int(k) in adjKeys for k in ijKey),
+                                dtype=bool, count=len(ijKey))
+
+        for (I, J) in IJ[touchPair]:
             cells1 = nodeCells(I)
             cells2 = nodeCells(J)
             U = np.union1d(cells1, cells2)
             inter = np.intersect1d(cells1, cells2, assume_unique=True)
-
-            # --- interaction cell pairs (vectorized over the pair's cells)
-            aa = np.repeat(cells1, len(cells2))
-            bb = np.tile(cells2, len(cells1))
-            if len(inter):
-                aa = np.concatenate([aa, np.repeat(inter, len(U))])
-                bb = np.concatenate([bb, np.tile(U, len(inter))])
-            key = np.minimum(aa, bb) * C + np.maximum(aa, bb)
-            key = np.unique(key)
-            lo = key // C
-            hi = key % C
-            gd = np.concatenate([dofs[lo], dofs[hi]], axis=1)  # [K, 2dpe]
-            valid = gd >= 0
-            gval = np.where(valid, gd, 0)
-            rI = (dofNode[gval] == I) & valid
-            rJ = (dofNode[gval] == J) & valid
-            m2 = (rI[:, :, None] & rJ[:, None, :]) \
-                | (rJ[:, :, None] & rI[:, None, :])
-            keep = m2.any(axis=(1, 2))
-            allKeys.append(key[keep])
-            allMasks.append(m2[keep].astype(np.uint8))
 
             # --- surface of the union (diagonal mass from outside U)
             if len(inter):
@@ -1979,23 +2021,7 @@ class nonlocalBuilder:
                                 sp_msk.append(np.repeat(mK, nJ, axis=0))
                                 sp_sgn.append(np.full(nK * nJ, sgn))
 
-        # --- global dedup of candidate pairs with OR-merged masks
-        if allKeys:
-            keys = np.concatenate(allKeys)
-            masks = np.concatenate(allMasks)
-            order = np.argsort(keys, kind='stable')
-            keys = keys[order]
-            masks = masks[order]
-            newGrp = np.empty(len(keys), dtype=bool)
-            newGrp[:1] = True
-            np.not_equal(keys[1:], keys[:-1], out=newGrp[1:])
-            starts = np.flatnonzero(newGrp)
-            merged = np.maximum.reduceat(masks, starts, axis=0) > 0
-            pairMasks = _MaskTable(keys[starts], merged, C)
-        else:
-            pairMasks = _MaskTable(np.zeros(0, dtype=np.int64),
-                                   np.zeros((0, 2 * dpe, 2 * dpe),
-                                            dtype=bool), C)
+        pairMasks = _PatternMaskLookup(allKeys, C, dofs, dofNode, cellNodes)
 
         # accumulator: device CSR (masked scan fast path) on accelerators,
         # host CSR on cpu
