@@ -174,25 +174,25 @@ def _grid_distant_pass(A, X, Y, ccf, vols, rowDofPad, colDof,
     return A
 
 
-@partial(jax.jit, donate_argnums=(0,),
-         static_argnames=('kernel', 'nTiles', 'Ct', 'useNormals',
-                          'maskIn'))
-def _grid_boundary_pass(A, X, Ysurf, svolw2, vols, rowDofPad, normals,
-                        PhiXw, PhiX, w1, maskRow, maskCol,
-                        kernel=None, nTiles=None, Ct=None, useNormals=False,
-                        maskIn=False):
+@partial(jax.jit, static_argnames=('kernel', 'nTiles', 'Ct', 'useNormals',
+                                   'maskIn', 'dtype'))
+def _grid_boundary_blocks(X, Ysurf, svolw2, vols, normals,
+                          PhiXw, PhiX, w1, maskRow, maskCol,
+                          kernel=None, nTiles=None, Ct=None,
+                          useNormals=False, maskIn=False, dtype=None):
     """Scatter-free zeroExterior (Gauss-theorem surface) assembly: the
     boundary term only contributes (dof_i x dof_i) diagonal blocks, so on
     the (cell x surface-cell) grid the surface axis is a pure reduction —
     contributions never scatter (cf. the per-pair loop it replaces,
-    ref nonlocalAssembly pxi:1430-1448 zeroExterior).
+    ref nonlocalAssembly pxi:1430-1448 zeroExterior).  Returns the per-cell
+    blocks [C, dpe, dpe]; the caller scatters them into its accumulator
+    (dense device scatter, or C*dpe^2 CSR slot adds for the H2 near field).
 
     X [C, Q1, dim] cell quadrature points; Ysurf [S, Q2, dim] surface
     points; svolw2 [S, Q2] = surfaceVol * w2; normals [S, dim];
     maskRow/maskCol [nTiles, maxM]: per-tile pair lists (local row, surface
     col; pad -1) EXCLUDED from the grid (maskIn=False) or the only ones
     INCLUDED (maskIn=True)."""
-    N = A.shape[0] - 1
     C, Q1, dim = X.shape
     S, Q2, _ = Ysurf.shape
     dpe = PhiX.shape[0]
@@ -226,9 +226,17 @@ def _grid_boundary_pass(A, X, Ysurf, svolw2, vols, rowDofPad, normals,
                              * valid[:, None, None])
         return (Bxx,), None
 
-    Bxx = jnp.zeros((C, dpe, dpe), dtype=A.dtype)
+    Bxx = jnp.zeros((C, dpe, dpe), dtype=dtype)
     (Bxx,), _ = jax.lax.scan(body, (Bxx,),
                              (jnp.arange(nTiles), maskRow, maskCol))
+    return Bxx
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_cell_blocks(A, rowDofPad, Bxx):
+    """Dense scatter of per-cell diagonal blocks [C, dpe, dpe]."""
+    N = A.shape[0] - 1
+    C, dpe, _ = Bxx.shape
     rAll = jnp.where(rowDofPad >= 0, rowDofPad, N)
     rb = jnp.broadcast_to(rAll[:, :, None], (C, dpe, dpe)).reshape(-1)
     cb = jnp.broadcast_to(rAll[:, None, :], (C, dpe, dpe)).reshape(-1)
@@ -661,21 +669,29 @@ class BCAccumulator:
 
 class CSRAccumulator:
     """Accumulate into a fixed CSR pattern; entries outside the pattern are
-    dropped (replaces ref IndexManager + tupleDict masks)."""
+    dropped (replaces ref IndexManager + tupleDict masks).
 
-    def __init__(self, pattern):
+    treePos: optional global-dof -> pattern-row translation (the H2 near
+    field keeps its pattern in cluster-tree ordering so scatter slots are
+    arithmetic; host contributions arrive in global dof ids)."""
+
+    def __init__(self, pattern, treePos=None):
         # pattern: scipy CSR with sorted indices
         self.pattern = pattern
         self.indptr = pattern.indptr
         self.indices = pattern.indices
         self.data = np.zeros(pattern.nnz + 1, dtype=REAL)
         self.N = pattern.shape[0]
+        self.treePos = treePos
 
     def _slots(self, rows, cols):
         # one global C-level binary search over row-major CSR keys (see
         # DeviceCSRAccumulator._slots)
         rows = np.asarray(rows)
         cols = np.asarray(cols)
+        if self.treePos is not None:
+            rows = np.where(rows >= 0, self.treePos[np.maximum(rows, 0)], -1)
+            cols = np.where(cols >= 0, self.treePos[np.maximum(cols, 0)], -1)
         if not hasattr(self, '_sortedKeys'):
             rowIdx = np.repeat(np.arange(self.N, dtype=np.int64),
                                np.diff(self.indptr))
@@ -731,12 +747,66 @@ def _bucket_masked_csr_scan(data, vertices, cellsArr, volsArr,
     return data
 
 
+@partial(jax.jit, static_argnames=('kernel',), donate_argnums=(0,))
+def _bucket_tree_csr_scan(data, vertices, cellsArr, volsArr, dofsArr,
+                          treePosArr, dofNodeArr, indptrT, tStartArr,
+                          c1A, c2A, IA, JA, offFA, offBA, sfA,
+                          bary_x, bary_y, w, PSIP, kernel=None):
+    """Near-field distant bucket with ARITHMETIC scatter slots, fully on
+    device (the scalable replacement for host maskedSlots + slot shipping;
+    ref assembleClusters cluster-pair loops, nonlocalAssembly pxi:1663).
+
+    Each scanned element is one (cell pair, processing cluster pair): the
+    per-cluster-pair EXACT mask (rows in I x cols in J and the transpose)
+    makes repeated processing of a cell pair under different cluster pairs
+    additive without dedup -- every pattern entry belongs to exactly one
+    leaf pair.  The pattern lives in cluster-tree dof ordering, so the slot
+    of entry (a, b) with a in I, b in J is
+        indptrT[tree(a)] + blockOff[I, J] + (tree(b) - treeStart[J])
+    -- gathers and adds only, no binary search on device.  Only
+    (c1, c2, I, J, offF, offB, symfac) cross the link: 28 bytes/pair."""
+    nnz = data.shape[0] - 1
+
+    def body(Acc, ch):
+        c1, c2, I, J, offF, offB, sf = ch
+        v1 = vertices[cellsArr[c1]]
+        v2 = vertices[cellsArr[c2]]
+        x = jnp.einsum('pvd,vq->pqd', v1, bary_x)
+        y = jnp.einsum('pvd,vq->pqd', v2, bary_y)
+        r2 = jnp.sum((x - y) ** 2, axis=-1)
+        g = _radial_eval(kernel, r2, x, y)
+        vols = volsArr[c1] * volsArr[c2] * sf
+        t = (g * w[None, :]) * vols[:, None]
+        M = t @ PSIP                                    # [P, (2dpe)^2]
+        dr = jnp.concatenate([dofsArr[c1], dofsArr[c2]], axis=1)
+        valid = dr >= 0
+        drs = jnp.where(valid, dr, 0)
+        nr = jnp.where(valid, dofNodeArr[drs], -1)
+        ta = treePosArr[drs]
+        inI = nr == I[:, None]
+        inJ = nr == J[:, None]
+        mF = inI[:, :, None] & inJ[:, None, :]
+        mB = inJ[:, :, None] & inI[:, None, :]
+        rowStart = indptrT[ta]
+        colF = ta[:, None, :] - tStartArr[J][:, None, None]
+        colB = ta[:, None, :] - tStartArr[I][:, None, None]
+        slot = jnp.where(
+            mF, rowStart[:, :, None] + offF[:, None, None] + colF,
+            jnp.where(mB, rowStart[:, :, None] + offB[:, None, None] + colB,
+                      nnz))
+        return Acc.at[slot.reshape(-1)].add(M.reshape(-1)), None
+
+    data, _ = jax.lax.scan(body, data,
+                           (c1A, c2A, IA, JA, offFA, offBA, sfA))
+    return data
+
+
 class DeviceCSRAccumulator:
     """CSR accumulator with device-resident data for the masked scan fast
     path; irregular host-side contributions (surfaces, permuted touching
     pairs) accumulate into a numpy shadow merged at result()."""
 
-    def __init__(self, pattern, C, maskTable, dtype=None):
+    def __init__(self, pattern, C, maskTable, dtype=None, treePos=None):
         self.pattern = pattern
         self.indptr = pattern.indptr
         self.indices = pattern.indices
@@ -747,6 +817,7 @@ class DeviceCSRAccumulator:
         self.hostData = np.zeros(nnz + 1, dtype=REAL)
         self.C = C
         self.maskTable = maskTable
+        self.treePos = treePos
 
     # --- host path (same slot logic as CSRAccumulator)
     def _slots(self, rows, cols):
@@ -756,6 +827,9 @@ class DeviceCSRAccumulator:
         multi-million-entry masked near-field queries)."""
         rows = np.asarray(rows)
         cols = np.asarray(cols)
+        if self.treePos is not None:
+            rows = np.where(rows >= 0, self.treePos[np.maximum(rows, 0)], -1)
+            cols = np.where(cols >= 0, self.treePos[np.maximum(cols, 0)], -1)
         if not hasattr(self, '_sortedKeys'):
             rowIdx = np.repeat(np.arange(self.N, dtype=np.int64),
                                np.diff(self.indptr))
@@ -799,6 +873,41 @@ class DeviceCSRAccumulator:
             + self.data[:-1].astype(REAL)
         return CSR_LinearOperator(self.indices, self.indptr, data,
                                   num_columns=self.pattern.shape[1])
+
+
+def _treeCSRToGlobal(At, perm, tLen, rowLen, tStartRow, tmplAll, tmplStart,
+                     indptrT, N):
+    """Convert the tree-ordered near-field CSR to global dof ordering.
+
+    Rows within a tree node share one column template, so one small
+    argsort per NODE (not per row, not per nnz) re-sorts columns, and data
+    moves with vectorized per-node gathers -- O(nnz) total, no global
+    sort."""
+    dataT = np.asarray(At.data)
+    nnz = dataT.shape[0]
+    nNear = len(tLen)
+    lenPerG = np.empty(N, dtype=np.int64)
+    lenPerG[perm] = np.repeat(rowLen, tLen)
+    indptrG = np.zeros(N + 1, dtype=np.int64)
+    indptrG[1:] = np.cumsum(lenPerG)
+    indicesG = np.empty(nnz, dtype=np.int32)
+    dataG = np.empty(nnz, dtype=dataT.dtype)
+    for r in range(nNear):
+        L = int(rowLen[r])
+        n = int(tLen[r])
+        if L == 0 or n == 0:
+            continue
+        tmpl = tmplAll[tmplStart[r]:tmplStart[r] + L]
+        gcols = perm[tmpl]
+        ordC = np.argsort(gcols)
+        rows_t0 = int(tStartRow[r])
+        D = dataT[indptrT[rows_t0]:indptrT[rows_t0 + n]].reshape(n, L)
+        g = perm[rows_t0:rows_t0 + n]
+        pos = (indptrG[g][:, None] + np.arange(L)[None, :]).reshape(-1)
+        dataG[pos] = D[:, ordC].reshape(-1)
+        indicesG[pos] = np.tile(gcols[ordC].astype(np.int32), n)
+    return CSR_LinearOperator(indicesG, indptrG, jnp.asarray(dataG),
+                              num_columns=N)
 
 
 class _BucketRunner:
@@ -1893,18 +2002,65 @@ class nonlocalBuilder:
             r = nodeRow[nid]
             return ncArr[ncOff[r]:ncOff[r + 1]]
 
-        # pattern
-        rows, cols = [], []
-        for (i, j) in Pnear:
-            di_, dj_ = nodes[i].dofs, nodes[j].dofs
-            rows.append(np.repeat(di_, len(dj_)))
-            cols.append(np.tile(dj_, len(di_)))
-        rows = np.concatenate(rows) if rows else np.zeros(0, dtype=np.int64)
-        cols = np.concatenate(cols) if cols else np.zeros(0, dtype=np.int64)
-        S = sp.coo_matrix((np.ones(len(rows)), (rows, cols)),
-                          shape=(N, N)).tocsr()
-        S.sum_duplicates()
-        S.sort_indices()
+        # ---- cluster-tree dof ordering: every near node owns a contiguous
+        # tree range, so near-field scatter slots become ARITHMETIC
+        # (indptr[row] + blockOffset[I, J] + local column) instead of binary
+        # searches -- the key to device-resident near-field assembly
+        nNear = len(nearIds)
+        tLen = np.fromiter((len(nodes[nid].dofs) for nid in nearIds),
+                           dtype=np.int64, count=nNear)
+        tStartRow = np.zeros(nNear + 1, dtype=np.int64)
+        tStartRow[1:] = np.cumsum(tLen)
+        perm = np.concatenate([nodes[nid].dofs for nid in nearIds])
+        assert len(perm) == N, (len(perm), N)
+        treePos = np.empty(N, dtype=np.int64)
+        treePos[perm] = np.arange(N)
+        tStartOfNode = np.full(len(nodes), -1, dtype=np.int64)
+        tStartOfNode[nearIds] = tStartRow[:-1]
+
+        def _aranges(reps):
+            total = int(reps.sum())
+            starts = np.repeat(np.cumsum(reps) - reps, reps)
+            return np.arange(total) - starts
+
+        # ordered near pairs -> per-row-node partner lists sorted by tree
+        # start; block offsets = exclusive prefix of partner lengths
+        POrd = np.fromiter((x for pair in Pnear for x in pair),
+                           dtype=np.int64).reshape(-1, 2)
+        ri = nodeRow[POrd[:, 0]]
+        rj = nodeRow[POrd[:, 1]]
+        order = np.lexsort((tStartRow[:-1][rj], ri))
+        riS, rjS = ri[order], rj[order]
+        lens = tLen[rjS]
+        grpStart = np.searchsorted(riS, np.arange(nNear + 1))
+        total = np.zeros(len(lens) + 1, dtype=np.int64)
+        total[1:] = np.cumsum(lens)
+        offS = total[:-1] - np.repeat(total[grpStart[:-1]],
+                                      np.diff(grpStart))
+        blockOff = np.empty(len(POrd), dtype=np.int64)
+        blockOff[order] = offS
+        rowLen = total[grpStart[1:]] - total[grpStart[:-1]]   # [nNear]
+        # (I, J) -> blockOff lookup (sorted ordered-pair keys)
+        ordKeys = ri * nNear + rj
+        ordSort = np.argsort(ordKeys)
+        ordKeysS = ordKeys[ordSort]
+        blockOffS = blockOff[ordSort]
+
+        # tree-order CSR pattern: every row of node r has the same column
+        # template (the concatenation of its partners' tree ranges)
+        tmplAll = np.repeat(tStartRow[:-1][rjS], lens) + _aranges(lens)
+        tmplStart = total[grpStart[:-1]]                       # [nNear]
+        rowNode = np.repeat(np.arange(nNear), tLen)            # [N]
+        rowlens = rowLen[rowNode]
+        indptrT = np.zeros(N + 1, dtype=np.int64)
+        indptrT[1:] = np.cumsum(rowlens)
+        nnz = int(indptrT[-1])
+        assert nnz < (1 << 31), nnz
+        colIdx = np.repeat(tmplStart[rowNode], rowlens) + _aranges(rowlens)
+        indicesT = tmplAll[colIdx].astype(np.int32)
+        del colIdx
+        S = sp.csr_matrix((np.zeros(nnz, dtype=np.float32), indicesT,
+                           indptrT), shape=(N, N))
 
         # dofNode (built above): membership tests dofNode[d] == I replace the
         # former O(N)-reset boolean arrays (quadratic at 100k+ dofs)
@@ -1921,41 +2077,8 @@ class nonlocalBuilder:
             jN = np.stack([np.asarray(j[1]) for j in jumps])
             jC = np.array([[j[2], j[3]] for j in jumps], dtype=np.int64)
 
-        # --- interaction cell pairs: fully vectorized expansion of
-        # cells(I) x cells(J) over all unordered near pairs, deduplicated by
-        # canonical key.  Per-pair masks are NOT built here -- they derive
-        # on the fly from (dofNode, cell-node incidence) in
-        # _PatternMaskLookup, which is what makes this O(sum |cI||cJ|)
-        # instead of O(sum |cI||cJ| (2dpe)^2) host work + memory.
-        IJ = np.array([(i, j) for (i, j) in Pnear if i <= j],
-                      dtype=np.int64).reshape(-1, 2)
-        rIp = nodeRow[IJ[:, 0]]
-        rJp = nodeRow[IJ[:, 1]]
-        n1 = ncOff[rIp + 1] - ncOff[rIp]
-        n2 = ncOff[rJp + 1] - ncOff[rJp]
-        tot = n1 * n2
-        cum = np.cumsum(tot)
-        keyChunks = []
-        CHUNK = 1 << 25
-        p0 = 0
-        while p0 < len(IJ):
-            p1 = min(int(np.searchsorted(cum, (cum[p0 - 1] if p0 else 0)
-                                         + CHUNK)) + 1, len(IJ))
-            p1 = max(p1, p0 + 1)
-            sl = slice(p0, p1)
-            totc = tot[sl]
-            T = int(totc.sum())
-            if T:
-                pe = np.repeat(np.arange(p0, p1), totc)
-                off = np.repeat(np.cumsum(totc) - totc, totc)
-                loc = np.arange(T) - off
-                aa = ncArr[ncOff[rIp[pe]] + loc // n2[pe]]
-                bb = ncArr[ncOff[rJp[pe]] + loc % n2[pe]]
-                keyChunks.append(np.unique(
-                    np.minimum(aa, bb) * C + np.maximum(aa, bb)))
-            p0 = p1
-        allKeys = np.unique(np.concatenate(keyChunks)) if keyChunks \
-            else np.zeros(0, dtype=np.int64)
+        # unordered near pairs (the dual traversal yields both orderings)
+        IJ = POrd[POrd[:, 0] <= POrd[:, 1]]
 
         # cell -> leaf-node incidence (nodes of the cell's dofs)
         cellNodes = np.where(dofs >= 0,
@@ -2021,23 +2144,37 @@ class nonlocalBuilder:
                                 sp_msk.append(np.repeat(mK, nJ, axis=0))
                                 sp_sgn.append(np.full(nK * nJ, sgn))
 
-        pairMasks = _PatternMaskLookup(allKeys, C, dofs, dofNode, cellNodes)
+        pairMasks = _PatternMaskLookup(np.zeros(0, dtype=np.int64), C,
+                                       dofs, dofNode, cellNodes)
 
-        # accumulator: device CSR (masked scan fast path) on accelerators,
-        # host CSR on cpu
+        # accumulator over the TREE-ordered pattern; global-dof host
+        # contributions translate through treePos
         if jax.devices()[0].platform != 'cpu' \
                 or self.params.get('forceDeviceCSR'):
             acc = DeviceCSRAccumulator(S, C, pairMasks,
-                                       dtype=self.params.get('dtype'))
+                                       dtype=self.params.get('dtype'),
+                                       treePos=treePos)
         else:
-            acc = CSRAccumulator(S)
+            acc = CSRAccumulator(S, treePos=treePos)
 
-        # ---- run the interaction pairs (masked)
-        plo, phi_ = pairMasks.pairs()
+        # ---- singular (id + vertex/edge-touching) pairs, processed once
+        # globally with incidence masks (the union of the per-cluster-pair
+        # exact masks; entries are disjoint across cluster pairs)
+        from .panels import _cellAdjacency
+        adj = _cellAdjacency(mesh.cells, mesh.num_vertices)
+        pi = np.concatenate([np.arange(C, dtype=np.int64), adj[:, 0]])
+        pj = np.concatenate([np.arange(C, dtype=np.int64), adj[:, 1]])
         info = self._makeRules(classifyPairList(
-            dm, kernel, plo, phi_,
+            dm, kernel, pi, pj,
             target_order=self.params.get('target_order')))
         self._runPairBuckets(acc, info, maskLookup=pairMasks)
+
+        # ---- distant near pairs: per-cluster-pair processing with exact
+        # (I x J) masks -- no global dedup needed (pattern entries belong to
+        # exactly one leaf pair), arithmetic device slots
+        self._runNearDistantTree(
+            acc, IJ, nodeRow, nNear, ncArr, ncOff, ordKeysS, blockOffS,
+            treePos, dofNode, tStartOfNode, indptrT, info, pairMasks)
 
         # ---- run the surface pairs
         if sp_cell:
@@ -2052,7 +2189,229 @@ class nonlocalBuilder:
         if not self.zeroExterior and not kernel.finiteHorizon:
             self._addZeroExterior(acc, sign=-1.0)
 
-        return acc.result()
+        At = acc.result()
+        return _treeCSRToGlobal(At, perm, tLen, rowLen, tStartRow,
+                                tmplAll, tmplStart, indptrT, N)
+
+    def _runNearDistantTree(self, acc, IJ, nodeRow, nNear, ncArr, ncOff,
+                            ordKeysS, blockOffS, treePos, dofNode,
+                            tStartOfNode, indptrT, info, pairMasks):
+        """Distant bulk of the H2 near field (see _bucket_tree_csr_scan).
+
+        Chunked over cluster pairs: enumerate cells(I) x cells(J), drop
+        id/touching pairs (handled by the singular path), dedup WITHIN each
+        cluster pair only, bucket by quadrature order, and launch the
+        device scan with per-pair (I, J, blockOffsets).  Host cost is
+        O(pairs) enumeration + order model; nothing per-entry."""
+        from .panels import distantOrders, _cellDiameter, classifyPairList
+        dm, mesh = self.dm, self.mesh
+        kernel = self.kernel
+        C = mesh.num_cells
+        cells = mesh.cells
+        mp = {k: info[k] for k in ('target_order', 'H0', 'hmin', 'num_dofs',
+                                   'smin', 'smax')}
+        centers = mesh.vertices[cells].mean(axis=1)
+        hs = _cellDiameter(mesh.vertices, cells)
+        dtype = self.params.get('dtype') or REAL
+
+        deviceAcc = isinstance(acc, DeviceCSRAccumulator)
+        runner = _BucketRunner(mesh.vertices, kernel, dtype=dtype)
+        if not kernel.symmetric or getattr(kernel, 'phi', None) is not None:
+            # nonsym / phi-weighted kernels: globally-deduped pair list
+            # through the per-pair entry-mask path (incidence masks +
+            # pattern drop); correct for both orderings via _runPairBuckets
+            self._runNearDistantLegacy(acc, IJ, nodeRow, ncArr, ncOff,
+                                       pairMasks)
+            return
+
+        rIp = nodeRow[IJ[:, 0]]
+        rJp = nodeRow[IJ[:, 1]]
+        n1 = ncOff[rIp + 1] - ncOff[rIp]
+        n2 = ncOff[rJp + 1] - ncOff[rJp]
+        tot = n1 * n2
+        cum = np.cumsum(tot)
+        CHUNK = 1 << 25
+        p0 = 0
+        while p0 < len(IJ):
+            p1 = min(int(np.searchsorted(cum, (cum[p0 - 1] if p0 else 0)
+                                         + CHUNK)) + 1, len(IJ))
+            p1 = max(p1, p0 + 1)
+            totc = tot[p0:p1]
+            T = int(totc.sum())
+            if T == 0:
+                p0 = p1
+                continue
+            pe = np.repeat(np.arange(p0, p1), totc)
+            off = np.repeat(np.cumsum(totc) - totc, totc)
+            loc = np.arange(T) - off
+            aa = ncArr[ncOff[rIp[pe]] + loc // n2[pe]]
+            bb = ncArr[ncOff[rJp[pe]] + loc % n2[pe]]
+            lo = np.minimum(aa, bb)
+            hi = np.maximum(aa, bb)
+            keep = lo != hi
+            # within-cluster-pair dedup (cells incident to both I and J
+            # yield both orderings of the same unordered pair)
+            key = (pe - p0) * (C * C) + lo * C + hi
+            u = np.unique(key[keep])
+            pidx = u // (C * C) + p0
+            rem = u % (C * C)
+            lo = rem // C
+            hi = rem % C
+            # exclude touching pairs (singular path handles them)
+            sh = (cells[lo][:, :, None] ==
+                  cells[hi][:, None, :]).any(axis=(1, 2))
+            lo, hi, pidx = lo[~sh], hi[~sh], pidx[~sh]
+            if len(lo) == 0:
+                p0 = p1
+                continue
+            orders = distantOrders(dm, kernel, hs, centers, lo, hi, mp)
+            orders = ((orders + 1) // 2) * 2
+            omax = int(orders.max())
+            orders = np.where(orders > 16, omax, orders)
+            orders = np.where((orders > 8) & (orders <= 16),
+                              min(16, omax), orders)
+            Inid = IJ[pidx, 0]
+            Jnid = IJ[pidx, 1]
+            kf = np.searchsorted(ordKeysS, nodeRow[Inid] * nNear
+                                 + nodeRow[Jnid])
+            offF = blockOffS[kf]
+            kb = np.searchsorted(ordKeysS, nodeRow[Jnid] * nNear
+                                 + nodeRow[Inid])
+            offB = blockOffS[kb]
+            for o in np.unique(orders):
+                sel = orders == o
+                self._launchTreeBucket(
+                    acc, runner, int(o), lo[sel], hi[sel], Inid[sel],
+                    Jnid[sel], offF[sel], offB[sel], treePos, dofNode,
+                    tStartOfNode, indptrT, deviceAcc)
+            p0 = p1
+
+    def _runNearDistantLegacy(self, acc, IJ, nodeRow, ncArr, ncOff,
+                              pairMasks):
+        """Nonsym/phi fallback: globally-deduped distant pairs through the
+        per-pair entry-mask bucket path (id/touching already ran)."""
+        from .panels import classifyPairList
+        dm, mesh, kernel = self.dm, self.mesh, self.kernel
+        C = mesh.num_cells
+        rIp = nodeRow[IJ[:, 0]]
+        rJp = nodeRow[IJ[:, 1]]
+        n1 = ncOff[rIp + 1] - ncOff[rIp]
+        n2 = ncOff[rJp + 1] - ncOff[rJp]
+        tot = n1 * n2
+        cum = np.cumsum(tot)
+        keyChunks = []
+        CHUNK = 1 << 25
+        p0 = 0
+        while p0 < len(IJ):
+            p1 = min(int(np.searchsorted(cum, (cum[p0 - 1] if p0 else 0)
+                                         + CHUNK)) + 1, len(IJ))
+            p1 = max(p1, p0 + 1)
+            totc = tot[p0:p1]
+            T = int(totc.sum())
+            if T:
+                pe = np.repeat(np.arange(p0, p1), totc)
+                off = np.repeat(np.cumsum(totc) - totc, totc)
+                loc = np.arange(T) - off
+                aa = ncArr[ncOff[rIp[pe]] + loc // n2[pe]]
+                bb = ncArr[ncOff[rJp[pe]] + loc % n2[pe]]
+                keyChunks.append(np.unique(
+                    np.minimum(aa, bb) * C + np.maximum(aa, bb)))
+            p0 = p1
+        allKeys = np.unique(np.concatenate(keyChunks)) if keyChunks \
+            else np.zeros(0, dtype=np.int64)
+        info2 = classifyPairList(
+            dm, kernel, allKeys // C, allKeys % C,
+            target_order=self.params.get('target_order'))
+        info2['id'] = np.zeros(0, dtype=np.int64)
+        info2['touching'] = (np.zeros((0, 2), dtype=np.int64), [])
+        info2 = self._makeRules(info2)
+        self._runPairBuckets(acc, info2, maskLookup=pairMasks)
+
+    def _launchTreeBucket(self, acc, runner, order, lo, hi, Inid, Jnid,
+                          offF, offB, treePos, dofNode, tStartOfNode,
+                          indptrT, deviceAcc):
+        """One (chunk, order) bucket of the tree-slot near field."""
+        dm, mesh = self.dm, self.mesh
+        kernel = self.kernel
+        dofs = dm.dofs
+        mdim = mesh.manifold_dim
+        rule = distantRule(order, mdim)
+        PSI = rule.buildPSI(dm, nSharedVertices=0)
+        P = len(lo)
+        if P == 0:
+            return
+        if deviceAcc:
+            dtype = runner.dtype
+            PSIP = jnp.asarray(_psi_prod(PSI), dtype=dtype)
+            bary_x = jnp.asarray(rule.bary_x, dtype=dtype)
+            bary_y = jnp.asarray(rule.bary_y, dtype=dtype)
+            w = jnp.asarray(rule.w, dtype=dtype)
+            Q = rule.num_nodes
+            maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)),
+                       256)
+            chunk = _chunk_size(min(maxP, P))
+            nCh = (P + chunk - 1) // chunk
+            totP = nCh * chunk
+
+            def padI(a, fill=0):
+                return jnp.asarray(_pad(np.asarray(a), totP, fill=fill)
+                                   .reshape(nCh, chunk), dtype=INDEX)
+
+            sf = np.full(totP, 2.0)
+            sf[P:] = 0.0
+            if not hasattr(acc, '_treeDev'):
+                acc._treeDev = (
+                    jnp.asarray(mesh.cells, dtype=INDEX),
+                    jnp.asarray(mesh.simplexVolumes(), dtype=runner.dtype),
+                    jnp.asarray(dofs, dtype=INDEX),
+                    jnp.asarray(treePos, dtype=INDEX),
+                    jnp.asarray(dofNode, dtype=INDEX),
+                    jnp.asarray(indptrT, dtype=jnp.int32),
+                    jnp.asarray(tStartOfNode, dtype=jnp.int32))
+            cellsD, volsD, dofsD, treePosD, dofNodeD, indptrD, tStartD = \
+                acc._treeDev
+            acc.data = _bucket_tree_csr_scan(
+                acc.data, runner.vertices, cellsD, volsD, dofsD,
+                treePosD, dofNodeD, indptrD, tStartD,
+                padI(lo), padI(hi), padI(Inid), padI(Jnid),
+                padI(offF), padI(offB),
+                jnp.asarray(sf.reshape(nCh, chunk), dtype=runner.dtype),
+                bary_x, bary_y, w, PSIP, kernel=kernel)
+        else:
+            # host scatter path (CPU runs): same arithmetic slots, numpy
+            nnz = acc.pattern.nnz
+            vols = mesh.simplexVolumes()
+            bx = jnp.asarray(rule.bary_x, dtype=runner.dtype)
+            by = jnp.asarray(rule.bary_y, dtype=runner.dtype)
+            wD = jnp.asarray(rule.w, dtype=runner.dtype)
+            PSIP = jnp.asarray(_psi_prod(PSI), dtype=runner.dtype)
+            step = max((1 << 23) // max(rule.num_nodes, 1), 1024)
+            for s0 in range(0, P, step):
+                sl = slice(s0, s0 + step)
+                loS, hiS = lo[sl], hi[sl]
+                dr = np.concatenate([dofs[loS], dofs[hiS]], axis=1)
+                valid = dr >= 0
+                drs = np.where(valid, dr, 0)
+                nr = np.where(valid, dofNode[drs], -1)
+                ta = treePos[drs]
+                inI = nr == Inid[sl][:, None]
+                inJ = nr == Jnid[sl][:, None]
+                mF = inI[:, :, None] & inJ[:, None, :]
+                mB = inJ[:, :, None] & inI[:, None, :]
+                rowStart = indptrT[ta]
+                colF = ta[:, None, :] - tStartOfNode[Jnid[sl]][:, None, None]
+                colB = ta[:, None, :] - tStartOfNode[Inid[sl]][:, None, None]
+                slot = np.where(
+                    mF, rowStart[:, :, None] + offF[sl][:, None, None] + colF,
+                    np.where(mB, rowStart[:, :, None]
+                             + offB[sl][:, None, None] + colB, nnz))
+                M = np.asarray(_bucket_contrib(
+                    runner.vertices, jnp.asarray(mesh.cells[loS], dtype=INDEX),
+                    jnp.asarray(mesh.cells[hiS], dtype=INDEX),
+                    jnp.asarray(vols[loS] * vols[hiS] * 2.0,
+                                dtype=runner.dtype),
+                    bx, by, wD, PSIP, kernel=kernel))
+                np.add.at(acc.data, slot.reshape(len(loS), -1), M)
 
     def _getComplementCross(self):
         """Pure cross operator of the complement kernel:
@@ -2360,7 +2719,8 @@ class nonlocalBuilder:
         surface = mesh.get_surface_mesh()
         bkernel = kernel.getModifiedKernel(horizon=np.inf).getBoundaryKernel()
         deviceAcc = isinstance(acc, DeviceDenseAccumulator)
-        gridOK = deviceAcc and sign == 1.0 and not bkernel.variable \
+        csrAcc = isinstance(acc, (CSRAccumulator, DeviceCSRAccumulator))
+        gridOK = (deviceAcc or csrAcc) and not bkernel.variable \
             and getattr(bkernel, 'phi', None) is None
         binfo = classifyBoundaryPairs(dm, surface, bkernel,
                                       target_order=self.params.get('target_order'),
@@ -2425,7 +2785,8 @@ class nonlocalBuilder:
         if gridOK:
             touchPairs = binfo['touching'][0]
             di, dj, orders = self._runBoundaryGrid(
-                acc, runner, surface, bkernel, di, dj, orders, touchPairs)
+                acc, runner, surface, bkernel, di, dj, orders, touchPairs,
+                sign)
         for order in np.unique(orders):
             sel = orders == order
             ii, jj = di[sel], dj[sel]
@@ -2443,13 +2804,15 @@ class nonlocalBuilder:
                            normals=nm)
 
     def _runBoundaryGrid(self, acc, runner, surface, bkernel, di, dj,
-                         orders, touchPairs):
+                         orders, touchPairs, sign=1.0):
         """One order-4 grid pass over the full (cell x surface) grid
-        (see _grid_boundary_pass), excluding the touching pairs and the
+        (see _grid_boundary_blocks), excluding the touching pairs and the
         supplied order>4 corrections; returns the correction subset for the
         scan path.  The caller provides ONLY the corrections
         (classifyBoundaryPairs correctionsOnly contract), so no O(C*S)
-        enumeration ever exists."""
+        enumeration ever exists.  Per-cell blocks scatter densely on a
+        device-dense accumulator, or as C*dpe^2 slot adds on a CSR one (the
+        H2 near field's regional subtraction, sign=-1)."""
         from ..fem.quadrature import simplexCompact
         dm, mesh = self.dm, self.mesh
         dtype = runner.dtype
@@ -2505,12 +2868,23 @@ class nonlocalBuilder:
                 pos = np.arange(len(mi)) - starts[ts]
                 mR[ts, pos] = mi[srt] - ts * Ct
                 mC[ts, pos] = mj[srt]
-            acc.A = _grid_boundary_pass(
-                acc.A, X, Ysurf, svolw2, vols, rowDofPad, normals,
+            Bxx = _grid_boundary_blocks(
+                X, Ysurf, svolw2, vols, normals,
                 PhiXw, PhiX, jnp.asarray(w1, dtype=dtype),
                 jnp.asarray(mR, dtype=INDEX), jnp.asarray(mC, dtype=INDEX),
                 kernel=bkernel, nTiles=nTiles, Ct=Ct,
-                useNormals=useNormals, maskIn=maskIn)
+                useNormals=useNormals, maskIn=maskIn, dtype=dtype)
+            if sign != 1.0:
+                Bxx = Bxx * sign
+            if isinstance(acc, DeviceDenseAccumulator):
+                acc.A = _scatter_cell_blocks(acc.A, rowDofPad, Bxx)
+            else:
+                dpe = dm.dofs_per_element
+                dA = dm.dofs
+                rb = np.broadcast_to(dA[:, :, None], (C, dpe, dpe))
+                cb = np.broadcast_to(dA[:, None, :], (C, dpe, dpe))
+                acc.add(rb.reshape(-1), cb.reshape(-1),
+                        np.asarray(Bxx, dtype=REAL).reshape(-1))
         return di, dj, orders
 
 
