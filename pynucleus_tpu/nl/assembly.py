@@ -2172,9 +2172,12 @@ class nonlocalBuilder:
         # ---- distant near pairs: per-cluster-pair processing with exact
         # (I x J) masks -- no global dedup needed (pattern entries belong to
         # exactly one leaf pair), arithmetic device slots
+        adjKeysSorted = np.sort(adj[:, 0] * C + adj[:, 1]) if len(adj) \
+            else np.zeros(0, dtype=np.int64)
         self._runNearDistantTree(
             acc, IJ, nodeRow, nNear, ncArr, ncOff, ordKeysS, blockOffS,
-            treePos, dofNode, tStartOfNode, indptrT, info, pairMasks)
+            treePos, dofNode, tStartOfNode, indptrT, info, pairMasks,
+            adjKeysSorted)
 
         # ---- run the surface pairs
         if sp_cell:
@@ -2195,7 +2198,8 @@ class nonlocalBuilder:
 
     def _runNearDistantTree(self, acc, IJ, nodeRow, nNear, ncArr, ncOff,
                             ordKeysS, blockOffS, treePos, dofNode,
-                            tStartOfNode, indptrT, info, pairMasks):
+                            tStartOfNode, indptrT, info, pairMasks,
+                            adjKeysSorted=None):
         """Distant bulk of the H2 near field (see _bucket_tree_csr_scan).
 
         Chunked over cluster pairs: enumerate cells(I) x cells(J), drop
@@ -2230,7 +2234,7 @@ class nonlocalBuilder:
         n2 = ncOff[rJp + 1] - ncOff[rJp]
         tot = n1 * n2
         cum = np.cumsum(tot)
-        CHUNK = 1 << 25
+        CHUNK = 1 << 23
         p0 = 0
         while p0 < len(IJ):
             p1 = min(int(np.searchsorted(cum, (cum[p0 - 1] if p0 else 0)
@@ -2257,9 +2261,16 @@ class nonlocalBuilder:
             rem = u % (C * C)
             lo = rem // C
             hi = rem % C
-            # exclude touching pairs (singular path handles them)
-            sh = (cells[lo][:, :, None] ==
-                  cells[hi][:, None, :]).any(axis=(1, 2))
+            # exclude touching pairs (singular path handles them): one
+            # binary search over the small sorted adjacency key set
+            if adjKeysSorted is not None and len(adjKeysSorted):
+                kq = lo * C + hi
+                pos = np.minimum(np.searchsorted(adjKeysSorted, kq),
+                                 len(adjKeysSorted) - 1)
+                sh = adjKeysSorted[pos] == kq
+            else:
+                sh = (cells[lo][:, :, None] ==
+                      cells[hi][:, None, :]).any(axis=(1, 2))
             lo, hi, pidx = lo[~sh], hi[~sh], pidx[~sh]
             if len(lo) == 0:
                 p0 = p1
