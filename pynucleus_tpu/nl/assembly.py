@@ -2104,8 +2104,14 @@ class nonlocalBuilder:
         for (I, J) in IJ[touchPair]:
             cells1 = nodeCells(I)
             cells2 = nodeCells(J)
-            U = np.union1d(cells1, cells2)
-            inter = np.intersect1d(cells1, cells2, assume_unique=True)
+            if I == J:
+                U = inter = cells1
+            else:
+                # both lists are sorted-unique: one unique gives union AND
+                # (count==2) intersection
+                U, ucnt = np.unique(np.concatenate([cells1, cells2]),
+                                    return_counts=True)
+                inter = U[ucnt == 2]
 
             # --- surface of the union (diagonal mass from outside U)
             if len(inter):
@@ -3006,23 +3012,20 @@ def _cellSetBoundary(mesh, cellSet):
                                 cells[:, [2, 0]]], axis=0)
         owner = np.tile(np.arange(len(cells)), 3)
         se = np.sort(edges, axis=1)
-        uniq, inv, counts = np.unique(se, axis=0, return_inverse=True,
+        key = se[:, 0].astype(np.int64) * mesh.num_vertices + se[:, 1]
+        uniq, inv, counts = np.unique(key, return_inverse=True,
                                       return_counts=True)
         bmask = counts[inv] == 1
         bedges = edges[bmask]
         bowner = owner[bmask]
-        normals = np.zeros((len(bedges), mesh.dim))
-        for k in range(len(bedges)):
-            e = bedges[k]
-            t = verts[e[1]] - verts[e[0]]
-            n = np.array([t[1], -t[0]])
-            n /= np.linalg.norm(n)
-            cc = verts[cells[bowner[k]]].mean(axis=0)
-            mid = 0.5 * (verts[e[0]] + verts[e[1]])
-            if np.dot(n, mid - cc) < 0:
-                n = -n
-            normals[k] = n
-        return bedges.astype(np.int64), normals
+        t = verts[bedges[:, 1]] - verts[bedges[:, 0]]
+        n = np.stack([t[:, 1], -t[:, 0]], axis=1)
+        n /= np.linalg.norm(n, axis=1, keepdims=True)
+        cc = verts[cells[bowner]].mean(axis=1)
+        mid = 0.5 * (verts[bedges[:, 0]] + verts[bedges[:, 1]])
+        flip = np.einsum('fd,fd->f', n, mid - cc) < 0
+        n[flip] = -n[flip]
+        return bedges.astype(np.int64), n
     raise NotImplementedError(mdim)
 
 
