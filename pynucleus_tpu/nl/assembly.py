@@ -2584,8 +2584,14 @@ class nonlocalBuilder:
         useNormals = mdim >= 2
         runner = _BucketRunner(verts, bkernel, useNormals=useNormals,
                                dtype=self.params.get('dtype'))
-        from .panels import orderModelParams
-        mpb = orderModelParams(dm, bkernel, self.params.get('target_order'))
+        from .panels import boundaryOrderModelParams
+        # MUST match _addZeroExterior's rules exactly: for the regional
+        # operator the (cell, own-boundary-facet) integrals of the union
+        # surface (+) and the global subtraction (-) each diverge for
+        # s > 1/2 on Neumann dofs; only identical quadrature makes the
+        # difference exact (ref reuses one local_matrix_zeroExterior)
+        mpb = boundaryOrderModelParams(dm, bkernel,
+                                       self.params.get('target_order'))
         qd = mpb['quad_order_diagonal']
         sigb = bkernel.getSingularityValue()
 

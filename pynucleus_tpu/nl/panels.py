@@ -608,6 +608,36 @@ def _boundaryOrderModel(d, h1, h2, sval, c0, H0, horizon, hcut=None):
     return ((orders.astype(np.int64) + 1) // 2) * 2
 
 
+def boundaryOrderModelParams(dm, kernel, target_order=None):
+    """Scalars of the BOUNDARY (zeroExterior surface) order model -- shared
+    by classifyBoundaryPairs and the cluster-union surface quadrature so the
+    two evaluate singular (cell, own-facet) panels with IDENTICAL rules.
+    For the regional operator (s > 1/2, Neumann dofs) both terms diverge
+    individually and only their difference is finite: the reference gets
+    exact cancellation by reusing one local_matrix_zeroExterior in both
+    loops (nonlocalAssembly pxi:1842-1917); identical rule parameters are
+    our equivalent."""
+    mesh = dm.mesh
+    p = dm.polynomialOrder
+    smin = max(0.5 * (-kernel.min_singularity), 0.0)
+    smax = max(0.5 * (-kernel.max_singularity), 0.0)
+    if target_order is None:
+        target_order = p + 1 - smin
+    H0 = mesh.diam / np.sqrt(8)
+    hmin = mesh.hmin
+    num_dofs = dm.num_dofs
+    if mesh.manifold_dim >= 2:
+        quad_order_diagonal = max(int(np.ceil(
+            (target_order + 1.0 + smax) / 0.43 * abs(np.log(hmin / H0)))), 4)
+    else:
+        quad_order_diagonal = max(int(np.ceil(
+            ((target_order + 1.0) * np.log(num_dofs * H0) +
+             (2.0 * smax - 1.0) * abs(np.log(hmin / H0))) / 0.8)), 2)
+    return dict(target_order=target_order, H0=H0, hmin=hmin,
+                num_dofs=num_dofs, smin=smin, smax=smax,
+                quad_order_diagonal=quad_order_diagonal)
+
+
 def classifyBoundaryPairs(dm, surface, kernel, target_order=None,
                           correctionsOnly=False):
     """(cell, surface-cell) pairs for the zeroExterior term
@@ -628,23 +658,13 @@ def classifyBoundaryPairs(dm, surface, kernel, target_order=None,
     S = surface.num_cells
     scells = surface.cells
 
-    p = dm.polynomialOrder
-    smin = max(0.5 * (-kernel.min_singularity), 0.0)
-    smax = max(0.5 * (-kernel.max_singularity), 0.0)
-    if target_order is None:
-        target_order = p + 1 - smin
-    H0 = mesh.diam / np.sqrt(8)
-    hmin = mesh.hmin
-    num_dofs = dm.num_dofs
-    if mesh.manifold_dim >= 2:
-        # 2D boundary-operator order model (ref fractionalLaplacian2D
-        # boundary setKernel, mirrors the volume one)
-        quad_order_diagonal = max(int(np.ceil(
-            (target_order + 1.0 + smax) / 0.43 * abs(np.log(hmin / H0)))), 4)
-    else:
-        quad_order_diagonal = max(int(np.ceil(
-            ((target_order + 1.0) * np.log(num_dofs * H0) +
-             (2.0 * smax - 1.0) * abs(np.log(hmin / H0))) / 0.8)), 2)
+    mpb = boundaryOrderModelParams(dm, kernel, target_order)
+    target_order = mpb['target_order']
+    H0 = mpb['H0']
+    hmin = mpb['hmin']
+    num_dofs = mpb['num_dofs']
+    smin, smax = mpb['smin'], mpb['smax']
+    quad_order_diagonal = mpb['quad_order_diagonal']
 
     # touching = cell contains a vertex of the surface simplex.  Incidence
     # detection: only cells holding a boundary vertex can touch, so the

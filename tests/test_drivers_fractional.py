@@ -156,6 +156,72 @@ def test_runFractional_variableOrder(argv, expected):
             (label, got[label], val)
 
 
+SWEPT_CONFIGS = [
+    # higher-order elements at s=0.75 (ref caches ...--elementP2/P3...)
+    (['--domain', 'interval', '--s', 'const(0.75)', '--problem', 'constant',
+      '--element', 'P2', '--solverType', 'cg-mg', '--matrixFormat', 'dense'],
+     {'Hs error': 0.03250922885004246,
+      'L2 error': 0.0009589826276423743,
+      'Linf error interpolated': 0.001424837006773358}),
+    (['--domain', 'interval', '--s', 'const(0.75)', '--problem', 'constant',
+      '--element', 'P3', '--solverType', 'cg-mg', '--matrixFormat', 'dense'],
+     {'Hs error': 0.02241204241913628,
+      'L2 error': 0.0004332938942317203,
+      'Linf error interpolated': 0.0005355321218397519}),
+    (['--domain', 'interval', '--s', 'const(0.75)', '--problem', 'constant',
+      '--element', 'P2', '--solverType', 'cg-mg', '--matrixFormat', 'H2'],
+     {'Hs error': 0.03251079045313047,
+      'L2 error': 0.0009590332618439472}),
+    (['--domain', 'interval', '--s', 'constantNonSym(0.75)', '--problem',
+      'constant', '--element', 'P1', '--solverType', 'gmres-jacobi',
+      '--matrixFormat', 'dense'],
+     {'Hs error': 0.04184297664965481,
+      'L2 error': 0.0014584875781664202,
+      'Linf error interpolated': 0.0009870493188698093}),
+    (['--domain', 'interval', '--s', 'const(0.25)', '--problem', 'constant',
+      '--element', 'P0', '--solverType', 'cg-mg', '--matrixFormat', 'H2'],
+     {'Hs error': 0.0862450787545702,
+      'L2 error': 0.013545339390748182,
+      'Linf error interpolated': 0.03416020286147692}),
+    (['--domain', 'interval', '--s', 'const(0.75)', '--problem',
+      'knownSolution', '--element', 'P1', '--solverType', 'cg-mg',
+      '--matrixFormat', 'H2'],
+     {'L2 error': 0.002835081492641306,
+      'Linf error interpolated': 0.0020051751695264464}),
+    # zeroFlux at s=0.75: the error is discretization-level (not noise like
+    # the s=0.25 linear patch), so the reference digits are matchable.
+    # noRef=7: the reference cache corresponds to a 128-cell mesh (we match
+    # its value to 6 digits there); its own meshFactory.build code (which
+    # we mirror, nonlocalProblems.py:210-213) gives 64 cells at the default
+    # noRef=6 for Neumann tags, so the cache was evidently produced with an
+    # extra refinement.
+    (['--domain', 'interval', '--s', 'const(0.75)', '--problem', 'zeroFlux',
+      '--element', 'P1', '--solverType', 'cg-jacobi', '--matrixFormat', 'H2',
+      '--noRef', '7'],
+     {'L2 error': 0.03475014496258798,
+      'Linf error interpolated': 0.05544357159331792}),
+    (['--domain', 'interval', '--s', 'varconst(0.75)', '--problem', 'zeroFlux',
+      '--element', 'P1', '--solverType', 'cg-mg', '--matrixFormat', 'H2',
+      '--noRef', '7'],
+     {'L2 error': 0.034750175585825875,
+      'Linf error interpolated': 0.05544349629205125}),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('argv,expected', SWEPT_CONFIGS,
+                         ids=['P2-0.75-dense', 'P3-0.75-dense', 'P2-0.75-H2',
+                              'nonsym0.75-dense', 'P0-0.25-H2',
+                              'knownSol-0.75-H2', 'zeroFlux-0.75-H2',
+                              'varconst-zeroFlux-H2'])
+def test_runFractional_swept(argv, expected):
+    d, mS = runFractional(argv)
+    got = d.outputGroups['errors'].toDict()
+    for label, val in expected.items():
+        assert np.isclose(got[label], val, rtol=3e-2, atol=1e-8), \
+            (label, got[label], val)
+
+
 H2_CONFIGS = [
     # reference cache values (all-digit or <1% matches verified):
     (['--domain', 'interval', '--s', 'const(0.25)', '--problem', 'constant',
