@@ -5,9 +5,10 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extras"}.
 
   1. 2D fractional dense assembly throughput (disc, s=0.75, P1) in
      elem-pairs/s at BENCH_NOREF (default 6, ~537M pairs).
-  2. H2 matvec time (1D fractional, BENCH_H2_NOREF refinements).
-  3. assemble + CG-GMG solve wall-clock (2D fractional, H2 format,
-     cg-jacobi solve) at BENCH_SOLVE_NOREF.
+  2. H2 build + matvec time (1D fractional at BENCH_H2_NOREF refinements,
+     and 2D at BENCH_H2_2D_NOREF).
+  3. assemble + CG solve wall-clock (2D fractional, H2 format, cg-jacobi)
+     at BENCH_SOLVE_NOREF.
 
 Baseline: the Cython reference cannot be built in this image (no Cython, no
 mpi4py), so the measured anchor is native/ref_pair_loop.cpp — a C++
@@ -18,32 +19,46 @@ container's CPU (single core; the container has 1 core).  vs_baseline =
 our chip throughput / (8 x measured single-core rate): the north-star
 (BASELINE.md) compares a v5e-8 (8 chips) against 64 cores, i.e. one chip
 against 8 cores.  The extrapolated 64-core comparison is in extras.
+
+Robustness: every metric runs in its own SUBPROCESS with a wall-clock
+timeout, so a wedged accelerator tunnel or a slow secondary metric cannot
+take down the whole benchmark — failed metrics degrade to an 'error' entry
+in extras.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
-import jax
-import numpy as np
 
-import pynucleus_tpu  # noqa: F401  (x64 on)
-from pynucleus_tpu.fem import (circle, simpleInterval, P1_DoFMap,
-                               assembleRHS, constant)
-from pynucleus_tpu.nl import getFractionalKernel
-from pynucleus_tpu.nl.assembly import nonlocalBuilder
+def _devAndDtype():
+    import jax
+    import numpy as np
+    dev = jax.devices()[0]
+    dtype = np.float32 if dev.platform != 'cpu' else np.float64
+    return dev, dtype
 
 
 def _mesh2d(noRef):
+    from pynucleus_tpu.fem import circle
     m = circle(n=8)
     for _ in range(noRef):
         m = m.refine()
     return m
 
 
-def benchAssembly(dev, dtype):
+def benchAssembly():
+    import jax
+    import numpy as np
+    import pynucleus_tpu  # noqa: F401
+    from pynucleus_tpu.fem import P1_DoFMap
+    from pynucleus_tpu.nl import getFractionalKernel
+    from pynucleus_tpu.nl.assembly import nonlocalBuilder
+    dev, dtype = _devAndDtype()
     noRef = int(os.environ.get('BENCH_NOREF', '6'))
     m = _mesh2d(noRef)
     dm = P1_DoFMap(m)
@@ -58,7 +73,9 @@ def benchAssembly(dev, dtype):
         A = nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getDense()
         jax.block_until_ready(A.data)
         elapsed = min(elapsed, time.perf_counter() - t0)
-    return nPairs / elapsed, nPairs, dm.num_dofs, elapsed
+    return {'pairs_per_s': nPairs / elapsed, 'nPairs': nPairs,
+            'ndofs': dm.num_dofs, 'assembly_s': elapsed,
+            'platform': dev.platform}
 
 
 def benchBaselineCpp():
@@ -66,6 +83,12 @@ def benchBaselineCpp():
     largest size where full pair enumeration fits; the per-pair rate is
     extrapolated one refinement by its own growth ratio (the mix shifts
     toward cheaper low-order pairs as the mesh refines)."""
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    import pynucleus_tpu  # noqa: F401
+    from pynucleus_tpu.fem import P1_DoFMap
+    from pynucleus_tpu.nl import getFractionalKernel
+    from pynucleus_tpu.nl.assembly import nonlocalBuilder
     from pynucleus_tpu.bench_baseline import timeReferencePairLoop
     from pynucleus_tpu.nl.panels import classifyPairsDense
     kernel = getFractionalKernel(2, 0.75)
@@ -78,10 +101,19 @@ def benchBaselineCpp():
         secs, nP = timeReferencePairLoop(dm, kernel, info)
         rates.append(nP / secs)
     growth = max(rates[1] / rates[0], 1.0)
-    return rates[1] * growth, rates
+    return {'cpp_rate_1core': rates[1] * growth,
+            'cpp_rates_noRef45': rates}
 
 
-def benchH2Matvec(dtype):
+def benchH2Matvec():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pynucleus_tpu  # noqa: F401
+    from pynucleus_tpu.fem import simpleInterval, P1_DoFMap
+    from pynucleus_tpu.nl import getFractionalKernel
+    from pynucleus_tpu.nl.assembly import nonlocalBuilder
+    dev, dtype = _devAndDtype()
     noRef = int(os.environ.get('BENCH_H2_NOREF', '16'))
     m = simpleInterval(-1.0, 1.0)
     for _ in range(noRef):
@@ -92,7 +124,6 @@ def benchH2Matvec(dtype):
     H = nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getH2()
     build = time.perf_counter() - t0
     x = np.sin(np.pi * np.linspace(-1, 1, dm.num_dofs)).astype(dtype)
-    import jax.numpy as jnp
     xd = jnp.asarray(x)
     jax.block_until_ready(H.matvec(xd))
     best = float('inf')
@@ -100,14 +131,48 @@ def benchH2Matvec(dtype):
         t0 = time.perf_counter()
         jax.block_until_ready(H.matvec(xd))
         best = min(best, time.perf_counter() - t0)
-    return dm.num_dofs, build, best
+    return {'dofs': dm.num_dofs, 'build_s': build, 'matvec_s': best}
 
 
-def benchSolve(dtype):
-    """assemble + CG solve of the 2D fractional problem in H2 format."""
+def benchH2Matvec2D():
+    import jax
     import jax.numpy as jnp
+    import numpy as np
+    import pynucleus_tpu  # noqa: F401
+    from pynucleus_tpu.fem import P1_DoFMap
+    from pynucleus_tpu.nl import getFractionalKernel
+    from pynucleus_tpu.nl.assembly import nonlocalBuilder
+    dev, dtype = _devAndDtype()
+    noRef = int(os.environ.get('BENCH_H2_2D_NOREF', '6'))
+    m = _mesh2d(noRef)
+    dm = P1_DoFMap(m)
+    kernel = getFractionalKernel(2, 0.75)
+    t0 = time.perf_counter()
+    H = nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getH2()
+    build = time.perf_counter() - t0
+    x = np.random.default_rng(0).normal(size=dm.num_dofs).astype(dtype)
+    xd = jnp.asarray(x)
+    jax.block_until_ready(H.matvec(xd))
+    best = float('inf')
+    for _ in range(10):
+        t0 = time.perf_counter()
+        jax.block_until_ready(H.matvec(xd))
+        best = min(best, time.perf_counter() - t0)
+    return {'dofs': dm.num_dofs, 'build_s': build, 'matvec_s': best}
+
+
+def benchSolve():
+    """assemble + CG solve of the 2D fractional problem in H2 format."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pynucleus_tpu  # noqa: F401
+    from pynucleus_tpu.fem import P1_DoFMap, assembleRHS, constant
+    from pynucleus_tpu.nl import getFractionalKernel
+    from pynucleus_tpu.nl.assembly import nonlocalBuilder
     from pynucleus_tpu.base.solvers import _cg_core
     from pynucleus_tpu.base.linear_operators import Diagonal_LinearOperator
+    dev, dtype = _devAndDtype()
     noRef = int(os.environ.get('BENCH_SOLVE_NOREF', '5'))
     m = _mesh2d(noRef)
     dm = P1_DoFMap(m)
@@ -121,41 +186,70 @@ def benchSolve(dtype):
                            use_prec=True)
     jax.block_until_ready(u)
     total = time.perf_counter() - t0
-    return dm.num_dofs, total, int(iters)
+    return {'dofs': dm.num_dofs, 'assemble_plus_solve_s': total,
+            'cg_iters': int(iters)}
+
+
+_METRICS = {
+    'assembly': (benchAssembly, 3600),
+    'baseline': (benchBaselineCpp, 1200),
+    'h2': (benchH2Matvec, 1800),
+    'h2_2d': (benchH2Matvec2D, 1800),
+    'solve': (benchSolve, 1800),
+}
+
+
+def _runMetricSubprocess(name):
+    fn, tmo = _METRICS[name]
+    tmo = int(os.environ.get(f'BENCH_TIMEOUT_{name.upper()}', tmo))
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--metric', name],
+            capture_output=True, text=True, timeout=tmo, cwd=_HERE)
+    except subprocess.TimeoutExpired:
+        return {'error': f'timeout after {tmo}s'}
+    if r.returncode != 0:
+        return {'error': r.stderr.strip()[-500:]}
+    try:
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception as e:                                   # noqa: BLE001
+        return {'error': f'unparseable output: {e}'}
 
 
 def main():
-    dev = jax.devices()[0]
-    dtype = np.float32 if dev.platform != 'cpu' else np.float64
+    if len(sys.argv) > 2 and sys.argv[1] == '--metric':
+        fn, _ = _METRICS[sys.argv[2]]
+        print(json.dumps(fn()))
+        return
 
-    pairsPerS, nPairs, ndofs, tAsm = benchAssembly(dev, dtype)
-    try:
-        cppRate, cppRates = benchBaselineCpp()
-    except Exception as e:                                  # noqa: BLE001
-        cppRate, cppRates = 1.0e6, [str(e)]
+    asm = _runMetricSubprocess('assembly')
+    cpp = _runMetricSubprocess('baseline')
+    h2 = _runMetricSubprocess('h2')
+    h2_2d = _runMetricSubprocess('h2_2d')
+    slv = _runMetricSubprocess('solve')
+
+    pairsPerS = asm.get('pairs_per_s', 0.0)
+    cppRate = cpp.get('cpp_rate_1core', 1.0e6)
     vs8core = pairsPerS / (8.0 * cppRate)
     vs64core = pairsPerS / (64.0 * cppRate)
 
-    h2N, h2Build, h2Mv = benchH2Matvec(dtype)
-    slvN, slvT, slvIt = benchSolve(dtype)
-
     result = {
         'metric': '2D fractional dense assembly (disc, s=0.75, P1, '
-                  f'{ndofs} dofs, {nPairs} elem-pairs, {dev.platform}); '
+                  f"{asm.get('ndofs')} dofs, {asm.get('nPairs')} elem-pairs,"
+                  f" {asm.get('platform')}); "
                   'vs_baseline = chip / 8x measured C++ ref-loop cores',
         'value': round(pairsPerS, 1),
         'unit': 'elem-pairs/s',
         'vs_baseline': round(vs8core, 3),
         'extras': {
-            'assembly_s': round(tAsm, 3),
-            'cpp_ref_loop_pairs_per_s_1core': round(cppRate, 1),
-            'cpp_rates_noRef45': [round(float(r), 1) for r in cppRates
-                                  if not isinstance(r, str)],
+            'assembly': asm,
+            'cpp_baseline': {k: (round(v, 1) if isinstance(v, float) else v)
+                             for k, v in cpp.items()} if 'error' not in cpp
+            else cpp,
             'vs_64core_fullNorthStar_perChipOf8': round(vs64core, 4),
-            'h2_matvec': {'dofs': h2N, 'build_s': round(h2Build, 2),
-                          'matvec_s': round(h2Mv, 5)},
-            'cg_gmg_solve': {'dofs': slvN, 'assemble_plus_solve_s':
-                             round(slvT, 2), 'cg_iters': slvIt},
+            'h2_matvec_1d': h2,
+            'h2_matvec_2d': h2_2d,
+            'cg_solve': slv,
         },
     }
     print(json.dumps(result))
