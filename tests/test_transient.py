@@ -151,12 +151,30 @@ HEAT_H2_CONFIGS = [
     (['--domain', 'interval', '--s', 'varconst(0.75)', '--problem', 'constant',
       '--element', 'P1', '--solverType', 'cg-jacobi', '--matrixFormat', 'H2'],
      {'L^2(0,T; L^2(Omega)) error': 0.0013735058079687849}),
+    (['--domain', 'interval', '--s', 'const(0.75)', '--problem', 'constant',
+      '--element', 'P1', '--solverType', 'lu', '--matrixFormat', 'H2'],
+     {'L^2(0,T; L^2(Omega)) error': 0.001373502781639159,
+      'L^2(0,T; L^2(Omega)) norm': 0.9834421000848615,
+      'L^2(Omega) error at t=finalTime': 0.0006828706231417642}),
+    (['--domain', 'interval', '--s', 'const(0.25)', '--problem',
+      'knownSolution', '--element', 'P1', '--solverType', 'cg-jacobi',
+      '--matrixFormat', 'H2'],
+     {'L^2(0,T; L^2(Omega)) error': 0.0018388585398440504,
+      'L^2(0,T; L^2(Omega)) norm': 1.3228634831094461}),
+    # zeroFlux heat: reference cache corresponds to one extra refinement
+    # (see test_drivers_fractional.SWEPT_CONFIGS)
+    (['--domain', 'interval', '--s', 'const(0.75)', '--problem', 'zeroFlux',
+      '--element', 'P1', '--solverType', 'cg-jacobi', '--matrixFormat', 'H2',
+      '--noRef', '7'],
+     {'L^2(0,T; L^2(Omega)) error': 0.024601746738185586,
+      'L^2(0,T; L^2(Omega)) norm': 0.9634983119319441}),
 ]
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize('argv,expected', HEAT_H2_CONFIGS,
-                         ids=['P2-H2', 'varconst-H2'])
+                         ids=['P2-H2', 'varconst-H2', 'lu-H2',
+                              'knownSol-H2', 'zeroFlux-H2'])
 def test_runFractionalHeat_H2(argv, expected):
     d, mS = runFractionalHeat(argv)
     got = d.outputGroups['errors'].toDict()
