@@ -2240,17 +2240,40 @@ class nonlocalBuilder:
         n2 = ncOff[rJp + 1] - ncOff[rJp]
         tot = n1 * n2
         cum = np.cumsum(tot)
-        CHUNK = 1 << 23
-        p0 = 0
-        while p0 < len(IJ):
-            p1 = min(int(np.searchsorted(cum, (cum[p0 - 1] if p0 else 0)
-                                         + CHUNK)) + 1, len(IJ))
-            p1 = max(p1, p0 + 1)
-            totc = tot[p0:p1]
+
+        # native C++ enumerator scalars (see nearfield_native /
+        # native/nearfield_enum.cpp -- mirrors distantOrders in f32)
+        logh32 = np.log(hs).astype(np.float32)
+        if mesh.manifold_dim == 1:
+            svalN = float(max(mp['smin'], mp['smax']))
+            s2N = 0.0
+            cOrderN = float(np.float32(
+                (mp['target_order'] + 2.0)
+                * np.log(mp['num_dofs'] * mp['H0'])))
+        else:
+            svalN = 0.0
+            s2N = float(max(-0.5 * (kernel.max_singularity + 2), 0.0))
+            cOrderN = float(np.float32(
+                (0.5 * mp['target_order'] + 0.5)
+                * np.log(mp['num_dofs'] * mp['H0'] ** 2)))
+        logH0N = float(np.float32(np.log(mp['H0'])))
+        adjK = adjKeysSorted if adjKeysSorted is not None \
+            else np.zeros(0, dtype=np.int64)
+
+        def emitChunk(p0, p1, totc):
+            """(lo, hi, pidx, rounded orders) for cluster pairs [p0, p1)."""
+            from ..nearfield_native import enumerateNearPairs
+            try:
+                res = enumerateNearPairs(
+                    rIp, rJp, p0, p1, ncOff, ncArr, adjK, centers, logh32,
+                    mesh.manifold_dim, svalN, s2N, cOrderN, logH0N,
+                    cap=int(totc.sum()), C=C)
+            except Exception:                                # noqa: BLE001
+                res = None
+            if res is not None:
+                return res
+            # numpy fallback (no native toolchain)
             T = int(totc.sum())
-            if T == 0:
-                p0 = p1
-                continue
             pe = np.repeat(np.arange(p0, p1), totc)
             off = np.repeat(np.cumsum(totc) - totc, totc)
             loc = np.arange(T) - off
@@ -2269,37 +2292,56 @@ class nonlocalBuilder:
             hi = rem % C
             # exclude touching pairs (singular path handles them): one
             # binary search over the small sorted adjacency key set
-            if adjKeysSorted is not None and len(adjKeysSorted):
+            if len(adjK):
                 kq = lo * C + hi
-                pos = np.minimum(np.searchsorted(adjKeysSorted, kq),
-                                 len(adjKeysSorted) - 1)
-                sh = adjKeysSorted[pos] == kq
+                pos = np.minimum(np.searchsorted(adjK, kq), len(adjK) - 1)
+                sh = adjK[pos] == kq
             else:
                 sh = (cells[lo][:, :, None] ==
                       cells[hi][:, None, :]).any(axis=(1, 2))
             lo, hi, pidx = lo[~sh], hi[~sh], pidx[~sh]
             if len(lo) == 0:
-                p0 = p1
-                continue
+                return lo, hi, pidx, lo
             orders = distantOrders(dm, kernel, hs, centers, lo, hi, mp)
             orders = ((orders + 1) // 2) * 2
             omax = int(orders.max())
             orders = np.where(orders > 16, omax, orders)
             orders = np.where((orders > 8) & (orders <= 16),
                               min(16, omax), orders)
+            return lo, hi, pidx, orders
+
+        CHUNK = 1 << 23
+        p0 = 0
+        while p0 < len(IJ):
+            p1 = min(int(np.searchsorted(cum, (cum[p0 - 1] if p0 else 0)
+                                         + CHUNK)) + 1, len(IJ))
+            p1 = max(p1, p0 + 1)
+            totc = tot[p0:p1]
+            if int(totc.sum()) == 0:
+                p0 = p1
+                continue
+            lo, hi, pidx, orders = emitChunk(p0, p1, totc)
+            if len(lo) == 0:
+                p0 = p1
+                continue
+            # one stable sort by order -> contiguous per-bucket slices
+            # (beats per-order boolean selects over the 6 full arrays)
+            srt = np.argsort(orders, kind='stable')
+            lo, hi, pidx, orders = lo[srt], hi[srt], pidx[srt], orders[srt]
             Inid = IJ[pidx, 0]
             Jnid = IJ[pidx, 1]
-            kf = np.searchsorted(ordKeysS, nodeRow[Inid] * nNear
-                                 + nodeRow[Jnid])
-            offF = blockOffS[kf]
-            kb = np.searchsorted(ordKeysS, nodeRow[Jnid] * nNear
-                                 + nodeRow[Inid])
-            offB = blockOffS[kb]
-            for o in np.unique(orders):
-                sel = orders == o
+            rIn = nodeRow[Inid]
+            rJn = nodeRow[Jnid]
+            offF = blockOffS[np.searchsorted(ordKeysS, rIn * nNear + rJn)]
+            offB = blockOffS[np.searchsorted(ordKeysS, rJn * nNear + rIn)]
+            uniq = np.unique(orders)
+            bounds = np.searchsorted(orders, uniq)
+            bounds = np.append(bounds, len(orders))
+            for k_, o in enumerate(uniq):
+                sl = slice(int(bounds[k_]), int(bounds[k_ + 1]))
                 self._launchTreeBucket(
-                    acc, runner, int(o), lo[sel], hi[sel], Inid[sel],
-                    Jnid[sel], offF[sel], offB[sel], treePos, dofNode,
+                    acc, runner, int(o), lo[sl], hi[sl], Inid[sl],
+                    Jnid[sl], offF[sl], offB[sl], treePos, dofNode,
                     tStartOfNode, indptrT, deviceAcc)
             p0 = p1
 
