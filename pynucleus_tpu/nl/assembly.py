@@ -2101,7 +2101,96 @@ class nonlocalBuilder:
         touchPair = np.fromiter((int(k) in adjKeys for k in ijKey),
                                 dtype=bool, count=len(ijKey))
 
-        for (I, J) in IJ[touchPair]:
+        pairsAdj = IJ[touchPair]
+        cells = mesh.cells
+        verts = mesh.vertices
+        if mdim == 2 and not jumps and len(pairsAdj):
+            # --- fully batched union boundaries + masks across ALL adjacent
+            # cluster pairs (the former per-pair loop was the last O(pairs)
+            # python component of the H2 build)
+            def _ar(reps):
+                totl = int(reps.sum())
+                starts = np.repeat(np.cumsum(reps) - reps, reps)
+                return np.arange(totl) - starts
+
+            rA = nodeRow[pairsAdj[:, 0]]
+            rB = nodeRow[pairsAdj[:, 1]]
+            same = pairsAdj[:, 0] == pairsAdj[:, 1]
+            l1 = ncOff[rA + 1] - ncOff[rA]
+            l2 = np.where(same, 0, ncOff[rB + 1] - ncOff[rB])
+            totA = l1 + l2
+            pid = np.repeat(np.arange(len(pairsAdj)), totA)
+            locA = _ar(totA)
+            fromA = locA < l1[pid]
+            idxA = np.where(fromA, ncOff[rA[pid]] + locA,
+                            ncOff[rB[pid]] + locA - l1[pid])
+            cellsCat = ncArr[idxA]
+            # union + (count==2) intersection per (pair, cell)
+            keyU, cntU = np.unique(pid * np.int64(C) + cellsCat,
+                                   return_counts=True)
+            pidU = keyU // C
+            cellU = keyU % C
+            isInter = (cntU == 2) | same[pidU]
+            # boundary edges of each union: per-(pair,edge) count == 1
+            e0 = cells[cellU][:, [0, 1, 2]]
+            e1 = cells[cellU][:, [1, 2, 0]]
+            eLo = np.minimum(e0, e1).astype(np.int64)
+            eHi = np.maximum(e0, e1).astype(np.int64)
+            Vn = np.int64(mesh.num_vertices)
+            ekey = (pidU[:, None] * (Vn * Vn) + eLo * Vn + eHi).reshape(-1)
+            orderE = np.argsort(ekey, kind='stable')
+            ek = ekey[orderE]
+            firstE = np.ones(len(ek), dtype=bool)
+            firstE[1:] = ek[1:] != ek[:-1]
+            lastE = np.ones(len(ek), dtype=bool)
+            lastE[:-1] = firstE[1:]
+            bIdx = orderE[firstE & lastE]           # pid-major order
+            rowIdx = bIdx // 3
+            bPid = pidU[rowIdx]
+            bE0 = e0.reshape(-1)[bIdx]
+            bE1 = e1.reshape(-1)[bIdx]
+            tb = verts[bE1] - verts[bE0]
+            nrm = np.stack([tb[:, 1], -tb[:, 0]], axis=1)
+            nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+            ccb = verts[cells[cellU[rowIdx]]].mean(axis=1)
+            midb = 0.5 * (verts[bE0] + verts[bE1])
+            flip = np.einsum('fd,fd->f', nrm, midb - ccb) < 0
+            nrm[flip] = -nrm[flip]
+            bFac = np.stack([bE0, bE1], axis=1)
+            # masks per (pair, intersection cell)
+            iSel = np.nonzero(isInter)[0]
+            iPid = pidU[iSel]
+            iCell = cellU[iSel]
+            Iarr = pairsAdj[iPid, 0]
+            Jarr = pairsAdj[iPid, 1]
+            gdS = dofs[iCell]
+            validS = gdS >= 0
+            nrS = np.where(validS, dofNode[np.where(validS, gdS, 0)], -1)
+            rIS = (nrS == Iarr[:, None]) & validS
+            rJS = (nrS == Jarr[:, None]) & validS
+            m1s = (rIS[:, :, None] & rJS[:, None, :]) \
+                | (rJS[:, :, None] & rIS[:, None, :])
+            keepS = m1s.any(axis=(1, 2))
+            kPid = iPid[keepS]
+            kCell = iCell[keepS]
+            kM = m1s[keepS]
+            # cartesian (kept inter cell) x (pair's boundary facets)
+            nFac = np.bincount(bPid, minlength=len(pairsAdj))
+            facOff = np.zeros(len(pairsAdj) + 1, dtype=np.int64)
+            facOff[1:] = np.cumsum(nFac)
+            rep = nFac[kPid]
+            if rep.sum():
+                posF = np.repeat(facOff[kPid], rep) + _ar(rep)
+                sp_cell.append(np.repeat(kCell, rep))
+                sp_fac.append(bFac[posF])
+                sp_nrm.append(nrm[posF])
+                sp_msk.append(np.repeat(kM, rep, axis=0))
+                sp_sgn.append(np.ones(int(rep.sum())))
+            pairsLoop = pairsAdj[:0]
+        else:
+            pairsLoop = pairsAdj
+
+        for (I, J) in pairsLoop:
             cells1 = nodeCells(I)
             cells2 = nodeCells(J)
             if I == J:
