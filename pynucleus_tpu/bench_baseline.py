@@ -24,7 +24,7 @@ _SO = os.path.join(_HERE, 'native', 'ref_pair_loop.so')
 def buildBaselineLib():
     """Compile the baseline loop (cached on mtime)."""
     if (os.path.exists(_SO)
-            and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+            and os.path.getmtime(_SO) > os.path.getmtime(_SRC)):
         return _SO
     subprocess.run(['g++', '-O3', '-march=native', '-shared', '-fPIC',
                     '-o', _SO, _SRC], check=True)

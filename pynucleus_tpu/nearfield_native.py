@@ -24,7 +24,7 @@ def _lib():
         return _LIB
     try:
         if not (os.path.exists(_SO)
-                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+                and os.path.getmtime(_SO) > os.path.getmtime(_SRC)):
             subprocess.run(['g++', '-O3', '-march=native', '-shared',
                             '-fPIC', '-o', _SO, _SRC], check=True,
                            capture_output=True)

@@ -875,6 +875,13 @@ class DeviceCSRAccumulator:
                                   num_columns=self.pattern.shape[1])
 
 
+def _aranges(reps):
+    """Concatenated [0..r) ranges for each r in reps (ragged arange)."""
+    total = int(reps.sum())
+    starts = np.repeat(np.cumsum(reps) - reps, reps)
+    return np.arange(total) - starts
+
+
 def _treeCSRToGlobal(At, perm, tLen, rowLen, tStartRow, tmplAll, tmplStart,
                      indptrT, N):
     """Convert the tree-ordered near-field CSR to global dof ordering.
@@ -2018,11 +2025,6 @@ class nonlocalBuilder:
         tStartOfNode = np.full(len(nodes), -1, dtype=np.int64)
         tStartOfNode[nearIds] = tStartRow[:-1]
 
-        def _aranges(reps):
-            total = int(reps.sum())
-            starts = np.repeat(np.cumsum(reps) - reps, reps)
-            return np.arange(total) - starts
-
         # ordered near pairs -> per-row-node partner lists sorted by tree
         # start; block offsets = exclusive prefix of partner lengths
         POrd = np.fromiter((x for pair in Pnear for x in pair),
@@ -2108,11 +2110,6 @@ class nonlocalBuilder:
             # --- fully batched union boundaries + masks across ALL adjacent
             # cluster pairs (the former per-pair loop was the last O(pairs)
             # python component of the H2 build)
-            def _ar(reps):
-                totl = int(reps.sum())
-                starts = np.repeat(np.cumsum(reps) - reps, reps)
-                return np.arange(totl) - starts
-
             rA = nodeRow[pairsAdj[:, 0]]
             rB = nodeRow[pairsAdj[:, 1]]
             same = pairsAdj[:, 0] == pairsAdj[:, 1]
@@ -2120,7 +2117,7 @@ class nonlocalBuilder:
             l2 = np.where(same, 0, ncOff[rB + 1] - ncOff[rB])
             totA = l1 + l2
             pid = np.repeat(np.arange(len(pairsAdj)), totA)
-            locA = _ar(totA)
+            locA = _aranges(totA)
             fromA = locA < l1[pid]
             idxA = np.where(fromA, ncOff[rA[pid]] + locA,
                             ncOff[rB[pid]] + locA - l1[pid])
@@ -2137,12 +2134,15 @@ class nonlocalBuilder:
             eLo = np.minimum(e0, e1).astype(np.int64)
             eHi = np.maximum(e0, e1).astype(np.int64)
             Vn = np.int64(mesh.num_vertices)
-            ekey = (pidU[:, None] * (Vn * Vn) + eLo * Vn + eHi).reshape(-1)
-            orderE = np.argsort(ekey, kind='stable')
-            ek = ekey[orderE]
-            firstE = np.ones(len(ek), dtype=bool)
-            firstE[1:] = ek[1:] != ek[:-1]
-            lastE = np.ones(len(ek), dtype=bool)
+            # two-key lexsort (packing pid into the edge key would overflow
+            # int64 at large vertex/pair counts)
+            eK = (eLo * Vn + eHi).reshape(-1)
+            pK = np.broadcast_to(pidU[:, None], eLo.shape).reshape(-1)
+            orderE = np.lexsort((eK, pK))
+            ekS, pkS = eK[orderE], pK[orderE]
+            firstE = np.ones(len(ekS), dtype=bool)
+            firstE[1:] = (ekS[1:] != ekS[:-1]) | (pkS[1:] != pkS[:-1])
+            lastE = np.ones(len(ekS), dtype=bool)
             lastE[:-1] = firstE[1:]
             bIdx = orderE[firstE & lastE]           # pid-major order
             rowIdx = bIdx // 3
@@ -2180,7 +2180,7 @@ class nonlocalBuilder:
             facOff[1:] = np.cumsum(nFac)
             rep = nFac[kPid]
             if rep.sum():
-                posF = np.repeat(facOff[kPid], rep) + _ar(rep)
+                posF = np.repeat(facOff[kPid], rep) + _aranges(rep)
                 sp_cell.append(np.repeat(kCell, rep))
                 sp_fac.append(bFac[posF])
                 sp_nrm.append(nrm[posF])
@@ -2302,7 +2302,7 @@ class nonlocalBuilder:
         cluster pair only, bucket by quadrature order, and launch the
         device scan with per-pair (I, J, blockOffsets).  Host cost is
         O(pairs) enumeration + order model; nothing per-entry."""
-        from .panels import distantOrders, _cellDiameter, classifyPairList
+        from .panels import distantOrders, _cellDiameter
         dm, mesh = self.dm, self.mesh
         kernel = self.kernel
         C = mesh.num_cells
@@ -2372,11 +2372,17 @@ class nonlocalBuilder:
             hi = np.maximum(aa, bb)
             keep = lo != hi
             # within-cluster-pair dedup (cells incident to both I and J
-            # yield both orderings of the same unordered pair)
-            key = (pe - p0) * (C * C) + lo * C + hi
-            u = np.unique(key[keep])
-            pidx = u // (C * C) + p0
-            rem = u % (C * C)
+            # yield both orderings of the same unordered pair); two-key
+            # lexsort -- packing (pe, lo, hi) into one int64 would overflow
+            # for multi-million-cell meshes
+            peK, loK, hiK = pe[keep], lo[keep], hi[keep]
+            cellKey = loK * C + hiK
+            srtD = np.lexsort((cellKey, peK))
+            peK, cellKey = peK[srtD], cellKey[srtD]
+            uniq = np.ones(len(peK), dtype=bool)
+            uniq[1:] = (peK[1:] != peK[:-1]) | (cellKey[1:] != cellKey[:-1])
+            pidx = peK[uniq]
+            rem = cellKey[uniq]
             lo = rem // C
             hi = rem % C
             # exclude touching pairs (singular path handles them): one
