@@ -6,6 +6,9 @@ import os
 # the env var alone is not enough — we must override the jax config directly
 # before any backend is initialized.
 os.environ['JAX_PLATFORMS'] = 'cpu'
+# CPU compiles are fast; the persistent compile-cache writer has segfaulted
+# under pytest (zstd write inside put_executable_and_time), so disable it.
+os.environ['PYNUCLEUS_TPU_COMPILE_CACHE'] = ''
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
