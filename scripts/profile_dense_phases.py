@@ -52,7 +52,7 @@ def main():
     for mod, name in [(panels, 'classifyPairsDenseGrid'),
                       (panels, 'classifyBoundaryPairs'),
                       (asm, '_grid_distant_pass'),
-                      (asm, '_grid_boundary_pass')]:
+                      (asm, '_grid_boundary_blocks')]:
         orig[name] = getattr(mod, name)
         setattr(mod, name, timed(name, orig[name]))
     # assembly.py imports classifyBoundaryPairs by name
