@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Benchmark: the three BASELINE.json metrics on the attached accelerator.
+"""Benchmark: the BASELINE.json metrics on the attached accelerator.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extras"}.
 
@@ -20,10 +20,16 @@ our chip throughput / (8 x measured single-core rate): the north-star
 (BASELINE.md) compares a v5e-8 (8 chips) against 64 cores, i.e. one chip
 against 8 cores.  The extrapolated 64-core comparison is in extras.
 
-Robustness: every metric runs in its own SUBPROCESS with a wall-clock
-timeout, so a wedged accelerator tunnel or a slow secondary metric cannot
-take down the whole benchmark — failed metrics degrade to an 'error' entry
-in extras.
+Robustness (two layers):
+  * every metric runs in its own SUBPROCESS with a per-metric timeout, so a
+    wedged accelerator tunnel cannot take down the whole benchmark;
+  * the whole run observes a single GLOBAL wall-clock budget (env
+    BENCH_BUDGET, default 420 s).  Metrics run in priority order (primary
+    assembly metric first); once the remaining budget is too small for the
+    next metric it degrades to {'error': 'skipped: budget'} and the final
+    JSON line still prints.  If the live C++ anchor is skipped, the
+    committed measured rate (CPP_RATE_RECORDED, measured on this container,
+    see extras.cpp_baseline.source) anchors vs_baseline instead.
 """
 import json
 import os
@@ -33,6 +39,20 @@ import time
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _HERE)
+
+_T0 = time.monotonic()
+_BUDGET = float(os.environ.get('BENCH_BUDGET', '420'))
+# reserve for final JSON assembly / interpreter teardown
+_RESERVE = 5.0
+
+# Measured on this container (1 CPU core, -O3 -march=native) via
+# `python bench.py --metric baseline`; used when the live anchor is skipped
+# for budget.  Units: element pairs / s for the reference per-pair loop.
+CPP_RATE_RECORDED = 351e3
+
+
+def _remaining():
+    return _BUDGET - (time.monotonic() - _T0) - _RESERVE
 
 
 def _devAndDtype():
@@ -66,7 +86,9 @@ def benchAssembly():
     C = m.num_cells
     nPairs = C * (C + 1) // 2
     # warmup compiles all shapes once (persistent XLA cache across runs)
+    t0 = time.perf_counter()
     nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getDense()
+    cold = time.perf_counter() - t0
     elapsed = float('inf')
     for _ in range(2):
         t0 = time.perf_counter()
@@ -75,7 +97,7 @@ def benchAssembly():
         elapsed = min(elapsed, time.perf_counter() - t0)
     return {'pairs_per_s': nPairs / elapsed, 'nPairs': nPairs,
             'ndofs': dm.num_dofs, 'assembly_s': elapsed,
-            'platform': dev.platform}
+            'cold_assembly_s': cold, 'platform': dev.platform}
 
 
 def benchBaselineCpp():
@@ -190,26 +212,37 @@ def benchSolve():
             'cg_iters': int(iters)}
 
 
+# priority order: primary metric first, cheap anchors next
 _METRICS = {
-    'assembly': (benchAssembly, 3600),
-    'baseline': (benchBaselineCpp, 1200),
-    'h2': (benchH2Matvec, 1800),
-    'h2_2d': (benchH2Matvec2D, 1800),
-    'solve': (benchSolve, 1800),
+    'assembly': (benchAssembly, 300),
+    'baseline': (benchBaselineCpp, 120),
+    'h2': (benchH2Matvec, 180),
+    'h2_2d': (benchH2Matvec2D, 180),
+    'solve': (benchSolve, 180),
 }
 
 
 def _runMetricSubprocess(name):
     fn, tmo = _METRICS[name]
-    tmo = int(os.environ.get(f'BENCH_TIMEOUT_{name.upper()}', tmo))
+    tmo = float(os.environ.get(f'BENCH_TIMEOUT_{name.upper()}', tmo))
+    rem = _remaining()
+    if rem < 25.0:
+        return {'error': 'skipped: budget'}
+    tmo = min(tmo, rem)
+    t0 = time.monotonic()
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), '--metric', name],
             capture_output=True, text=True, timeout=tmo, cwd=_HERE)
     except subprocess.TimeoutExpired:
-        return {'error': f'timeout after {tmo}s'}
+        print(f'[bench] {name}: timeout after {tmo:.0f}s', file=sys.stderr)
+        return {'error': f'timeout after {tmo:.0f}s'}
+    dt = time.monotonic() - t0
     if r.returncode != 0:
+        print(f'[bench] {name}: rc={r.returncode} ({dt:.0f}s)',
+              file=sys.stderr)
         return {'error': r.stderr.strip()[-500:]}
+    print(f'[bench] {name}: ok ({dt:.0f}s)', file=sys.stderr)
     try:
         return json.loads(r.stdout.strip().splitlines()[-1])
     except Exception as e:                                   # noqa: BLE001
@@ -229,7 +262,14 @@ def main():
     slv = _runMetricSubprocess('solve')
 
     pairsPerS = asm.get('pairs_per_s', 0.0)
-    cppRate = cpp.get('cpp_rate_1core', 1.0e6)
+    if 'cpp_rate_1core' in cpp:
+        cppRate = cpp['cpp_rate_1core']
+        cpp['source'] = 'measured live'
+    else:
+        cppRate = CPP_RATE_RECORDED
+        cpp = {'cpp_rate_1core': cppRate,
+               'source': 'recorded (live anchor skipped: '
+                         + cpp.get('error', '?') + ')'}
     vs8core = pairsPerS / (8.0 * cppRate)
     vs64core = pairsPerS / (64.0 * cppRate)
 
@@ -244,12 +284,13 @@ def main():
         'extras': {
             'assembly': asm,
             'cpp_baseline': {k: (round(v, 1) if isinstance(v, float) else v)
-                             for k, v in cpp.items()} if 'error' not in cpp
-            else cpp,
+                             for k, v in cpp.items()},
             'vs_64core_fullNorthStar_perChipOf8': round(vs64core, 4),
             'h2_matvec_1d': h2,
             'h2_matvec_2d': h2_2d,
             'cg_solve': slv,
+            'budget_s': _BUDGET,
+            'wall_s': round(time.monotonic() - _T0, 1),
         },
     }
     print(json.dumps(result))

@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import REAL, INDEX
+from ..config import REAL, INDEX, toDevice as _jd
 
 __all__ = [
     'LinearOperator', 'Dense_LinearOperator', 'Diagonal_LinearOperator',
@@ -108,7 +108,7 @@ class LinearOperator:
         emulated on the MXU)."""
         def cast(a):
             if hasattr(a, 'dtype') and jnp.issubdtype(a.dtype, jnp.floating):
-                return jnp.asarray(a, dtype=dtype)
+                return _jd(a, dtype)
             return a
         return jax.tree_util.tree_map(cast, self)
 
@@ -297,8 +297,8 @@ class CSR_LinearOperator(LinearOperator):
             assert rowids is not None and num_rows is not None
             nr = num_rows
             self.indptr = None
-        self.rowids = jnp.asarray(rowids, dtype=INDEX)
-        self.indices = jnp.asarray(indices, dtype=INDEX)
+        self.rowids = _jd(rowids, INDEX)
+        self.indices = _jd(indices, INDEX)
         self.data = jnp.asarray(data)
         self.num_rows = int(nr)
         self.num_columns = int(num_columns) if num_columns is not None else int(nr)
@@ -421,8 +421,8 @@ class SSS_LinearOperator(LinearOperator):
             assert rowids is not None and num_rows is not None
             nr = num_rows
             self.indptr = None
-        self.rowids = jnp.asarray(rowids, dtype=INDEX)
-        self.indices = jnp.asarray(indices, dtype=INDEX)
+        self.rowids = _jd(rowids, INDEX)
+        self.indices = _jd(indices, INDEX)
         self.data = jnp.asarray(data)
         self.diag = jnp.asarray(diagonal)
         self.num_rows = self.num_columns = int(nr)

@@ -24,7 +24,9 @@ _cacheDir = os.environ.get("PYNUCLEUS_TPU_COMPILE_CACHE",
 if _cacheDir:
     try:
         jax.config.update("jax_compilation_cache_dir", _cacheDir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # persist even trivial programs: over the remote-TPU tunnel each
+        # compile round-trip costs ~0.3 s regardless of program size
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 
@@ -52,3 +54,16 @@ def is_tpu() -> bool:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
+
+
+def toDevice(x, dtype):
+    """Transfer host data to device at `dtype`, casting on the HOST.
+
+    `jnp.asarray(np_arr, dtype=...)` with a dtype mismatch jit-compiles a
+    per-shape convert_element_type program; over the remote-TPU tunnel each
+    trivial compile costs ~0.3 s and their count scales with the number of
+    distinct array shapes.  Casting with numpy first makes the transfer
+    compile-free.  Device arrays / tracers keep the jnp path."""
+    if isinstance(x, (np.ndarray, list, tuple, int, float)):
+        return jnp.asarray(np.asarray(x, dtype))
+    return jnp.asarray(x, dtype=dtype)

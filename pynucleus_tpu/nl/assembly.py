@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 import scipy.sparse as sp
 
-from ..config import REAL, INDEX, COMPLEX
+from ..config import REAL, INDEX, COMPLEX, toDevice as _jd
 from ..base.linear_operators import Dense_LinearOperator, CSR_LinearOperator
 from .panels import (classifyPairsDense, classifyBoundaryPairs,
                      permuteLocalDofs, _sharedPermFromEq)
@@ -524,6 +524,8 @@ def _pad(arr, P, fill=0):
     return np.concatenate([arr, np.full(pad_shape, fill, arr.dtype)], axis=0)
 
 
+
+
 def _chunk_size(chunk):
     """Pad to 256 * 4^k to bound the number of compiled shapes."""
     c = 256
@@ -637,7 +639,7 @@ class DeviceDenseAccumulator:
 
     def deviceAddRows(self, dofRows, M, mask, nPSI):
         self.A = _device_scatter_rows(
-            self.A, jnp.asarray(dofRows, dtype=INDEX), M,
+            self.A, _jd(dofRows, INDEX), M,
             jnp.asarray(mask) if mask is not None else None, nPSI)
 
     def result(self):
@@ -931,14 +933,14 @@ class _BucketRunner:
         # dtype=float32 selects the fast TPU path (f64 is emulated on TPU);
         # quadrature tables and geometry are cast once.
         self.dtype = dtype or REAL
-        self.vertices = jnp.asarray(vertices, dtype=self.dtype)
+        self.vertices = _jd(vertices, self.dtype)
         self.kernel = kernel
         self.useNormals = useNormals
         # device-resident mesh data for the natural-pair fast path
-        self.cellsDev = jnp.asarray(cells, dtype=INDEX) if cells is not None else None
-        self.dofsDev = jnp.asarray(dofs, dtype=INDEX) if dofs is not None else None
+        self.cellsDev = _jd(cells, INDEX) if cells is not None else None
+        self.dofsDev = _jd(dofs, INDEX) if dofs is not None else None
         self.dofsHost = np.asarray(dofs) if dofs is not None else None
-        self.volsDev = jnp.asarray(vols, dtype=self.dtype) if vols is not None else None
+        self.volsDev = _jd(vols, self.dtype) if vols is not None else None
 
     def runNatural(self, acc, rule, PSI, di, dj, symfac):
         # Fast path for id/distant buckets in natural dof order with a
@@ -947,10 +949,10 @@ class _BucketRunner:
         P = len(di)
         if P == 0:
             return
-        PSIP = jnp.asarray(_psi_prod(PSI), dtype=self.dtype)
-        bary_x = jnp.asarray(rule.bary_x, dtype=self.dtype)
-        bary_y = jnp.asarray(rule.bary_y, dtype=self.dtype)
-        w = jnp.asarray(rule.w, dtype=self.dtype)
+        PSIP = _jd(_psi_prod(PSI), self.dtype)
+        bary_x = _jd(rule.bary_x, self.dtype)
+        bary_y = _jd(rule.bary_y, self.dtype)
+        w = _jd(rule.w, self.dtype)
         nPSI = PSI.shape[0]
         Q = rule.num_nodes
         maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)), 256)
@@ -963,9 +965,9 @@ class _BucketRunner:
         sf[P:] = 0.0
         acc.A = _bucket_natural_scatter_scan(
             acc.A, self.vertices, self.cellsDev, self.dofsDev,
-            self.volsDev, jnp.asarray(dip, dtype=INDEX),
-            jnp.asarray(djp, dtype=INDEX),
-            jnp.asarray(sf.reshape(nChunks, chunk), dtype=self.dtype),
+            self.volsDev, _jd(dip, INDEX),
+            _jd(djp, INDEX),
+            _jd(sf.reshape(nChunks, chunk), self.dtype),
             bary_x, bary_y, w, PSIP, kernel=self.kernel, nPSI=nPSI)
 
     def runNaturalMaskedCSR(self, acc, rule, PSI, di, dj, symfac):
@@ -974,10 +976,10 @@ class _BucketRunner:
         P = len(di)
         if P == 0:
             return
-        PSIP = jnp.asarray(_psi_prod(PSI), dtype=self.dtype)
-        bary_x = jnp.asarray(rule.bary_x, dtype=self.dtype)
-        bary_y = jnp.asarray(rule.bary_y, dtype=self.dtype)
-        w = jnp.asarray(rule.w, dtype=self.dtype)
+        PSIP = _jd(_psi_prod(PSI), self.dtype)
+        bary_x = _jd(rule.bary_x, self.dtype)
+        bary_y = _jd(rule.bary_y, self.dtype)
+        w = _jd(rule.w, self.dtype)
         nPSI = PSI.shape[0]
         Q = rule.num_nodes
         maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)), 256)
@@ -996,10 +998,9 @@ class _BucketRunner:
                          dtype=np.int64)
         slotsP[:P] = slots
         acc.scanMasked((self.vertices, self.cellsDev, self.volsDev,
-                        jnp.asarray(dip, dtype=INDEX),
-                        jnp.asarray(djp, dtype=INDEX),
-                        jnp.asarray(sf.reshape(nChunks, chunk),
-                                    dtype=self.dtype),
+                        _jd(dip, INDEX),
+                        _jd(djp, INDEX),
+                        _jd(sf.reshape(nChunks, chunk), self.dtype),
                         jnp.asarray(slotsP.reshape(nChunks, chunk,
                                                    nPSI * nPSI)),
                         bary_x, bary_y, w, PSIP),
@@ -1013,10 +1014,10 @@ class _BucketRunner:
         P = vertIdx1.shape[0]
         if P == 0:
             return
-        PSIP = jnp.asarray(_psi_prod(PSI), dtype=self.dtype)
-        bary_x = jnp.asarray(rule.bary_x, dtype=self.dtype)
-        bary_y = jnp.asarray(rule.bary_y, dtype=self.dtype)
-        w = jnp.asarray(rule.w, dtype=self.dtype)
+        PSIP = _jd(_psi_prod(PSI), self.dtype)
+        bary_x = _jd(rule.bary_x, self.dtype)
+        bary_y = _jd(rule.bary_y, self.dtype)
+        w = _jd(rule.w, self.dtype)
         nPSI = PSI.shape[0]
         Q = rule.num_nodes
         maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)), 256)
@@ -1041,9 +1042,9 @@ class _BucketRunner:
             if normals is not None else np.zeros((nCh, chunk, dim))
         acc.A = _bucket_rows_scatter_scan(
             acc.A, self.vertices,
-            jnp.asarray(vi1, dtype=INDEX), jnp.asarray(vi2, dtype=INDEX),
-            jnp.asarray(dr, dtype=INDEX), jnp.asarray(vs, dtype=self.dtype),
-            jnp.asarray(nm, dtype=self.dtype),
+            _jd(vi1, INDEX), _jd(vi2, INDEX),
+            _jd(dr, INDEX), _jd(vs, self.dtype),
+            _jd(nm, self.dtype),
             bary_x, bary_y, w, PSIP, kernel=self.kernel, nPSI=nPSI,
             useNormals=self.useNormals)
 
@@ -1061,16 +1062,12 @@ class _BucketRunner:
         if nonsym:
             PHIx, PHIy = PHI
             nn, Q_ = PSI.shape
-            PHIxPSI = jnp.asarray(
-                (PHIx[:, None, :] * PSI[None, :, :]).reshape(nn * nn, Q_).T.copy(),
-                dtype=self.dtype)
-            PHIyPSI = jnp.asarray(
-                (PHIy[:, None, :] * PSI[None, :, :]).reshape(nn * nn, Q_).T.copy(),
-                dtype=self.dtype)
-        PSIP = jnp.asarray(_psi_prod(PSI), dtype=self.dtype)
-        bary_x = jnp.asarray(rule.bary_x, dtype=self.dtype)
-        bary_y = jnp.asarray(rule.bary_y, dtype=self.dtype)
-        w = jnp.asarray(rule.w, dtype=self.dtype)
+            PHIxPSI = _jd((PHIx[:, None, :] * PSI[None, :, :]).reshape(nn * nn, Q_).T.copy(), self.dtype)
+            PHIyPSI = _jd((PHIy[:, None, :] * PSI[None, :, :]).reshape(nn * nn, Q_).T.copy(), self.dtype)
+        PSIP = _jd(_psi_prod(PSI), self.dtype)
+        bary_x = _jd(rule.bary_x, self.dtype)
+        bary_y = _jd(rule.bary_y, self.dtype)
+        w = _jd(rule.w, self.dtype)
         nPSI = PSI.shape[0]
         Q = rule.num_nodes
         # bound the [P, Q] intermediate: ~32M elements per launch
@@ -1085,21 +1082,19 @@ class _BucketRunner:
             vs = _pad(volsym[sl], csize, fill=0.0).astype(self.dtype)
             nm = None
             if self.useNormals:
-                nm = jnp.asarray(_pad(normals[sl], csize, fill=0.0),
-                                 dtype=self.dtype)
+                nm = _jd(_pad(normals[sl], csize, fill=0.0), self.dtype)
             yo = None
             if yOffset is not None:
-                yo = jnp.asarray(_pad(yOffset[sl], csize, fill=0.0),
-                                 dtype=self.dtype)
+                yo = _jd(_pad(yOffset[sl], csize, fill=0.0), self.dtype)
             if nonsym:
                 M = _bucket_contrib_nonsym(
-                    self.vertices, jnp.asarray(vi1, dtype=INDEX),
-                    jnp.asarray(vi2, dtype=INDEX), jnp.asarray(vs),
+                    self.vertices, _jd(vi1, INDEX),
+                    _jd(vi2, INDEX), jnp.asarray(vs),
                     bary_x, bary_y, w, PHIxPSI, PHIyPSI, kernel=self.kernel)
             else:
                 M = _bucket_contrib(
-                    self.vertices, jnp.asarray(vi1, dtype=INDEX),
-                    jnp.asarray(vi2, dtype=INDEX), jnp.asarray(vs),
+                    self.vertices, _jd(vi1, INDEX),
+                    _jd(vi2, INDEX), jnp.asarray(vs),
                     bary_x, bary_y, w, PSIP,
                     normals=nm, kernel=self.kernel, useNormals=self.useNormals,
                     yShift=yo, useYShift=yo is not None)
@@ -1480,21 +1475,20 @@ class nonlocalBuilder:
             keep = d2p < tMin
 
         V = mesh.vertices[mesh.cells]
-        vols = jnp.asarray(mesh.simplexVolumes(), dtype=dtype)
+        vols = _jd(mesh.simplexVolumes(), dtype)
         ccf = jnp.asarray(cc32)
-        rowDofPad = jnp.asarray(dm.dofs, dtype=INDEX)
-        colDof = jnp.asarray(
-            np.where(dm.dofs >= 0, dm.dofs, N).reshape(-1), dtype=INDEX)
+        rowDofPad = _jd(dm.dofs, INDEX)
+        colDof = _jd(np.where(dm.dofs >= 0, dm.dofs, N).reshape(-1), INDEX)
 
         for o, t_lo, t_hi in cuts:
             b1, w1 = simplexCompact(o, mdim)
             Q1 = len(w1)
-            X = jnp.asarray(np.einsum('qk,ckd->cqd', b1, V), dtype=dtype)
+            X = _jd(np.einsum('qk,ckd->cqd', b1, V), dtype)
             Phi = dm.evalPhi(b1)                           # [dpe, Q1]
-            PhiX = jnp.asarray(Phi, dtype=dtype)
-            PhiXw = jnp.asarray(Phi * w1[None, :], dtype=dtype)
-            PsiYw = jnp.asarray(-Phi * w1[None, :], dtype=dtype)
-            w1d = jnp.asarray(w1, dtype=dtype)
+            PhiX = _jd(Phi, dtype)
+            PhiXw = _jd(Phi * w1[None, :], dtype)
+            PsiYw = _jd(-Phi * w1[None, :], dtype)
+            w1d = _jd(w1, dtype)
             Ct = int(max(8, min(C, (1 << 25) // max(C * Q1 * Q1, 1))))
             nTiles = -(-C // Ct)
             acc.A = _grid_distant_pass(
@@ -1528,7 +1522,7 @@ class nonlocalBuilder:
                 type(kernel.interaction).__name__ == 'ball2':
             # exact polar clipping for the L2 ball (see _bucket_cut2d_polar)
             from ..fem.quadrature import simplexDuffy, gauss01
-            exps = jnp.asarray(dm.evalPhi.monomialExps, dtype=REAL) \
+            exps = _jd(dm.evalPhi.monomialExps, REAL) \
                 if dm.polynomialOrder > 0 else jnp.zeros((1, 3))
             Vinv = jnp.asarray(dm.evalPhi.Vinv) \
                 if dm.polynomialOrder > 0 else jnp.ones((1, 1))
@@ -1541,8 +1535,8 @@ class nonlocalBuilder:
                 thetas, wtheta = gauss01(max(int(order) // 2 + 2, 6))
                 rq, wr = gauss01(max(int(order) // 2, 4))
                 M = _bucket_cut2d_polar(
-                    vertices, jnp.asarray(cells[ii], dtype=INDEX),
-                    jnp.asarray(cells[jj], dtype=INDEX),
+                    vertices, _jd(cells[ii], INDEX),
+                    _jd(cells[jj], INDEX),
                     jnp.asarray(vols[ii]),
                     jnp.asarray(bary_x.T.copy()), jnp.asarray(wx),
                     jnp.asarray(thetas), jnp.asarray(wtheta),
@@ -1605,8 +1599,8 @@ class nonlocalBuilder:
             iiA = np.concatenate([ii, jj])
             jjA = np.concatenate([jj, ii])
             M = _bucket_cut1d(vertices,
-                              jnp.asarray(cells[iiA], dtype=INDEX),
-                              jnp.asarray(cells[jjA], dtype=INDEX),
+                              _jd(cells[iiA], INDEX),
+                              _jd(cells[jjA], INDEX),
                               jnp.asarray(vols[iiA]),
                               jnp.asarray(tq), jnp.asarray(wq),
                               jnp.asarray(ur), jnp.asarray(wr),
@@ -1866,7 +1860,7 @@ class nonlocalBuilder:
                 gridC = batchedChebyshevGrids(m, childBoxes)   # [size, M, d]
                 entry['T'] = jnp.asarray(
                     batchedLagrangeEval(m, parBoxes, gridC))   # [size, M, M]
-                entry['parentIdx'] = jnp.asarray(parentIdx, dtype=INDEX)
+                entry['parentIdx'] = _jd(parentIdx, INDEX)
             levels.append(entry)
 
         # ---- far-field kernel blocks per level (batched: ONE jitted kernel
@@ -1896,8 +1890,8 @@ class nonlocalBuilder:
             dst = np.fromiter((pos[i] for (i, j) in cplist),
                               dtype=np.int64, count=pN)
             levels[ell]['K'] = jnp.asarray(K)
-            levels[ell]['src'] = jnp.asarray(src, dtype=INDEX)
-            levels[ell]['dst'] = jnp.asarray(dst, dtype=INDEX)
+            levels[ell]['src'] = _jd(src, INDEX)
+            levels[ell]['dst'] = _jd(dst, INDEX)
 
         # ---- leaf integrals Phi_A[i, k] = int phi_i L_k^A
         leaves = [nd for nd in nodes if nd.isLeaf]
@@ -1966,7 +1960,7 @@ class nonlocalBuilder:
         # UNION of their masks (ref tupleDictMASK machinery).
         Anear = self._assembleNearField(Pnear, nodes)
 
-        op = H2Matrix(Anear, jnp.asarray(leafDofs, dtype=INDEX),
+        op = H2Matrix(Anear, _jd(leafDofs, INDEX),
                       jnp.asarray(leafPhi), (lvlIdx, posIdx), levels, N,
                       symmetric=kernel.symmetric)
         return op
@@ -2496,10 +2490,10 @@ class nonlocalBuilder:
             return
         if deviceAcc:
             dtype = runner.dtype
-            PSIP = jnp.asarray(_psi_prod(PSI), dtype=dtype)
-            bary_x = jnp.asarray(rule.bary_x, dtype=dtype)
-            bary_y = jnp.asarray(rule.bary_y, dtype=dtype)
-            w = jnp.asarray(rule.w, dtype=dtype)
+            PSIP = _jd(_psi_prod(PSI), dtype)
+            bary_x = _jd(rule.bary_x, dtype)
+            bary_y = _jd(rule.bary_y, dtype)
+            w = _jd(rule.w, dtype)
             Q = rule.num_nodes
             maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)),
                        256)
@@ -2508,20 +2502,20 @@ class nonlocalBuilder:
             totP = nCh * chunk
 
             def padI(a, fill=0):
-                return jnp.asarray(_pad(np.asarray(a), totP, fill=fill)
-                                   .reshape(nCh, chunk), dtype=INDEX)
+                return _jd(_pad(np.asarray(a), totP, fill=fill)
+                                   .reshape(nCh, chunk), INDEX)
 
             sf = np.full(totP, 2.0)
             sf[P:] = 0.0
             if not hasattr(acc, '_treeDev'):
                 acc._treeDev = (
-                    jnp.asarray(mesh.cells, dtype=INDEX),
-                    jnp.asarray(mesh.simplexVolumes(), dtype=runner.dtype),
-                    jnp.asarray(dofs, dtype=INDEX),
-                    jnp.asarray(treePos, dtype=INDEX),
-                    jnp.asarray(dofNode, dtype=INDEX),
-                    jnp.asarray(indptrT, dtype=jnp.int32),
-                    jnp.asarray(tStartOfNode, dtype=jnp.int32))
+                    _jd(mesh.cells, INDEX),
+                    _jd(mesh.simplexVolumes(), runner.dtype),
+                    _jd(dofs, INDEX),
+                    _jd(treePos, INDEX),
+                    _jd(dofNode, INDEX),
+                    _jd(indptrT, jnp.int32),
+                    _jd(tStartOfNode, jnp.int32))
             cellsD, volsD, dofsD, treePosD, dofNodeD, indptrD, tStartD = \
                 acc._treeDev
             acc.data = _bucket_tree_csr_scan(
@@ -2529,16 +2523,16 @@ class nonlocalBuilder:
                 treePosD, dofNodeD, indptrD, tStartD,
                 padI(lo), padI(hi), padI(Inid), padI(Jnid),
                 padI(offF), padI(offB),
-                jnp.asarray(sf.reshape(nCh, chunk), dtype=runner.dtype),
+                _jd(sf.reshape(nCh, chunk), runner.dtype),
                 bary_x, bary_y, w, PSIP, kernel=kernel)
         else:
             # host scatter path (CPU runs): same arithmetic slots, numpy
             nnz = acc.pattern.nnz
             vols = mesh.simplexVolumes()
-            bx = jnp.asarray(rule.bary_x, dtype=runner.dtype)
-            by = jnp.asarray(rule.bary_y, dtype=runner.dtype)
-            wD = jnp.asarray(rule.w, dtype=runner.dtype)
-            PSIP = jnp.asarray(_psi_prod(PSI), dtype=runner.dtype)
+            bx = _jd(rule.bary_x, runner.dtype)
+            by = _jd(rule.bary_y, runner.dtype)
+            wD = _jd(rule.w, runner.dtype)
+            PSIP = _jd(_psi_prod(PSI), runner.dtype)
             step = max((1 << 23) // max(rule.num_nodes, 1), 1024)
             for s0 in range(0, P, step):
                 sl = slice(s0, s0 + step)
@@ -2560,10 +2554,9 @@ class nonlocalBuilder:
                     np.where(mB, rowStart[:, :, None]
                              + offB[sl][:, None, None] + colB, nnz))
                 M = np.asarray(_bucket_contrib(
-                    runner.vertices, jnp.asarray(mesh.cells[loS], dtype=INDEX),
-                    jnp.asarray(mesh.cells[hiS], dtype=INDEX),
-                    jnp.asarray(vols[loS] * vols[hiS] * 2.0,
-                                dtype=runner.dtype),
+                    runner.vertices, _jd(mesh.cells[loS], INDEX),
+                    _jd(mesh.cells[hiS], INDEX),
+                    _jd(vols[loS] * vols[hiS] * 2.0, runner.dtype),
                     bx, by, wD, PSIP, kernel=kernel))
                 np.add.at(acc.data, slot.reshape(len(loS), -1), M)
 
@@ -2981,13 +2974,13 @@ class nonlocalBuilder:
         S = surface.num_cells
         N = dm.num_dofs
         useNormals = mdim >= 2
-        vols = jnp.asarray(mesh.simplexVolumes(), dtype=dtype)
+        vols = _jd(mesh.simplexVolumes(), dtype)
         svols = surface.simplexVolumes() if mdim >= 2 else np.ones(S)
-        rowDofPad = jnp.asarray(dm.dofs, dtype=INDEX)
+        rowDofPad = _jd(dm.dofs, INDEX)
         V = mesh.vertices[mesh.cells]
         SV = mesh.vertices[surface.cells].reshape(S, max(mdim, 1), -1) \
             if mdim >= 2 else mesh.vertices[surface.cells.reshape(S, 1)]
-        normals = jnp.asarray(surface.normals, dtype=dtype) if useNormals \
+        normals = _jd(surface.normals, dtype) if useNormals \
             else jnp.zeros((S, mesh.dim), dtype=dtype)
 
         # one pass at order 4 covers every pair requiring order <= 4 (the
@@ -3005,13 +2998,12 @@ class nonlocalBuilder:
             else:
                 b2, w2 = np.ones((1, 1)), np.ones(1)
             Q2 = len(w2)
-            X = jnp.asarray(np.einsum('qk,ckd->cqd', b1, V), dtype=dtype)
-            Ysurf = jnp.asarray(np.einsum('qk,skd->sqd', b2, SV),
-                                dtype=dtype)
+            X = _jd(np.einsum('qk,ckd->cqd', b1, V), dtype)
+            Ysurf = _jd(np.einsum('qk,skd->sqd', b2, SV), dtype)
             Phi = dm.evalPhi(b1)
-            PhiX = jnp.asarray(Phi, dtype=dtype)
-            PhiXw = jnp.asarray(Phi * w1[None, :], dtype=dtype)
-            svolw2 = jnp.asarray(svols[:, None] * w2[None, :], dtype=dtype)
+            PhiX = _jd(Phi, dtype)
+            PhiXw = _jd(Phi * w1[None, :], dtype)
+            svolw2 = _jd(svols[:, None] * w2[None, :], dtype)
             Ct = int(max(8, min(C, (1 << 24) // max(S * Q1 * Q2, 1))))
             nTiles = -(-C // Ct)
             # per-tile mask pair lists (vectorized fill)
@@ -3030,8 +3022,8 @@ class nonlocalBuilder:
                 mC[ts, pos] = mj[srt]
             Bxx = _grid_boundary_blocks(
                 X, Ysurf, svolw2, vols, normals,
-                PhiXw, PhiX, jnp.asarray(w1, dtype=dtype),
-                jnp.asarray(mR, dtype=INDEX), jnp.asarray(mC, dtype=INDEX),
+                PhiXw, PhiX, _jd(w1, dtype),
+                _jd(mR, INDEX), _jd(mC, INDEX),
                 kernel=bkernel, nTiles=nTiles, Ct=Ct,
                 useNormals=useNormals, maskIn=maskIn, dtype=dtype)
             if sign != 1.0:

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..base.linear_operators import LinearOperator, Dense_LinearOperator
+from ..config import toDevice as _jd
 
 
 class admissibleSet:
@@ -272,7 +273,7 @@ class multiIntervalInterpolationOperator(LinearOperator):
         ops = self._intervalOps()
         if all(isinstance(op, Dense_LinearOperator) for op in ops):
             stack = self._denseStack()
-            w = jnp.asarray(self._weights, dtype=stack.dtype)
+            w = _jd(self._weights, stack.dtype)
             return jnp.einsum('m,mnk,k->n', w, stack, jnp.asarray(x))
         y = self._weights[0] * (ops[0] @ x)
         for w, op in zip(self._weights[1:], ops[1:]):

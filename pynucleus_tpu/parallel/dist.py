@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
-from ..config import REAL, INDEX
+from ..config import REAL, INDEX, toDevice as _jd
 
 __all__ = ['makeDeviceMesh', 'shardedDenseAssembly', 'rowShardedOperator',
            'distributedSolveStep', 'DistributedRowBlockOperator',
@@ -67,8 +67,8 @@ def shardedDenseAssembly(dm, kernel, mesh, axis='d'):
     # order, pairs split over the device mesh
     di, dj, orders = info['distant']
     vertices = jnp.asarray(meshM.vertices)
-    cellsArr = jnp.asarray(meshM.cells, dtype=INDEX)
-    dofsArr = jnp.asarray(dm.dofs, dtype=INDEX)
+    cellsArr = _jd(meshM.cells, INDEX)
+    dofsArr = _jd(dm.dofs, INDEX)
     volsArr = jnp.asarray(meshM.simplexVolumes())
 
     A = jnp.zeros((N + 1, N + 1), dtype=REAL)
@@ -117,8 +117,8 @@ def shardedDenseAssembly(dm, kernel, mesh, axis='d'):
             assembleShard, mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis)),
             out_specs=P())
-        A = A + jax.jit(shardFn)(jnp.asarray(iiP, dtype=INDEX),
-                                 jnp.asarray(jjP, dtype=INDEX),
+        A = A + jax.jit(shardFn)(_jd(iiP, INDEX),
+                                 _jd(jjP, INDEX),
                                  jnp.asarray(fac))
 
     from ..base.linear_operators import Dense_LinearOperator

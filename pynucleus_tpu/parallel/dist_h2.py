@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P, NamedSharding
 
-from ..config import REAL, INDEX
+from ..config import REAL, INDEX, toDevice as _jd
 
 __all__ = ['DistributedH2Matrix', 'DistributedCSROperator',
            'dryrunDistributedH2']
@@ -541,7 +541,7 @@ class DistributedH2Matrix:
                     P(axis))
         smfn = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                              out_specs=P(axis))
-        g2l = jnp.asarray(self._localDofFlat, dtype=INDEX)
+        g2l = _jd(self._localDofFlat, INDEX)
         shardD = NamedSharding(mesh, P(axis))
 
         def mv(sh, rp, x):
@@ -652,7 +652,7 @@ class DistributedCSROperator:
                     for k, v in dict(nearRow=nearRow, nearCol=nearCol,
                                      nearDat=nearDat,
                                      sendSlotX=sendSlotX).items()}
-        g2l = jnp.asarray(self._localDofFlat, dtype=INDEX)
+        g2l = _jd(self._localDofFlat, INDEX)
 
         def body(sh, xl):
             loc = {k: v[0] for k, v in sh.items()}

@@ -12,7 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import INDEX
+from ..config import INDEX, toDevice as _jd
 
 __all__ = ['Map', 'Import', 'DistVector', 'DistMatrix']
 
@@ -105,8 +105,8 @@ class Import:
         gc = np.clip(g, 0, S.numGlobal - 1)
         gatherPart = np.where(valid, S.owner[gc], 0)
         gatherSlot = np.where(valid, S.slot[gc], 0)
-        self.gatherPart = jnp.asarray(gatherPart, dtype=INDEX)
-        self.gatherSlot = jnp.asarray(gatherSlot, dtype=INDEX)
+        self.gatherPart = _jd(gatherPart, INDEX)
+        self.gatherSlot = _jd(gatherSlot, INDEX)
 
     def apply(self, distVec):
         """DistVector on sourceMap -> DistVector on targetMap (one take)."""
@@ -145,8 +145,8 @@ class DistMatrix:
             nr[ps, pos] = slotOf[srt]
             nc[ps, pos] = cols[srt]
             nd[ps, pos] = data[srt]
-            self._csr = (jnp.asarray(nr, dtype=INDEX),
-                         jnp.asarray(nc, dtype=INDEX), jnp.asarray(nd))
+            self._csr = (_jd(nr, INDEX),
+                         _jd(nc, INDEX), jnp.asarray(nd))
             self.blocks = None
             R_ = R
 

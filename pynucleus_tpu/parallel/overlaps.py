@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P, NamedSharding
 
-from ..config import INDEX, REAL
+from ..config import INDEX, REAL, toDevice as _jd
 
 __all__ = ['buildCellOverlap', 'OverlappingDofPartition',
            'AlgebraicOverlapManager', 'Repartitioner',
@@ -229,9 +229,9 @@ class AlgebraicOverlapManager:
         """Jitted sharded accumulate: [nParts, maxLocal] sharded over
         ``axis`` -> same, accumulated.  One all_gather of packed outboxes
         on the ICI."""
-        packSlot = jnp.asarray(self.packSlot, dtype=INDEX)
-        recvPos = jnp.asarray(self.recvPos, dtype=INDEX)
-        recvSlot = jnp.asarray(self.recvSlot, dtype=INDEX)
+        packSlot = _jd(self.packSlot, INDEX)
+        recvPos = _jd(self.recvPos, INDEX)
+        recvSlot = _jd(self.recvSlot, INDEX)
         spec = NamedSharding(mesh, P(axis))
 
         def body(ps, rp, rs, Xl):
@@ -291,8 +291,8 @@ class Repartitioner:
         gathers its target slots with static indices — the collective
         analogue of the reference's point-to-point cell/dof Isends
         (repartitioner.pyx getRepartitionedSubdomains)."""
-        gp = jnp.asarray(self.gatherPart, dtype=INDEX)
-        gs = jnp.asarray(self.gatherSlot, dtype=INDEX)
+        gp = _jd(self.gatherPart, INDEX)
+        gs = _jd(self.gatherSlot, INDEX)
         vm = jnp.asarray(self.validMask)
         spec = NamedSharding(mesh, P(axis))
         nd = self.src.nParts
