@@ -21,7 +21,31 @@ jax.config.update("jax_default_matmul_precision", "float32")
 # processes, so drivers/benchmarks pay compiles once per mesh size.
 _cacheDir = os.environ.get("PYNUCLEUS_TPU_COMPILE_CACHE",
                            os.path.expanduser("~/.cache/pynucleus_tpu_xla"))
+
+
+def _machineKey():
+    """Scope the persistent cache by host CPU fingerprint.
+
+    XLA:CPU AOT executables embed the compile machine's feature set; loading
+    them on a different host warns loudly and can SIGILL.  The XLA cache key
+    does not include CPU features, so we key the directory instead."""
+    import hashlib
+    import platform
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    h = hashlib.sha1(f"{platform.machine()}|{feats}".encode()).hexdigest()
+    return h[:12]
+
+
 if _cacheDir:
+    _cacheDir = os.path.join(_cacheDir, _machineKey())
     try:
         jax.config.update("jax_compilation_cache_dir", _cacheDir)
         # persist even trivial programs: over the remote-TPU tunnel each

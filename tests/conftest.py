@@ -6,9 +6,14 @@ import os
 # the env var alone is not enough — we must override the jax config directly
 # before any backend is initialized.
 os.environ['JAX_PLATFORMS'] = 'cpu'
-# CPU compiles are fast; the persistent compile-cache writer has segfaulted
-# under pytest (zstd write inside put_executable_and_time), so disable it.
-os.environ['PYNUCLEUS_TPU_COMPILE_CACHE'] = ''
+# The persistent compile cache is machine-keyed (config._machineKey) so AOT
+# executables from a different host CPU can no longer be loaded (that was the
+# earlier segfault: stale cache entries compiled with mismatched machine
+# features).  Keep a test-scoped subdir so suite entries don't churn the
+# driver/bench cache.
+os.environ.setdefault(
+    'PYNUCLEUS_TPU_COMPILE_CACHE',
+    os.path.expanduser('~/.cache/pynucleus_tpu_xla_tests'))
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
