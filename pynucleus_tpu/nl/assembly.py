@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -40,6 +42,13 @@ __all__ = ['assembleNonlocal', 'nonlocalBuilder']
 DROP = np.iinfo(np.int32).min // 2
 
 MAX_PAIRS_PER_LAUNCH = 1 << 18
+
+# Cap on the per-scan-step chunk: XLA compile time of the bucket kernels is
+# strongly super-linear in the chunk (262144 -> ~45 s per kernel on a v5e,
+# 8192 -> ~4 s) while steady-state throughput is chunk-insensitive (the scan
+# trip count absorbs the pair-stream growth).  Small fixed chunks make the
+# per-mesh-size compile bill ~O(#buckets x 4 s) instead of minutes.
+CHUNK_CAP = int(os.environ.get('PYNUCLEUS_TPU_CHUNK_CAP', 8192))
 
 
 def _radial_eval(kernel, r2, x=None, y=None):
@@ -527,11 +536,12 @@ def _pad(arr, P, fill=0):
 
 
 def _chunk_size(chunk):
-    """Pad to 256 * 4^k to bound the number of compiled shapes."""
+    """Pad to 256 * 4^k, capped at CHUNK_CAP, to bound both the number of
+    compiled shapes and the per-kernel compile time (see CHUNK_CAP)."""
     c = 256
-    while c < chunk:
+    while c < chunk and c < CHUNK_CAP:
         c *= 4
-    return c
+    return min(c, CHUNK_CAP)
 
 
 @partial(jax.jit, static_argnames=('kernel',))
@@ -539,6 +549,124 @@ def _farFieldBlocks(gi, gj, kernel=None):
     """K[p, a, b] = gamma(gi[p, a], gj[p, b]) for batched Chebyshev grids
     (ref assembleFarFieldInteractions clusterMethodCy.pyx:2153)."""
     return kernel.jaxEval(gi[:, :, None, :], gj[:, None, :, :])
+
+
+class _ParallelCompiler:
+    """Parallel-compile launcher for the bucket kernels.
+
+    The XLA compile service behind the remote-TPU tunnel processes
+    concurrent compile requests almost perfectly in parallel (8 threads:
+    ~10 s wall for 8 kernels that take ~170 s serially), but `jax.jit`'s
+    implicit compile-on-first-call is serial.  Every bucket launch
+    therefore goes through :func:`_launch`, which keeps a registry of
+    AOT-compiled executables keyed by (fn, static args, arg shapes):
+
+    * **harvest mode** (within :func:`_harvest`): the launch is lowered and
+      queued instead of executed; the donated accumulator (or zeros of the
+      output shape) is returned so the surrounding value-independent
+      orchestration keeps running.  The assembly drivers run one throwaway
+      pass in this mode, then :meth:`compilePending` compiles every queued
+      kernel concurrently.
+    * **normal mode**: executes the registered executable (compiling
+      serially on a miss, so a launch the harvest pass did not see still
+      works)."""
+
+    def __init__(self):
+        self.compiled = {}
+        self.pending = {}
+        self.outinfo = {}
+        self.harvesting = False
+
+    @staticmethod
+    def _key(fn, args, dynkw, statics):
+        leaves, treedef = jax.tree.flatten((args, dynkw))
+        sig = tuple((np.shape(l), np.result_type(l).name) for l in leaves)
+        return (fn, tuple(sorted(statics.items())), treedef, sig)
+
+    def launch(self, fn, *args, _statics=None, **dynkw):
+        statics = _statics or {}
+        if not hasattr(fn, 'lower'):
+            # plain callable (e.g. a profiling monkeypatch): bypass AOT
+            return fn(*args, **dynkw, **statics)
+        key = self._key(fn, args, dynkw, statics)
+        if self.harvesting:
+            if key not in self.compiled and key not in self.pending:
+                lowered = fn.lower(*args, **dynkw, **statics)
+                self.pending[key] = lowered
+                self.outinfo[key] = lowered.out_info
+            return self._placeholder(key, args)
+        ex = self.compiled.get(key)
+        if ex is None:
+            lowered = self.pending.pop(
+                key, None) or fn.lower(*args, **dynkw, **statics)
+            self.outinfo[key] = lowered.out_info
+            ex = lowered.compile()
+            self.compiled[key] = ex
+        return ex(*args, **dynkw)
+
+    def _placeholder(self, key, args):
+        """Output stand-in for a harvested launch: the donated first arg
+        when shapes match (accumulator pattern), zeros otherwise."""
+        leaves, treedef = jax.tree.flatten(self.outinfo[key])
+        if (len(leaves) == 1 and len(args) and hasattr(args[0], 'shape')
+                and leaves[0].shape == tuple(args[0].shape)
+                and leaves[0].dtype == args[0].dtype):
+            return jax.tree.unflatten(treedef, [args[0]])
+        return jax.tree.unflatten(
+            treedef, [jnp.zeros(l.shape, l.dtype) for l in leaves])
+
+    def compilePending(self):
+        if not self.pending:
+            return
+        items = list(self.pending.items())
+        self.pending.clear()
+        nThreads = min(int(os.environ.get(
+            'PYNUCLEUS_TPU_COMPILE_THREADS', '16')), len(items))
+        if nThreads <= 1:
+            for k, low in items:
+                self.compiled[k] = low.compile()
+            return
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(nThreads) as pool:
+            for k, ex in zip([k for k, _ in items],
+                             pool.map(lambda kl: kl[1].compile(), items)):
+                self.compiled[k] = ex
+
+
+_compiler = _ParallelCompiler()
+
+
+def _launch(fn, *args, _statics=None, **dynkw):
+    return _compiler.launch(fn, *args, _statics=_statics, **dynkw)
+
+
+# problem signatures whose launches were already harvested this process
+_HARVESTED = set()
+
+
+def _parallelCompileWorthIt():
+    """Harvest passes pay off when compiles are remote/parallel (TPU
+    tunnel); on the CPU test backend the extra pass is pure overhead."""
+    v = os.environ.get('PYNUCLEUS_TPU_PARALLEL_COMPILE')
+    if v is not None:
+        return v not in ('0', 'false', 'no')
+    return jax.devices()[0].platform != 'cpu'
+
+
+class _harvest:
+    """Context manager: record-and-queue bucket launches instead of
+    executing them, then compile everything queued in parallel on exit."""
+
+    def __enter__(self):
+        self._prev = _compiler.harvesting
+        _compiler.harvesting = True
+        return self
+
+    def __exit__(self, *exc):
+        _compiler.harvesting = self._prev
+        if not _compiler.harvesting and exc[0] is None:
+            _compiler.compilePending()
+        return False
 
 
 class _PatternMaskLookup:
@@ -638,9 +766,11 @@ class DeviceDenseAccumulator:
         self.A = jnp.zeros((N + 1, N + 1), dtype=self.dtype)
 
     def deviceAddRows(self, dofRows, M, mask, nPSI):
-        self.A = _device_scatter_rows(
+        self.A = _launch(
+            _device_scatter_rows,
             self.A, _jd(dofRows, INDEX), M,
-            jnp.asarray(mask) if mask is not None else None, nPSI)
+            jnp.asarray(mask) if mask is not None else None,
+            _statics=dict(nPSI=nPSI))
 
     def result(self):
         from ..base.linear_operators import Dense_LinearOperator
@@ -867,8 +997,8 @@ class DeviceCSRAccumulator:
 
     # --- device scan path
     def scanMasked(self, runnerArgs, kernel=None):
-        self.data = _bucket_masked_csr_scan(self.data, *runnerArgs,
-                                            kernel=kernel)
+        self.data = _launch(_bucket_masked_csr_scan, self.data, *runnerArgs,
+                            _statics=dict(kernel=kernel))
 
     def result(self):
         data = jnp.asarray(self.hostData[:-1]) \
@@ -963,12 +1093,14 @@ class _BucketRunner:
         djp = _pad(np.asarray(dj), total, fill=0).reshape(nChunks, chunk)
         sf = np.full(total, float(symfac))
         sf[P:] = 0.0
-        acc.A = _bucket_natural_scatter_scan(
+        acc.A = _launch(
+            _bucket_natural_scatter_scan,
             acc.A, self.vertices, self.cellsDev, self.dofsDev,
             self.volsDev, _jd(dip, INDEX),
             _jd(djp, INDEX),
             _jd(sf.reshape(nChunks, chunk), self.dtype),
-            bary_x, bary_y, w, PSIP, kernel=self.kernel, nPSI=nPSI)
+            bary_x, bary_y, w, PSIP,
+            _statics=dict(kernel=self.kernel, nPSI=nPSI))
 
     def runNaturalMaskedCSR(self, acc, rule, PSI, di, dj, symfac):
         """Masked natural-order bucket into a DeviceCSRAccumulator: whole
@@ -1040,13 +1172,15 @@ class _BucketRunner:
                    (tot,)).reshape(nCh, chunk)
         nm = padTo(np.asarray(normals), (tot, dim)).reshape(nCh, chunk, dim) \
             if normals is not None else np.zeros((nCh, chunk, dim))
-        acc.A = _bucket_rows_scatter_scan(
+        acc.A = _launch(
+            _bucket_rows_scatter_scan,
             acc.A, self.vertices,
             _jd(vi1, INDEX), _jd(vi2, INDEX),
             _jd(dr, INDEX), _jd(vs, self.dtype),
             _jd(nm, self.dtype),
-            bary_x, bary_y, w, PSIP, kernel=self.kernel, nPSI=nPSI,
-            useNormals=self.useNormals)
+            bary_x, bary_y, w, PSIP,
+            _statics=dict(kernel=self.kernel, nPSI=nPSI,
+                          useNormals=self.useNormals))
 
     def run(self, acc, rule, PSI, vertIdx1, vertIdx2, dofRows, volsym,
             normals=None, entryMask=None, PHI=None, yOffset=None):
@@ -1071,7 +1205,8 @@ class _BucketRunner:
         nPSI = PSI.shape[0]
         Q = rule.num_nodes
         # bound the [P, Q] intermediate: ~32M elements per launch
-        maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)), 256)
+        maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1),
+                       CHUNK_CAP), 256)
         start = 0
         while start < P:
             chunk = min(maxP, P - start)
@@ -1087,17 +1222,23 @@ class _BucketRunner:
             if yOffset is not None:
                 yo = _jd(_pad(yOffset[sl], csize, fill=0.0), self.dtype)
             if nonsym:
-                M = _bucket_contrib_nonsym(
+                M = _launch(
+                    _bucket_contrib_nonsym,
                     self.vertices, _jd(vi1, INDEX),
                     _jd(vi2, INDEX), jnp.asarray(vs),
-                    bary_x, bary_y, w, PHIxPSI, PHIyPSI, kernel=self.kernel)
+                    bary_x, bary_y, w, PHIxPSI, PHIyPSI,
+                    _statics=dict(kernel=self.kernel))
             else:
-                M = _bucket_contrib(
+                M = _launch(
+                    _bucket_contrib,
                     self.vertices, _jd(vi1, INDEX),
                     _jd(vi2, INDEX), jnp.asarray(vs),
                     bary_x, bary_y, w, PSIP,
-                    normals=nm, kernel=self.kernel, useNormals=self.useNormals,
-                    yShift=yo, useYShift=yo is not None)
+                    normals=nm,
+                    yShift=yo,
+                    _statics=dict(kernel=self.kernel,
+                                  useNormals=self.useNormals,
+                                  useYShift=yo is not None))
             dr = _pad(dofRows[sl], csize, fill=-1)
             if hasattr(acc, 'deviceAddRows'):
                 em = None
@@ -1491,11 +1632,12 @@ class nonlocalBuilder:
             w1d = _jd(w1, dtype)
             Ct = int(max(8, min(C, (1 << 25) // max(C * Q1 * Q1, 1))))
             nTiles = -(-C // Ct)
-            acc.A = _grid_distant_pass(
+            acc.A = _launch(
+                _grid_distant_pass,
                 acc.A, X, X, ccf, vols, rowDofPad, colDof,
                 PhiXw, PhiX, PhiX, PsiYw, w1d, w1d,
                 jnp.float32(t_lo), jnp.float32(t_hi),
-                kernel=kernel, nTiles=nTiles, Ct=Ct)
+                _statics=dict(kernel=kernel, nTiles=nTiles, Ct=Ct))
 
         self._gridStats = {'corrections': int(len(di) if keep is None
                                               else keep.sum()),
@@ -1534,14 +1676,16 @@ class nonlocalBuilder:
                 bary_x, wx = simplexDuffy(oX, 2)
                 thetas, wtheta = gauss01(max(int(order) // 2 + 2, 6))
                 rq, wr = gauss01(max(int(order) // 2, 4))
-                M = _bucket_cut2d_polar(
+                M = _launch(
+                    _bucket_cut2d_polar,
                     vertices, _jd(cells[ii], INDEX),
                     _jd(cells[jj], INDEX),
                     jnp.asarray(vols[ii]),
                     jnp.asarray(bary_x.T.copy()), jnp.asarray(wx),
                     jnp.asarray(thetas), jnp.asarray(wtheta),
                     jnp.asarray(rq), jnp.asarray(wr), exps, Vinv,
-                    kernel.horizonValue, kernel=kernel, dpe=dpe)
+                    kernel.horizonValue,
+                    _statics=dict(kernel=kernel, dpe=dpe))
                 M = np.asarray(M).reshape(len(ii), 2 * dpe, 2 * dpe)
                 if phi is not None:
                     M = M * phi.evalPairs(centersC[ii],
@@ -1598,14 +1742,14 @@ class nonlocalBuilder:
             # symmetric in (x, y))
             iiA = np.concatenate([ii, jj])
             jjA = np.concatenate([jj, ii])
-            M = _bucket_cut1d(vertices,
-                              _jd(cells[iiA], INDEX),
-                              _jd(cells[jjA], INDEX),
-                              jnp.asarray(vols[iiA]),
-                              jnp.asarray(tq), jnp.asarray(wq),
-                              jnp.asarray(ur), jnp.asarray(wr),
-                              exps, Vinv, kernel.horizonValue,
-                              kernel=kernel, dpe=dpe)
+            M = _launch(_bucket_cut1d, vertices,
+                        _jd(cells[iiA], INDEX),
+                        _jd(cells[jjA], INDEX),
+                        jnp.asarray(vols[iiA]),
+                        jnp.asarray(tq), jnp.asarray(wq),
+                        jnp.asarray(ur), jnp.asarray(wr),
+                        exps, Vinv, kernel.horizonValue,
+                        _statics=dict(kernel=kernel, dpe=dpe))
             M = np.asarray(M).reshape(len(iiA), 2 * dpe, 2 * dpe)
             if phi is not None:
                 M = M * phi.evalPairs(centersC[iiA],
@@ -1648,18 +1792,38 @@ class nonlocalBuilder:
             info = self._makeRules(classifyPairsDense(
                 dm, self.kernel,
                 target_order=self.params.get('target_order')))
-        if self.kernel.isComplex:
-            # complex assembly (ref ComplexnonlocalBuilder, the {SCALAR}
-            # template instantiated for COMPLEX): same panel machinery,
-            # complex accumulator
-            acc = DenseAccumulator(N, dtype=COMPLEX)
-        elif jax.devices()[0].platform == 'cpu' and not useGrid:
-            acc = DenseAccumulator(N, dtype=self.params.get('dtype'))
-        else:
-            acc = DeviceDenseAccumulator(N, dtype=self.params.get('dtype'))
-        self._runPairBuckets(acc, info)
-        if self.zeroExterior:
-            self._addZeroExterior(acc)
+        def makeAcc():
+            if self.kernel.isComplex:
+                # complex assembly (ref ComplexnonlocalBuilder, the {SCALAR}
+                # template instantiated for COMPLEX): same panel machinery,
+                # complex accumulator
+                return DenseAccumulator(N, dtype=COMPLEX)
+            if jax.devices()[0].platform == 'cpu' and not useGrid:
+                return DenseAccumulator(N, dtype=self.params.get('dtype'))
+            return DeviceDenseAccumulator(N, dtype=self.params.get('dtype'))
+
+        def runAll(acc):
+            self._runPairBuckets(acc, info)
+            if self.zeroExterior:
+                self._addZeroExterior(acc)
+
+        # throwaway harvest pass: queue every bucket kernel this assembly
+        # will launch, compile them CONCURRENTLY (the serial
+        # compile-on-first-call bill dominated cold assembly).  Skipped when
+        # an identical problem already harvested (launch keys are a
+        # deterministic function of mesh + kernel + dtype; a stale skip only
+        # costs a serial compile on the miss).
+        sig = ('dense', self.kernel, N, self.mesh.num_cells,
+               self.dm.polynomialOrder,
+               str(self.params.get('dtype')), self.zeroExterior,
+               self.mesh.vertices[0].tobytes(),
+               self.mesh.vertices[-1].tobytes())
+        if _parallelCompileWorthIt() and sig not in _HARVESTED:
+            with _harvest():
+                runAll(makeAcc())
+            _HARVESTED.add(sig)
+        acc = makeAcc()
+        runAll(acc)
         A = acc.result()
         if trySparsification:
             # drop explicit zeros if the matrix is sparse enough
@@ -1873,18 +2037,27 @@ class nonlocalBuilder:
                 m, np.stack([nodes[nid].box for nid in farIds]))
             gridRow = {nid: k for k, nid in enumerate(farIds)}
 
+        farGrids = {}
         for ell, cplist in Pfar.items():
             pN = len(cplist)
             ri = np.fromiter((gridRow[i] for (i, j) in cplist),
                              dtype=np.int64, count=pN)
             rj = np.fromiter((gridRow[j] for (i, j) in cplist),
                              dtype=np.int64, count=pN)
-            gi = gridsAll[ri]                                   # [pN, M, d]
-            gj = gridsAll[rj]
+            farGrids[ell] = (jnp.asarray(gridsAll[ri]),    # [pN, M, d]
+                             jnp.asarray(gridsAll[rj]))
+        # compile the per-level far-field evals concurrently (distinct pN
+        # per level -> distinct executables), then run
+        with _harvest():
+            for gi, gj in farGrids.values():
+                _launch(_farFieldBlocks, gi, gj, _statics=dict(kernel=kernel))
+        for ell, cplist in Pfar.items():
+            pN = len(cplist)
+            gi, gj = farGrids[ell]
             # cross terms -u(x)v(y) carry factor -2 (both orderings of
             # the ordered cluster pair; ref clusterMethodCy.pyx:2216)
-            K = -2.0 * np.asarray(_farFieldBlocks(
-                jnp.asarray(gi), jnp.asarray(gj), kernel=kernel))
+            K = -2.0 * np.asarray(_launch(
+                _farFieldBlocks, gi, gj, _statics=dict(kernel=kernel)))
             src = np.fromiter((pos[j] for (i, j) in cplist),
                               dtype=np.int64, count=pN)
             dst = np.fromiter((pos[i] for (i, j) in cplist),
@@ -1892,6 +2065,7 @@ class nonlocalBuilder:
             levels[ell]['K'] = jnp.asarray(K)
             levels[ell]['src'] = _jd(src, INDEX)
             levels[ell]['dst'] = _jd(dst, INDEX)
+        del farGrids
 
         # ---- leaf integrals Phi_A[i, k] = int phi_i L_k^A
         leaves = [nd for nd in nodes if nd.isLeaf]
@@ -2518,13 +2692,14 @@ class nonlocalBuilder:
                     _jd(tStartOfNode, jnp.int32))
             cellsD, volsD, dofsD, treePosD, dofNodeD, indptrD, tStartD = \
                 acc._treeDev
-            acc.data = _bucket_tree_csr_scan(
+            acc.data = _launch(
+                _bucket_tree_csr_scan,
                 acc.data, runner.vertices, cellsD, volsD, dofsD,
                 treePosD, dofNodeD, indptrD, tStartD,
                 padI(lo), padI(hi), padI(Inid), padI(Jnid),
                 padI(offF), padI(offB),
                 _jd(sf.reshape(nCh, chunk), runner.dtype),
-                bary_x, bary_y, w, PSIP, kernel=kernel)
+                bary_x, bary_y, w, PSIP, _statics=dict(kernel=kernel))
         else:
             # host scatter path (CPU runs): same arithmetic slots, numpy
             nnz = acc.pattern.nnz
@@ -2553,11 +2728,12 @@ class nonlocalBuilder:
                     mF, rowStart[:, :, None] + offF[sl][:, None, None] + colF,
                     np.where(mB, rowStart[:, :, None]
                              + offB[sl][:, None, None] + colB, nnz))
-                M = np.asarray(_bucket_contrib(
+                M = np.asarray(_launch(
+                    _bucket_contrib,
                     runner.vertices, _jd(mesh.cells[loS], INDEX),
                     _jd(mesh.cells[hiS], INDEX),
                     _jd(vols[loS] * vols[hiS] * 2.0, runner.dtype),
-                    bx, by, wD, PSIP, kernel=kernel))
+                    bx, by, wD, PSIP, _statics=dict(kernel=kernel)))
                 np.add.at(acc.data, slot.reshape(len(loS), -1), M)
 
     def _getComplementCross(self):
@@ -3020,16 +3196,18 @@ class nonlocalBuilder:
                 pos = np.arange(len(mi)) - starts[ts]
                 mR[ts, pos] = mi[srt] - ts * Ct
                 mC[ts, pos] = mj[srt]
-            Bxx = _grid_boundary_blocks(
+            Bxx = _launch(
+                _grid_boundary_blocks,
                 X, Ysurf, svolw2, vols, normals,
                 PhiXw, PhiX, _jd(w1, dtype),
                 _jd(mR, INDEX), _jd(mC, INDEX),
-                kernel=bkernel, nTiles=nTiles, Ct=Ct,
-                useNormals=useNormals, maskIn=maskIn, dtype=dtype)
+                _statics=dict(kernel=bkernel, nTiles=nTiles, Ct=Ct,
+                              useNormals=useNormals, maskIn=maskIn,
+                              dtype=dtype))
             if sign != 1.0:
                 Bxx = Bxx * sign
             if isinstance(acc, DeviceDenseAccumulator):
-                acc.A = _scatter_cell_blocks(acc.A, rowDofPad, Bxx)
+                acc.A = _launch(_scatter_cell_blocks, acc.A, rowDofPad, Bxx)
             else:
                 dpe = dm.dofs_per_element
                 dA = dm.dofs

@@ -49,10 +49,11 @@ def main():
 
     import pynucleus_tpu.nl.panels as panels
     orig = {}
+    # NOTE: the raw jitted kernels (_grid_distant_pass etc.) are no longer
+    # wrapped -- they go through the _launch AOT registry which needs the
+    # jit object; the _runDistantGrid/_runBoundaryGrid wrappers cover them.
     for mod, name in [(panels, 'classifyPairsDenseGrid'),
-                      (panels, 'classifyBoundaryPairs'),
-                      (asm, '_grid_distant_pass'),
-                      (asm, '_grid_boundary_blocks')]:
+                      (panels, 'classifyBoundaryPairs')]:
         orig[name] = getattr(mod, name)
         setattr(mod, name, timed(name, orig[name]))
     # assembly.py imports classifyBoundaryPairs by name
