@@ -1913,6 +1913,13 @@ class nonlocalBuilder:
                           shape=(N, N)).tocsr()
         S.sum_duplicates()
         S.sort_indices()
+        sig = ('sparse', self.kernel, N, mesh.num_cells,
+               dm.polynomialOrder, str(self.params.get('dtype')),
+               mesh.vertices[0].tobytes(), mesh.vertices[-1].tobytes())
+        if _parallelCompileWorthIt() and sig not in _HARVESTED:
+            with _harvest():
+                self._runPairBuckets(CSRAccumulator(S.copy()), info)
+            _HARVESTED.add(sig)
         acc = CSRAccumulator(S)
         self._runPairBuckets(acc, info)
         return acc.result()
@@ -2410,16 +2417,6 @@ class nonlocalBuilder:
         pairMasks = _PatternMaskLookup(np.zeros(0, dtype=np.int64), C,
                                        dofs, dofNode, cellNodes)
 
-        # accumulator over the TREE-ordered pattern; global-dof host
-        # contributions translate through treePos
-        if jax.devices()[0].platform != 'cpu' \
-                or self.params.get('forceDeviceCSR'):
-            acc = DeviceCSRAccumulator(S, C, pairMasks,
-                                       dtype=self.params.get('dtype'),
-                                       treePos=treePos)
-        else:
-            acc = CSRAccumulator(S, treePos=treePos)
-
         # ---- singular (id + vertex/edge-touching) pairs, processed once
         # globally with incidence masks (the union of the per-cluster-pair
         # exact masks; entries are disjoint across cluster pairs)
@@ -2430,30 +2427,51 @@ class nonlocalBuilder:
         info = self._makeRules(classifyPairList(
             dm, kernel, pi, pj,
             target_order=self.params.get('target_order')))
-        self._runPairBuckets(acc, info, maskLookup=pairMasks)
-
-        # ---- distant near pairs: per-cluster-pair processing with exact
-        # (I x J) masks -- no global dedup needed (pattern entries belong to
-        # exactly one leaf pair), arithmetic device slots
         adjKeysSorted = np.sort(adj[:, 0] * C + adj[:, 1]) if len(adj) \
             else np.zeros(0, dtype=np.int64)
-        self._runNearDistantTree(
-            acc, IJ, nodeRow, nNear, ncArr, ncOff, ordKeysS, blockOffS,
-            treePos, dofNode, tStartOfNode, indptrT, info, pairMasks,
-            adjKeysSorted)
-
-        # ---- run the surface pairs
+        surf = None
         if sp_cell:
-            self._runUnionSurface(acc, (np.concatenate(sp_cell),
-                                        np.concatenate(sp_fac, axis=0),
-                                        np.concatenate(sp_nrm, axis=0),
-                                        np.concatenate(sp_msk, axis=0),
-                                        np.concatenate(sp_sgn)))
+            surf = (np.concatenate(sp_cell),
+                    np.concatenate(sp_fac, axis=0),
+                    np.concatenate(sp_nrm, axis=0),
+                    np.concatenate(sp_msk, axis=0),
+                    np.concatenate(sp_sgn))
 
-        # regional operator: subtract the Omega x Omega^c part that the union
-        # surfaces added (ref assembleClusters pxi:2110-2143)
-        if not self.zeroExterior and not kernel.finiteHorizon:
-            self._addZeroExterior(acc, sign=-1.0)
+        def makeAcc():
+            # accumulator over the TREE-ordered pattern; global-dof host
+            # contributions translate through treePos
+            if jax.devices()[0].platform != 'cpu' \
+                    or self.params.get('forceDeviceCSR'):
+                return DeviceCSRAccumulator(S, C, pairMasks,
+                                            dtype=self.params.get('dtype'),
+                                            treePos=treePos)
+            return CSRAccumulator(S, treePos=treePos)
+
+        def runAll(acc):
+            self._runPairBuckets(acc, info, maskLookup=pairMasks)
+            # distant near pairs: per-cluster-pair processing with exact
+            # (I x J) masks -- no global dedup needed (pattern entries
+            # belong to exactly one leaf pair), arithmetic device slots
+            self._runNearDistantTree(
+                acc, IJ, nodeRow, nNear, ncArr, ncOff, ordKeysS, blockOffS,
+                treePos, dofNode, tStartOfNode, indptrT, info, pairMasks,
+                adjKeysSorted)
+            if surf is not None:
+                self._runUnionSurface(acc, surf)
+            # regional operator: subtract the Omega x Omega^c part that the
+            # union surfaces added (ref assembleClusters pxi:2110-2143)
+            if not self.zeroExterior and not kernel.finiteHorizon:
+                self._addZeroExterior(acc, sign=-1.0)
+
+        sig = ('near', self.kernel, N, C, dm.polynomialOrder,
+               str(self.params.get('dtype')), self.zeroExterior,
+               mesh.vertices[0].tobytes(), mesh.vertices[-1].tobytes())
+        if _parallelCompileWorthIt() and sig not in _HARVESTED:
+            with _harvest():
+                runAll(makeAcc())
+            _HARVESTED.add(sig)
+        acc = makeAcc()
+        runAll(acc)
 
         At = acc.result()
         return _treeCSRToGlobal(At, perm, tLen, rowLen, tStartRow,

@@ -11,7 +11,11 @@ from pynucleus_tpu.nl import getFractionalKernel
 from pynucleus_tpu.nl.assembly import nonlocalBuilder
 
 
-@pytest.mark.parametrize('dim,noRef', [(1, 6), (2, 3)], ids=['1d', '2d'])
+@pytest.mark.parametrize('dim,noRef', [
+    (1, 6),
+    # 2d: ~22 s on the CI box -> slow tier (1d covers the device-CSR path)
+    pytest.param(2, 3, marks=pytest.mark.slow),
+], ids=['1d', '2d'])
 def test_devicecsr_h2_matches_dense(dim, noRef):
     m = simpleInterval(-1, 1) if dim == 1 else circle(n=8)
     for _ in range(noRef):

@@ -34,6 +34,8 @@ CONFIGS = [
       'relative L2 error': 0.018848156801586795,
       'relative interpolated L2 error': 0.00567675661514787,
       'relative interpolated Linf error': 0.04133558770221488}),
+    # the P0/P2/P3 element sweeps are `slow`-tier: 10-15 s each on the CI
+    # box, and the P1 configs above already protect the cg-mg dense path
     (['--domain', 'interval', '--s', 'const(0.25)', '--problem', 'constant',
       '--element', 'P0', '--solverType', 'cg-mg', '--matrixFormat', 'dense'],
      {'Hs error': 0.0863469994893122,
@@ -56,6 +58,12 @@ CONFIGS = [
 
 IDS = ['-'.join([a for a in argv if not a.startswith('--')])
        for argv, _ in CONFIGS]
+
+_SLOW_ELEMENTS = ('P0', 'P2', 'P3')
+CONFIGS = [pytest.param(argv, expected,
+                        marks=[pytest.mark.slow] if any(
+                            e in argv for e in _SLOW_ELEMENTS) else [])
+           for argv, expected in CONFIGS]
 
 
 @pytest.mark.parametrize('argv,expected', CONFIGS, ids=IDS)
@@ -137,10 +145,13 @@ VARIABLE_CONFIGS = [
       'knownSolution', '--element', 'P1', '--solverType', 'lu',
       '--matrixFormat', 'H2'],
      {'L2 error': 0.001968154983051443}),
-    (['--domain', 'interval', '--s', 'twoDomainNonSym(0.25,0.75)', '--problem',
-      'knownSolution', '--element', 'P1', '--solverType', 'gmres-mg',
-      '--matrixFormat', 'H2'],
-     {'L2 error': 0.001968148149500615}),
+    # slow tier: ~29 s (MG hierarchy re-assembles the variable-order H2
+    # operator per level); the -lu config above covers the operator itself
+    pytest.param(
+        ['--domain', 'interval', '--s', 'twoDomainNonSym(0.25,0.75)',
+         '--problem', 'knownSolution', '--element', 'P1', '--solverType',
+         'gmres-mg', '--matrixFormat', 'H2'],
+        {'L2 error': 0.001968148149500615}, marks=pytest.mark.slow),
 ]
 
 

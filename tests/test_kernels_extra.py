@@ -50,9 +50,13 @@ def _patchTest(interaction, horizon=0.2, h=0.05, expect=-4.0):
     assert abs(ratio.mean() - expect) < 5e-2 * abs(expect)
 
 
-@pytest.mark.parametrize('interName,expect',
-                         [('ball2', -4.0), ('ballInf', -2.0),
-                          ('ball1', -2.0)])
+@pytest.mark.parametrize('interName,expect', [
+    # ball2/ballInf: 13-20 s patch sweeps -> slow tier; ball1 (~6 s) keeps
+    # the all-balls indicator path in the fast tier
+    pytest.param('ball2', -4.0, marks=pytest.mark.slow),
+    pytest.param('ballInf', -2.0, marks=pytest.mark.slow),
+    ('ball1', -2.0),
+])
 def test_indicator_patch_all_balls(interName, expect):
     _patchTest(interactionFactory(interName), expect=expect)
 

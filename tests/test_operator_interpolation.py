@@ -45,7 +45,12 @@ def test_ranged_kernel_factory():
     assert abs(frozen.s.value - 0.5) < 1e-14
 
 
-@pytest.mark.parametrize('sVal', [0.35, 0.5, 0.65])
+@pytest.mark.parametrize('sVal', [
+    # ~8 s per s-value: one representative stays fast, the ends go slow
+    pytest.param(0.35, marks=pytest.mark.slow),
+    0.5,
+    pytest.param(0.65, marks=pytest.mark.slow),
+])
 def test_interpolated_operator_matches_direct(sVal):
     mesh = meshFactory('interval', a=-1, b=1)
     for _ in range(4):

@@ -90,13 +90,17 @@ def test_interval_P1():
 def test_sharded_vs_serial_residual_history():
     """S2: --ranks 8 row-shards the fine-level CSR matvecs over the virtual
     8-device mesh (DistributedCSROperator halo exchange); the residual
-    history must match the serial run exactly."""
+    history must match the serial run exactly.
+
+    noRef=12 (4097 dofs) keeps two levels above the 2000-row shard
+    threshold, so the sharded path is exercised at ~1/8 the default-size
+    runtime (77s -> ~10s on the 1-core CI box)."""
     import jax
     nd = min(8, len(jax.devices()))
     d1 = runParallelGMG(['--domain', 'interval', '--element', 'P1',
-                         '--ranks', '1'])
+                         '--ranks', '1', '--noRef', '12'])
     dN = runParallelGMG(['--domain', 'interval', '--element', 'P1',
-                         '--ranks', str(nd)])
+                         '--ranks', str(nd), '--noRef', '12'])
     h1 = d1.outputGroups['resHist'].toDict()
     hN = dN.outputGroups['resHist'].toDict()
     assert set(h1) == set(hN)
