@@ -933,6 +933,61 @@ def _bucket_tree_csr_scan(data, vertices, cellsArr, volsArr, dofsArr,
     return data
 
 
+@partial(jax.jit, static_argnames=('kernel', 'useNormals', 'useYShift'),
+         donate_argnums=(0,))
+def _bucket_surface_tree_scan(data, vertices, dofNodeArr, treePosArr,
+                              indptrT, tStartArr, vi1A, vi2A, drA, vsA,
+                              nmA, yoA, IA, JA, offFA, offBA,
+                              bary_x, bary_y, w, PSIP, kernel=None,
+                              useNormals=False, useYShift=False):
+    """Union-surface boundary quadrature accumulated DIRECTLY into device
+    CSR data with ARITHMETIC tree slots (same slot formula as
+    `_bucket_tree_csr_scan`; masks re-derived on device from the owning
+    cluster pair (I, J) via dofNode).  Replaces the former host path whose
+    per-chunk device->host pulls dominated the whole H2 build on the
+    high-latency tunnel (ref assembleClusters 'cluster exterior',
+    nonlocalAssembly pxi:1975-2035)."""
+    nnz = data.shape[0] - 1
+
+    def body(Acc, ch):
+        v1i, v2i, drc, vsc, nmc, yoc, I, J, offF, offB = ch
+        v1 = vertices[v1i]
+        v2 = vertices[v2i]
+        x = jnp.einsum('pvd,vq->pqd', v1, bary_x)
+        y = jnp.einsum('pvd,vq->pqd', v2, bary_y)
+        if useYShift:
+            y = y + yoc[:, None, :]
+        r2 = jnp.sum((x - y) ** 2, axis=-1)
+        g = _radial_eval(kernel, r2, x, y)
+        if useNormals:
+            rsafe = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+            fac = jnp.einsum('pd,pqd->pq', nmc, y - x) / rsafe
+            g = g * jnp.where(r2 > 0, fac, 0.0)
+        t = (g * w[None, :]) * vsc[:, None]
+        M = t @ PSIP                                    # [P, dpe^2]
+        valid = drc >= 0
+        drs = jnp.where(valid, drc, 0)
+        nr = jnp.where(valid, dofNodeArr[drs], -1)
+        ta = treePosArr[drs]
+        inI = nr == I[:, None]
+        inJ = nr == J[:, None]
+        mF = inI[:, :, None] & inJ[:, None, :]
+        mB = inJ[:, :, None] & inI[:, None, :]
+        rowStart = indptrT[ta]
+        colF = ta[:, None, :] - tStartArr[J][:, None, None]
+        colB = ta[:, None, :] - tStartArr[I][:, None, None]
+        slot = jnp.where(
+            mF, rowStart[:, :, None] + offF[:, None, None] + colF,
+            jnp.where(mB, rowStart[:, :, None] + offB[:, None, None] + colB,
+                      nnz))
+        return Acc.at[slot.reshape(-1)].add(M.reshape(-1)), None
+
+    data, _ = jax.lax.scan(body, data,
+                           (vi1A, vi2A, drA, vsA, nmA, yoA, IA, JA,
+                            offFA, offBA))
+    return data
+
+
 class DeviceCSRAccumulator:
     """CSR accumulator with device-resident data for the masked scan fast
     path; irregular host-side contributions (surfaces, permuted touching
@@ -1995,6 +2050,11 @@ class nonlocalBuilder:
         eta = self.params.get('eta', 3.0)
         minSize = self.params.get('minClusterSize', max(m ** dim // 2, 1))
         M = m ** dim
+        # device dtype for the far-field pipeline (grids, K, T, leaf Phi):
+        # without this the float64 numpy inputs silently put the whole far
+        # field into emulated f64 on TPU (slow eval, slow compile, and an
+        # emulated-f64 matvec)
+        dt = self.params.get('dtype') or REAL
 
         # ---- tree + admissibility (host)
         nodes = buildClusterTree(dm, minSize)
@@ -2030,7 +2090,8 @@ class nonlocalBuilder:
                                         dtype=np.int64, count=size)
                 gridC = batchedChebyshevGrids(m, childBoxes)   # [size, M, d]
                 entry['T'] = jnp.asarray(
-                    batchedLagrangeEval(m, parBoxes, gridC))   # [size, M, M]
+                    batchedLagrangeEval(m, parBoxes, gridC),
+                    dtype=dt)                                  # [size, M, M]
                 entry['parentIdx'] = _jd(parentIdx, INDEX)
             levels.append(entry)
 
@@ -2051,8 +2112,8 @@ class nonlocalBuilder:
                              dtype=np.int64, count=pN)
             rj = np.fromiter((gridRow[j] for (i, j) in cplist),
                              dtype=np.int64, count=pN)
-            farGrids[ell] = (jnp.asarray(gridsAll[ri]),    # [pN, M, d]
-                             jnp.asarray(gridsAll[rj]))
+            farGrids[ell] = (jnp.asarray(gridsAll[ri], dtype=dt),  # [pN,M,d]
+                             jnp.asarray(gridsAll[rj], dtype=dt))
         # compile the per-level far-field evals concurrently (distinct pN
         # per level -> distinct executables), then run
         with _harvest():
@@ -2069,7 +2130,7 @@ class nonlocalBuilder:
                               dtype=np.int64, count=pN)
             dst = np.fromiter((pos[i] for (i, j) in cplist),
                               dtype=np.int64, count=pN)
-            levels[ell]['K'] = jnp.asarray(K)
+            levels[ell]['K'] = jnp.asarray(K, dtype=dt)
             levels[ell]['src'] = _jd(src, INDEX)
             levels[ell]['dst'] = _jd(dst, INDEX)
         del farGrids
@@ -2142,8 +2203,8 @@ class nonlocalBuilder:
         Anear = self._assembleNearField(Pnear, nodes)
 
         op = H2Matrix(Anear, _jd(leafDofs, INDEX),
-                      jnp.asarray(leafPhi), (lvlIdx, posIdx), levels, N,
-                      symmetric=kernel.symmetric)
+                      jnp.asarray(leafPhi, dtype=dt), (lvlIdx, posIdx),
+                      levels, N, symmetric=kernel.symmetric)
         return op
 
     def _assembleNearField(self, Pnear, nodes):
@@ -2242,7 +2303,8 @@ class nonlocalBuilder:
         # dofNode (built above): membership tests dofNode[d] == I replace the
         # former O(N)-reset boolean arrays (quadratic at 100k+ dofs)
         # surface items as array chunks (cell, facetVerts, normal, mask, sgn)
-        sp_cell, sp_fac, sp_nrm, sp_msk, sp_sgn = [], [], [], [], []
+        sp_cell, sp_fac, sp_nrm, sp_sgn = [], [], [], []
+        sp_I, sp_J = [], []
 
         # jump interfaces of spatially-varying kernels (ref
         # getKernelBlocksAndJumps pxi:2352-2384): the Gauss-theorem surface
@@ -2343,12 +2405,12 @@ class nonlocalBuilder:
             nrS = np.where(validS, dofNode[np.where(validS, gdS, 0)], -1)
             rIS = (nrS == Iarr[:, None]) & validS
             rJS = (nrS == Jarr[:, None]) & validS
-            m1s = (rIS[:, :, None] & rJS[:, None, :]) \
-                | (rJS[:, :, None] & rIS[:, None, :])
-            keepS = m1s.any(axis=(1, 2))
+            # the (I x J) u (J x I) mask is nonempty iff the cell holds
+            # dofs of BOTH nodes (masks themselves are re-derived from
+            # (I, J) at run time, on device or host)
+            keepS = rIS.any(axis=1) & rJS.any(axis=1)
             kPid = iPid[keepS]
             kCell = iCell[keepS]
-            kM = m1s[keepS]
             # cartesian (kept inter cell) x (pair's boundary facets)
             nFac = np.bincount(bPid, minlength=len(pairsAdj))
             facOff = np.zeros(len(pairsAdj) + 1, dtype=np.int64)
@@ -2359,7 +2421,8 @@ class nonlocalBuilder:
                 sp_cell.append(np.repeat(kCell, rep))
                 sp_fac.append(bFac[posF])
                 sp_nrm.append(nrm[posF])
-                sp_msk.append(np.repeat(kM, rep, axis=0))
+                sp_I.append(np.repeat(pairsAdj[kPid, 0], rep))
+                sp_J.append(np.repeat(pairsAdj[kPid, 1], rep))
                 sp_sgn.append(np.ones(int(rep.sum())))
             pairsLoop = pairsAdj[:0]
         else:
@@ -2385,18 +2448,16 @@ class nonlocalBuilder:
                 gvalS = np.where(validS, gdS, 0)
                 rIS = (dofNode[gvalS] == I) & validS
                 rJS = (dofNode[gvalS] == J) & validS
-                m1s = (rIS[:, :, None] & rJS[:, None, :]) \
-                    | (rJS[:, :, None] & rIS[:, None, :])
-                keepIdx = np.nonzero(m1s.any(axis=(1, 2)))[0]
+                keepIdx = np.nonzero(rIS.any(axis=1) & rJS.any(axis=1))[0]
                 nK = len(keepIdx)
                 F = len(facets)
                 if nK and F:
                     cK = inter[keepIdx]
-                    mK = m1s[keepIdx]
                     sp_cell.append(np.repeat(cK, F))
                     sp_fac.append(np.tile(facets, (nK, 1)))
                     sp_nrm.append(np.tile(normals, (nK, 1)))
-                    sp_msk.append(np.repeat(mK, F, axis=0))
+                    sp_I.append(np.full(nK * F, I, dtype=np.int64))
+                    sp_J.append(np.full(nK * F, J, dtype=np.int64))
                     sp_sgn.append(np.ones(nK * F))
                     # jump facets strictly inside U^c: two runs with the
                     # order evaluated on either side, difference weighted by
@@ -2411,7 +2472,10 @@ class nonlocalBuilder:
                                 sp_cell.append(np.repeat(cK, nJ))
                                 sp_fac.append(np.tile(jF[jIdx], (nK, 1)))
                                 sp_nrm.append(np.tile(jN[jIdx], (nK, 1)))
-                                sp_msk.append(np.repeat(mK, nJ, axis=0))
+                                sp_I.append(np.full(nK * nJ, I,
+                                                    dtype=np.int64))
+                                sp_J.append(np.full(nK * nJ, J,
+                                                    dtype=np.int64))
                                 sp_sgn.append(np.full(nK * nJ, sgn))
 
         pairMasks = _PatternMaskLookup(np.zeros(0, dtype=np.int64), C,
@@ -2434,7 +2498,8 @@ class nonlocalBuilder:
             surf = (np.concatenate(sp_cell),
                     np.concatenate(sp_fac, axis=0),
                     np.concatenate(sp_nrm, axis=0),
-                    np.concatenate(sp_msk, axis=0),
+                    np.concatenate(sp_I),
+                    np.concatenate(sp_J),
                     np.concatenate(sp_sgn))
 
         def makeAcc():
@@ -2457,7 +2522,9 @@ class nonlocalBuilder:
                 treePos, dofNode, tStartOfNode, indptrT, info, pairMasks,
                 adjKeysSorted)
             if surf is not None:
-                self._runUnionSurface(acc, surf)
+                self._runUnionSurface(acc, surf, nodeRow, nNear, ordKeysS,
+                                      blockOffS, treePos, dofNode,
+                                      tStartOfNode, indptrT)
             # regional operator: subtract the Omega x Omega^c part that the
             # union surfaces added (ref assembleClusters pxi:2110-2143)
             if not self.zeroExterior and not kernel.finiteHorizon:
@@ -2754,6 +2821,59 @@ class nonlocalBuilder:
                     bx, by, wD, PSIP, _statics=dict(kernel=kernel)))
                 np.add.at(acc.data, slot.reshape(len(loS), -1), M)
 
+    def _launchSurfaceBucket(self, acc, runner, rule, PHI, vi1, vi2, dr,
+                             vs, nm, yOff, Inid, Jnid, offF, offB,
+                             treePos, dofNode, tStartOfNode, indptrT):
+        """One union-surface bucket into device CSR data (arithmetic tree
+        slots; see `_bucket_surface_tree_scan`)."""
+        mesh = self.mesh
+        P = len(vi1)
+        if P == 0:
+            return
+        dtype = runner.dtype
+        dim = mesh.vertices.shape[1]
+        PSIP = _jd(_psi_prod(PHI), dtype)
+        bary_x = _jd(rule.bary_x, dtype)
+        bary_y = _jd(rule.bary_y, dtype)
+        w = _jd(rule.w, dtype)
+        Q = rule.num_nodes
+        maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)), 256)
+        chunk = _chunk_size(min(maxP, P))
+        nCh = (P + chunk - 1) // chunk
+        totP = nCh * chunk
+
+        def padI(a, fill=0):
+            return _jd(_pad(np.asarray(a), totP, fill=fill)
+                       .reshape((nCh, chunk) + np.asarray(a).shape[1:]),
+                       INDEX)
+
+        def padF(a, width=None):
+            if a is None:
+                a = np.zeros((totP, width))
+            out = _pad(np.asarray(a), totP, fill=0.0)
+            return _jd(out.reshape((nCh, chunk) + out.shape[1:]), dtype)
+
+        vsP = np.zeros(totP)
+        vsP[:P] = vs
+        if not hasattr(acc, '_surfDev'):
+            acc._surfDev = (
+                _jd(treePos, INDEX),
+                _jd(dofNode, INDEX),
+                _jd(indptrT, jnp.int32),
+                _jd(tStartOfNode, jnp.int32))
+        treePosD, dofNodeD, indptrD, tStartD = acc._surfDev
+        acc.data = _launch(
+            _bucket_surface_tree_scan,
+            acc.data, runner.vertices, dofNodeD, treePosD, indptrD, tStartD,
+            padI(vi1), padI(vi2), padI(dr, fill=-1),
+            _jd(vsP.reshape(nCh, chunk), dtype),
+            padF(nm, dim), padF(yOff, dim),
+            padI(Inid), padI(Jnid), padI(offF), padI(offB),
+            bary_x, bary_y, w, PSIP,
+            _statics=dict(kernel=runner.kernel,
+                          useNormals=runner.useNormals,
+                          useYShift=yOff is not None))
+
     def _getComplementCross(self):
         """Pure cross operator of the complement kernel:
         Cross_ij = -2 int int psi_i(x) psi_j(y) gamma(x,y) 1_{|x-y|>delta}
@@ -2886,11 +3006,18 @@ class nonlocalBuilder:
         self._jumps = out
         return out
 
-    def _runUnionSurface(self, acc, surfPairs):
+    def _runUnionSurface(self, acc, surfPairs, nodeRow, nNear, ordKeysS,
+                         blockOffS, treePos, dofNode, tStartOfNode, indptrT):
         """Batched boundary-kernel quadrature for per-cluster-pair union
         surfaces, masked per pair.
 
-        Each item carries sgn in {+1, -1}: the y quadrature points are
+        Each item carries its owning cluster pair (I, J); the
+        (I x J) u (J x I) entry mask is re-derived from dofNode at run
+        time — on device with arithmetic tree slots
+        (`_bucket_surface_tree_scan`) for a DeviceCSRAccumulator, on host
+        otherwise.
+
+        Each item also carries sgn in {+1, -1}: the y quadrature points are
         nudged by sgn*eps*normal to pick the fractional-order side, and the
         contribution is weighted by sgn (for constant-order kernels the
         nudge is a no-op and sgn is always +1).  In 1D the n.(y-x)/|y-x|
@@ -2919,8 +3046,13 @@ class nonlocalBuilder:
         qd = mpb['quad_order_diagonal']
         sigb = bkernel.getSingularityValue()
 
-        # surfPairs arrives as arrays (cellNos, facets, normals, masks, sgns)
-        cellNos, facets, normals, masksArr, sgns = surfPairs
+        cellNos, facets, normals, Iids, Jids, sgns = surfPairs
+        # per-item forward/backward block offsets in the tree-ordered CSR
+        rIs = nodeRow[Iids]
+        rJs = nodeRow[Jids]
+        offFall = blockOffS[np.searchsorted(ordKeysS, rIs * nNear + rJs)]
+        offBall = blockOffS[np.searchsorted(ordKeysS, rJs * nNear + rIs)]
+        deviceAcc = isinstance(acc, DeviceCSRAccumulator)
         cellNos = np.asarray(cellNos, dtype=np.int64)
         facets = np.asarray(facets, dtype=np.int64)
         S = len(cellNos)
@@ -2973,12 +3105,10 @@ class nonlocalBuilder:
                 vi2 = facets[sel][:, perm2]
                 ld1 = permuteLocalDofs(dm, perm1)
                 dr = dofs[cs][:, ld1]
-                mk = masksArr[sel][:, ld1][:, :, ld1]
             else:
                 vi1 = cells[cs]
                 vi2 = facets[sel]
                 dr = dofs[cs]
-                mk = masksArr[sel]
             vs = (detfac * vols[cs] if useDet else vols[cs]) \
                 * svols[sel] * sgns[sel]
             if mdim == 1:
@@ -2990,6 +3120,20 @@ class nonlocalBuilder:
             nm = normals[sel] if useNormals else None
             yOff = sgns[sel, None] * epsShift * normals[sel] \
                 if needShift else None
+            if deviceAcc:
+                self._launchSurfaceBucket(
+                    acc, runner, rule, PHI, vi1, vi2, dr, vs, nm, yOff,
+                    Iids[sel], Jids[sel], offFall[sel], offBall[sel],
+                    treePos, dofNode, tStartOfNode, indptrT)
+                return
+            # host accumulator: rebuild the (I x J) u (J x I) mask in the
+            # (possibly permuted) local dof order
+            valid = dr >= 0
+            nr = np.where(valid, dofNode[np.where(valid, dr, 0)], -1)
+            rI = nr == Iids[sel, None]
+            rJ = nr == Jids[sel, None]
+            mk = (rI[:, :, None] & rJ[:, None, :]) \
+                | (rJ[:, :, None] & rI[:, None, :])
             runner.run(acc, rule, PHI, vi1, vi2, dr, vs, normals=nm,
                        entryMask=mk, yOffset=yOff)
 

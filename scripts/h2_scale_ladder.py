@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Scale ladder for the 2D fractional H2 build+solve (north-star probe).
+
+Runs getH2 + cg-jacobi solve at increasing refinement and reports per-phase
+wall time, far/near sizes, and HBM usage.  Usage:
+
+    python scripts/h2_scale_ladder.py NOREF [NOREF ...]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def run(noRef):
+    import numpy as np
+    import jax
+    import pynucleus_tpu  # noqa: F401
+    from pynucleus_tpu.fem import circle, P1_DoFMap
+    from pynucleus_tpu.nl import getFractionalKernel
+    from pynucleus_tpu.nl.assembly import nonlocalBuilder
+    from pynucleus_tpu.nl.h2 import (buildClusterTree, admissibleClusters,
+                                     H2Matrix)
+
+    dev = jax.devices()[0]
+    dtype = np.float32 if dev.platform != 'cpu' else np.float64
+
+    t0 = time.time()
+    m = circle(n=8)
+    for _ in range(noRef):
+        m = m.refine()
+    dm = P1_DoFMap(m)
+    kernel = getFractionalKernel(2, 0.75)
+    print(f'[noRef={noRef}] N={dm.num_dofs} cells={m.num_cells} '
+          f'mesh={time.time()-t0:.1f}s', flush=True)
+
+    builder = nonlocalBuilder(dm, kernel, zeroExterior=True,
+                              params={'dtype': dtype})
+
+    # --- probe tree + admissibility alone first
+    t0 = time.time()
+    sing = kernel.max_singularity
+    smin = 0.0
+    mp_target = 0.5
+    loggamma = abs(np.log(0.25))
+    mI = max(int(np.ceil((2 * mp_target + max(-sing, 2))
+                         * abs(np.log(m.hmin / m.diam)) / loggamma / 3.0)), 2)
+    minSize = max(mI ** 2 // 2, 1)
+    nodes = buildClusterTree(dm, minSize)
+    tTree = time.time() - t0
+    t0 = time.time()
+    Pfar, Pnear = admissibleClusters(kernel, nodes, 3.0, mI, 2)
+    tAdm = time.time() - t0
+    nFar = sum(len(v) for v in Pfar.values())
+    M = mI ** 2
+    farGB = nFar * M * M * 4 / 1e9
+    print(f'  m={mI} M={M} nodes={len(nodes)} tree={tTree:.1f}s '
+          f'adm={tAdm:.1f}s far={nFar} near={len(Pnear)} '
+          f'farK={farGB:.2f}GB', flush=True)
+
+    if os.environ.get('LADDER_PROBE_ONLY'):
+        return
+
+    t0 = time.time()
+    A = builder.getH2()
+    tBuild = time.time() - t0
+    print(f'  H2 build={tBuild:.1f}s nearNNZ={A.Anear.nnz if hasattr(A.Anear, "nnz") else "?"}',
+          flush=True)
+
+    import jax.numpy as jnp
+    x = jnp.ones(dm.num_dofs, dtype=dtype)
+    t0 = time.time()
+    y = A.matvec(x)
+    y.block_until_ready()
+    tMv1 = time.time() - t0
+    t0 = time.time()
+    for _ in range(5):
+        y = A.matvec(x)
+    y.block_until_ready()
+    tMv = (time.time() - t0) / 5
+    print(f'  matvec first={tMv1:.2f}s steady={tMv*1000:.1f}ms', flush=True)
+
+    try:
+        stats = dev.memory_stats()
+        print(f'  HBM in use: {stats.get("bytes_in_use", 0)/1e9:.2f} GB',
+              flush=True)
+    except Exception:
+        pass
+
+    # solve
+    from pynucleus_tpu.base.solvers import (cg_solver,
+                                            Diagonal_LinearOperator)
+    from pynucleus_tpu.fem.functions import constant
+    b = dm.assembleRHS(constant(1.0))
+    t0 = time.time()
+    s = cg_solver(A)
+    s.setPreconditioner(Diagonal_LinearOperator(1.0 / A.diagonal))
+    s.maxIter = 1000
+    s.tolerance = 1e-6
+    s.setup()
+    u = s.solve(jnp.asarray(b, dtype=dtype))
+    u.block_until_ready()
+    tSolve = time.time() - t0
+    print(f'  CG solve={tSolve:.1f}s iters={s.iterations} '
+          f'res={s.residuals[-1] if s.residuals else float("nan"):.2e}',
+          flush=True)
+
+
+if __name__ == '__main__':
+    for arg in sys.argv[1:]:
+        run(int(arg))
