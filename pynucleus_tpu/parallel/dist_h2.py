@@ -18,20 +18,22 @@ Design (no densification anywhere — per-device memory O(N/nd * log N)):
   nodes straddling a partition boundary are SHARED and replicated — there
   are only O(nd * depth) of them (the top of the tree).
 * Near field: the CSR rows are device-sharded.  Off-device columns are
-  fetched with a *packed-outbox* exchange: each owner packs exactly the
-  entries some other device needs (static index lists, padded to the max
-  outbox), one ``all_gather`` moves the outboxes, receivers gather from the
-  concatenated buffer with static indices.  Communication is
-  O(halo), not O(N) — the ICI analogue of the reference's Alltoallv halo
-  (communicateNear, clusterMethodCy.pyx:3487).
+  fetched with a *packed-outbox* exchange: each owner packs, PER
+  DESTINATION, exactly the entries that destination needs (static index
+  lists, padded to the max pairwise outbox); one ``all_to_all`` swaps the
+  rows point-to-point, receivers gather from the received buffer with
+  static indices.  Received bytes are O(nd * maxPairOutbox) ≈ O(own halo)
+  — the ICI analogue of the reference's Alltoallv halo (communicateNear,
+  clusterMethodCy.pyx:3487).  ``bcast=True`` falls back to an
+  ``all_gather`` broadcast (the reference's globalData mode).
 * Far field / transfer passes: per-level coefficient arrays are sharded
   over owned nodes and replicated over shared ones.  Owned->owned transfer
   is local; owned->shared goes through ``psum``; shared->shared is computed
   redundantly (tiny).  Far pairs are assigned to the destination's device
   (or, for shared destinations, the source's device + psum); the source
   coefficients a device's far pairs need from other devices move through a
-  per-level packed-outbox ``all_gather`` — the ICI analogue of
-  communicateFar (clusterMethodCy.pyx:3610-3648).
+  per-level point-to-point packed-outbox ``all_to_all`` — the ICI analogue
+  of communicateFar (clusterMethodCy.pyx:3610-3648).
 
 The whole matvec is ONE jitted ``shard_map`` program with static shapes.
 """
@@ -68,34 +70,66 @@ def _buildHaloExchange(needPerDev, ownerOf, slotOf, nd, bcast=False):
     needPerDev[k]: global ids device k must read but does not own.
     ownerOf[g], slotOf[g]: owning device / local slot of global id g.
 
-    With ``bcast=True`` every owner packs everything it owns that ANY device
-    requested — the global-vector 'Bcast' semantics of the reference's
-    DistributedH2Matrix_globalData (clusterMethodCy.pyx:3127).
+    Two modes (the ICI analogues of the reference's communicateNear /
+    communicateFar, clusterMethodCy.pyx:3487,3610-3648):
 
-    Returns (sendSlot [nd, maxSend] local slots each owner packs,
-             recvIdx: dict per dev {globalId -> index into the flattened
-             [nd, maxSend] receive buffer}, maxSend)."""
-    sendSets = [set() for _ in range(nd)]
-    for k in range(nd):
-        for g in needPerDev[k]:
-            sendSets[int(ownerOf[g])].add(int(g))
+    * point-to-point (default): owner j packs a SEPARATE outbox row per
+      destination k; one ``all_to_all`` moves exactly the (j→k) rows, so
+      each device receives O(nd * maxPairSend) — the padded analogue of
+      the reference's Alltoallv, not a broadcast.  ``sendSlot`` has shape
+      [nd, nd, maxPair] (owner, dest, slot; -1 = padding) and ``recvPos``
+      is a per-destination list of dicts {globalId -> index into the
+      flattened [nd, maxPair] receive buffer of that destination}.
+    * ``bcast=True``: every owner packs everything it owns that ANY device
+      requested into one row and an ``all_gather`` replicates it — the
+      global-vector 'Bcast' semantics of the reference's
+      DistributedH2Matrix_globalData (clusterMethodCy.pyx:3127).
+      ``sendSlot`` is [nd, maxSend], ``recvPos`` a single shared dict.
+
+    Returns (sendSlot, recvPos, maxSend)."""
     if bcast:
+        sendSets = [set() for _ in range(nd)]
+        for k in range(nd):
+            for g in needPerDev[k]:
+                sendSets[int(ownerOf[g])].add(int(g))
         union = set()
         for s in sendSets:
             union |= s
-        sendSets = [{g for g in union if int(ownerOf[g]) == j}
-                    for j in range(nd)]
-    sendLists = [np.asarray(sorted(s), dtype=np.int64) for s in sendSets]
-    maxSend = max([len(s) for s in sendLists] + [1])
-    sendSlot = np.zeros((nd, maxSend), dtype=np.int64)
-    recvPos = {}
+        sendLists = [np.asarray(sorted(g for g in union
+                                       if int(ownerOf[g]) == j),
+                                dtype=np.int64) for j in range(nd)]
+        maxSend = max([len(s) for s in sendLists] + [1])
+        sendSlot = np.full((nd, maxSend), -1, dtype=np.int64)
+        recvPos = {}
+        for j in range(nd):
+            ls = sendLists[j]
+            if len(ls):
+                sendSlot[j, :len(ls)] = slotOf[ls]
+            for p, g in enumerate(ls):
+                recvPos[int(g)] = j * maxSend + p
+        return sendSlot, recvPos, maxSend
+
+    # point-to-point: per-(owner, dest) lists
+    pairLists = [[None] * nd for _ in range(nd)]
+    maxPair = 1
+    for k in range(nd):
+        need = np.asarray(sorted(set(int(g) for g in needPerDev[k])),
+                          dtype=np.int64)
+        owners = ownerOf[need] if len(need) else np.zeros(0, dtype=np.int64)
+        for j in range(nd):
+            ls = need[owners == j]
+            pairLists[j][k] = ls
+            maxPair = max(maxPair, len(ls))
+    sendSlot = np.full((nd, nd, maxPair), -1, dtype=np.int64)
+    recvPos = [dict() for _ in range(nd)]
     for j in range(nd):
-        ls = sendLists[j]
-        if len(ls):
-            sendSlot[j, :len(ls)] = slotOf[ls]
-        for p, g in enumerate(ls):
-            recvPos[int(g)] = j * maxSend + p
-    return sendSlot, recvPos, maxSend
+        for k in range(nd):
+            ls = pairLists[j][k]
+            if len(ls):
+                sendSlot[j, k, :len(ls)] = slotOf[ls]
+            for p, g in enumerate(ls):
+                recvPos[k][int(g)] = j * maxPair + p
+    return sendSlot, recvPos, maxPair
 
 
 class DistributedH2Matrix:
@@ -282,6 +316,9 @@ class DistributedH2Matrix:
             ownerOf = posDev[ell]
             sendSlotC, recvPosC, maxSendC = _buildHaloExchange(
                 needC, ownerOf, ownSlot[ell], nd, bcast=bcast)
+
+            def _rposC(k, g, recvPosC=recvPosC, bcast=bcast):
+                return recvPosC[g] if bcast else recvPosC[k][g]
             mo = maxOwn[ell]
             ceLen = mo + nShr[ell] + nd * maxSendC
             cntA = np.bincount(devA, minlength=nd) if len(devA) else \
@@ -303,7 +340,7 @@ class DistributedH2Matrix:
                     if posDev[ell][sp] == k:
                         srcIA[k, q] = ownSlot[ell][sp]
                     else:
-                        srcIA[k, q] = mo + nShr[ell] + recvPosC[sp]
+                        srcIA[k, q] = mo + nShr[ell] + _rposC(k, sp)
                 else:
                     srcIA[k, q] = mo + shrSlot[ell][sp]
             # C pairs
@@ -363,7 +400,8 @@ class DistributedH2Matrix:
             ci = np.empty(nk, dtype=np.int64)
             ci[loc] = dofSlot[ck[loc]]
             if (~loc).any():
-                ci[~loc] = [R + recvPosX[int(g)] for g in ck[~loc]]
+                rpk = recvPosX if bcast else recvPosX[k]
+                ci[~loc] = [R + rpk[int(g)] for g in ck[~loc]]
             nearCol[k, :nk] = ci
             nearDat[k, :nk] = dataN[sel]
 
@@ -412,16 +450,24 @@ class DistributedH2Matrix:
         farMeta = self._farMeta
         axis = self.axis
         mesh = self.mesh
+        bcast = self.bcast
 
         def body(sh, rp, xl):
             # shard_map local blocks have leading dim 1 for >=2-d arrays
             loc = {k: v[0] for k, v in sh.items()}
             dt = xl.dtype
 
-            # ---- communicateNear: packed-outbox halo exchange of x
+            # ---- communicateNear: packed-outbox halo exchange of x.
+            # bcast mode replicates every outbox (all_gather); default is
+            # point-to-point: per-destination outbox rows swapped by ONE
+            # all_to_all — the ICI Alltoallv (clusterMethodCy.pyx:3487)
             xpack = jnp.where(loc['sendSlotX'] >= 0,
                               xl[jnp.clip(loc['sendSlotX'], 0, R - 1)], 0.0)
-            bufX = jax.lax.all_gather(xpack, axis)       # [nd, maxSendX]
+            if bcast:
+                bufX = jax.lax.all_gather(xpack, axis)   # [nd, maxSendX]
+            else:
+                bufX = jax.lax.all_to_all(xpack, axis, split_axis=0,
+                                          concat_axis=0, tiled=False)
             xe = jnp.concatenate([xl, bufX.reshape(-1),
                                   jnp.zeros(1, dtype=dt)])
 
@@ -475,7 +521,11 @@ class DistributedH2Matrix:
                 # communicateFar: pack owned coefficients others need
                 cpack = own[ell][jnp.clip(loc[f'farsendSlotC{ell}'],
                                           0, max(maxOwn[ell], 1) - 1)]
-                bufC = jax.lax.all_gather(cpack, axis)   # [nd, maxSendC, M]
+                if bcast:
+                    bufC = jax.lax.all_gather(cpack, axis)
+                else:
+                    bufC = jax.lax.all_to_all(cpack, axis, split_axis=0,
+                                              concat_axis=0, tiled=False)
                 ce = jnp.concatenate([
                     own[ell][:maxOwn[ell]], shr[ell][:nShr[ell]],
                     bufC.reshape(-1, M), jnp.zeros((1, M), dtype=dt)])
@@ -643,7 +693,7 @@ class DistributedCSROperator:
             ci = np.empty(nk, dtype=np.int64)
             ci[locm] = dofSlot[ck[locm]]
             if (~locm).any():
-                ci[~locm] = [R + recvPosX[int(g)] for g in ck[~locm]]
+                ci[~locm] = [R + recvPosX[k][int(g)] for g in ck[~locm]]
             nearCol[k, :nk] = ci
             nearDat[k, :nk] = dataN[sel]
 
@@ -658,7 +708,9 @@ class DistributedCSROperator:
             loc = {k: v[0] for k, v in sh.items()}
             xpack = jnp.where(loc['sendSlotX'] >= 0,
                               xl[jnp.clip(loc['sendSlotX'], 0, R - 1)], 0.0)
-            bufX = jax.lax.all_gather(xpack, axis)
+            # point-to-point Alltoallv analogue: each peer's row lands here
+            bufX = jax.lax.all_to_all(xpack, axis, split_axis=0,
+                                      concat_axis=0, tiled=False)
             xe = jnp.concatenate([xl, bufX.reshape(-1),
                                   jnp.zeros(1, dtype=xl.dtype)])
             prod = loc['nearDat'] * xe[loc['nearCol']]
