@@ -807,14 +807,17 @@ class CSRAccumulator:
     field keeps its pattern in cluster-tree ordering so scatter slots are
     arithmetic; host contributions arrive in global dof ids)."""
 
-    def __init__(self, pattern, treePos=None):
-        # pattern: scipy CSR with sorted indices
+    def __init__(self, pattern, treePos=None, dtype=None):
+        # pattern: scipy CSR with sorted indices.  Accumulation happens in
+        # f64 host-side (np.add.at accuracy); ``dtype`` only sets the dtype
+        # of the RESULT operator so TPU matvecs stay out of emulated f64.
         self.pattern = pattern
         self.indptr = pattern.indptr
         self.indices = pattern.indices
         self.data = np.zeros(pattern.nnz + 1, dtype=REAL)
         self.N = pattern.shape[0]
         self.treePos = treePos
+        self.outDtype = dtype or REAL
 
     def _slots(self, rows, cols):
         # one global C-level binary search over row-major CSR keys (see
@@ -843,9 +846,10 @@ class CSRAccumulator:
         np.add.at(self.data, slots, vals)
 
     def result(self):
-        return CSR_LinearOperator(self.indices, self.indptr,
-                                  jnp.asarray(self.data[:-1]),
-                                  num_columns=self.pattern.shape[1])
+        return CSR_LinearOperator(
+            self.indices, self.indptr,
+            jnp.asarray(self.data[:-1], dtype=self.outDtype),
+            num_columns=self.pattern.shape[1])
 
 
 @partial(jax.jit, static_argnames=('kernel',),
@@ -1056,8 +1060,10 @@ class DeviceCSRAccumulator:
                             _statics=dict(kernel=kernel))
 
     def result(self):
-        data = jnp.asarray(self.hostData[:-1]) \
-            + self.data[:-1].astype(REAL)
+        # keep the accumulation dtype: upcasting to f64 here would push
+        # every subsequent TPU matvec into emulated float64
+        data = jnp.asarray(self.hostData[:-1], dtype=self.dtype) \
+            + self.data[:-1]
         return CSR_LinearOperator(self.indices, self.indptr, data,
                                   num_columns=self.pattern.shape[1])
 
@@ -1973,9 +1979,11 @@ class nonlocalBuilder:
                mesh.vertices[0].tobytes(), mesh.vertices[-1].tobytes())
         if _parallelCompileWorthIt() and sig not in _HARVESTED:
             with _harvest():
-                self._runPairBuckets(CSRAccumulator(S.copy()), info)
+                self._runPairBuckets(
+                    CSRAccumulator(S.copy(),
+                                   dtype=self.params.get('dtype')), info)
             _HARVESTED.add(sig)
-        acc = CSRAccumulator(S)
+        acc = CSRAccumulator(S, dtype=self.params.get('dtype'))
         self._runPairBuckets(acc, info)
         return acc.result()
 
@@ -2510,7 +2518,8 @@ class nonlocalBuilder:
                 return DeviceCSRAccumulator(S, C, pairMasks,
                                             dtype=self.params.get('dtype'),
                                             treePos=treePos)
-            return CSRAccumulator(S, treePos=treePos)
+            return CSRAccumulator(S, treePos=treePos,
+                                  dtype=self.params.get('dtype'))
 
         def runAll(acc):
             self._runPairBuckets(acc, info, maskLookup=pairMasks)
