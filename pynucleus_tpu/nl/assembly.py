@@ -384,6 +384,60 @@ def _bucket_contrib_nonsym(vertices, vertIdx1, vertIdx2, volsym,
     return t1 @ PHIxPSI - t2 @ PHIyPSI
 
 
+def _vec_eval(kernel, r2, x, y):
+    """All valueSize components, NaN-safe at r2=0 (padding)."""
+    r2safe = jnp.where(r2 > 0, r2, 1.0)
+    val = kernel.evalComponentsJax(x, y, r2safe)
+    return jnp.where((r2 > 0)[..., None], val, 0.0)
+
+
+@partial(jax.jit, static_argnames=('kernel', 'useNormals'))
+def _bucket_contrib_vec(vertices, vertIdx1, vertIdx2, volsym,
+                        bary_x, bary_y, w, PSIP,
+                        normals=None, kernel=None, useNormals=False):
+    """Vector-valued local pair matrices [P, nPSI^2, V]: ONE quadrature
+    pass evaluates every component (ref IndexManagerVector scatter loops,
+    nonlocalAssembly pxi; kernelsCy.pyx eval :1911 fills vec[valueSize])."""
+    v1 = vertices[vertIdx1]
+    v2 = vertices[vertIdx2]
+    x = jnp.einsum('pvd,vq->pqd', v1, bary_x)
+    y = jnp.einsum('pvd,vq->pqd', v2, bary_y)
+    r2 = jnp.sum((x - y) ** 2, axis=-1)
+    g = _vec_eval(kernel, r2, x, y)               # [P, Q, V]
+    if kernel.finiteHorizon or kernel.complement:
+        ind = kernel.interaction.jaxIndicator(x, y, kernel.horizonValue ** 2)
+        g = g * ind[..., None]
+    if useNormals:
+        rsafe = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+        fac = jnp.einsum('pd,pqd->pq', normals, y - x) / rsafe
+        g = g * jnp.where(r2 > 0, fac, 0.0)[..., None]
+    t = (g * w[None, :, None]) * volsym[:, None, None]
+    return jnp.einsum('pqv,qm->pmv', t, PSIP)     # [P, nPSI^2, V]
+
+
+@partial(jax.jit, static_argnames=('kernel',))
+def _bucket_contrib_nonsym_vec(vertices, vertIdx1, vertIdx2, volsym,
+                               bary_x, bary_y, w, PHIxPSI, PHIyPSI,
+                               kernel=None):
+    """Nonsymmetric vector local matrices (the vector analogue of
+    _bucket_contrib_nonsym)."""
+    v1 = vertices[vertIdx1]
+    v2 = vertices[vertIdx2]
+    x = jnp.einsum('pvd,vq->pqd', v1, bary_x)
+    y = jnp.einsum('pvd,vq->pqd', v2, bary_y)
+    r2 = jnp.sum((x - y) ** 2, axis=-1)
+    g1 = _vec_eval(kernel, r2, x, y)
+    g2 = _vec_eval(kernel, r2, y, x)
+    if kernel.finiteHorizon or kernel.complement:
+        ind = kernel.interaction.jaxIndicator(x, y, kernel.horizonValue ** 2)
+        g1 = g1 * ind[..., None]
+        g2 = g2 * ind[..., None]
+    t1 = (g1 * w[None, :, None]) * volsym[:, None, None]
+    t2 = (g2 * w[None, :, None]) * volsym[:, None, None]
+    return jnp.einsum('pqv,qm->pmv', t1, PHIxPSI) \
+        - jnp.einsum('pqv,qm->pmv', t2, PHIyPSI)
+
+
 @partial(jax.jit, static_argnames=('kernel', 'dpe'))
 def _bucket_cut2d_polar(vertices, vi1, vi2, vols1, bary_x, wx,
                         thetas, wtheta, rq, wr, exps, Vinv,
@@ -775,6 +829,27 @@ class DeviceDenseAccumulator:
     def result(self):
         from ..base.linear_operators import Dense_LinearOperator
         return Dense_LinearOperator(self.A[:self.N, :self.N])
+
+
+class VectorDenseAccumulator:
+    """Dense accumulator with a trailing component axis [N+1, N+1, V]
+    (ref Dense_VectorLinearOperator target of the vecA getDense branch)."""
+
+    def __init__(self, N, V, dtype=None):
+        self.N = N
+        self.V = V
+        self.A = np.zeros((N + 1, N + 1, V), dtype=dtype or REAL)
+
+    def add(self, rows, cols, vals):
+        # vals [n, V]
+        r = np.where(rows >= 0, rows, self.N)
+        c = np.where(cols >= 0, cols, self.N)
+        np.add.at(self.A, (r, c), np.asarray(vals))
+
+    def result(self):
+        from ..base.linear_operators import Dense_VectorLinearOperator
+        return Dense_VectorLinearOperator(
+            jnp.asarray(self.A[:self.N, :self.N, :]))
 
 
 class BCAccumulator:
@@ -1253,6 +1328,7 @@ class _BucketRunner:
         P = vertIdx1.shape[0]
         if P == 0:
             return
+        V = getattr(self.kernel, 'valueSize', 1)
         nonsym = PHI is not None
         if nonsym:
             PHIx, PHIy = PHI
@@ -1282,7 +1358,25 @@ class _BucketRunner:
             yo = None
             if yOffset is not None:
                 yo = _jd(_pad(yOffset[sl], csize, fill=0.0), self.dtype)
-            if nonsym:
+            if V > 1:
+                # vector-valued: one pass computes all components
+                if nonsym:
+                    M = _launch(
+                        _bucket_contrib_nonsym_vec,
+                        self.vertices, _jd(vi1, INDEX),
+                        _jd(vi2, INDEX), jnp.asarray(vs),
+                        bary_x, bary_y, w, PHIxPSI, PHIyPSI,
+                        _statics=dict(kernel=self.kernel))
+                else:
+                    M = _launch(
+                        _bucket_contrib_vec,
+                        self.vertices, _jd(vi1, INDEX),
+                        _jd(vi2, INDEX), jnp.asarray(vs),
+                        bary_x, bary_y, w, PSIP,
+                        normals=nm,
+                        _statics=dict(kernel=self.kernel,
+                                      useNormals=self.useNormals))
+            elif nonsym:
                 M = _launch(
                     _bucket_contrib_nonsym,
                     self.vertices, _jd(vi1, INDEX),
@@ -1301,7 +1395,15 @@ class _BucketRunner:
                                   useNormals=self.useNormals,
                                   useYShift=yo is not None))
             dr = _pad(dofRows[sl], csize, fill=-1)
-            if hasattr(acc, 'deviceAddRows'):
+            if V > 1:
+                shape3 = (chunk, nPSI, nPSI)
+                rb = np.broadcast_to(dr[:chunk, :, None], shape3)
+                cb = np.broadcast_to(dr[:chunk, None, :], shape3)
+                if entryMask is not None:
+                    rb = np.where(entryMask[sl], rb, DROP)
+                Mh = np.asarray(M[:chunk]).reshape(chunk, nPSI, nPSI, V)
+                acc.add(rb.reshape(-1), cb.reshape(-1), Mh.reshape(-1, V))
+            elif hasattr(acc, 'deviceAddRows'):
                 em = None
                 if entryMask is not None:
                     em = _pad(entryMask[sl], csize, fill=False)
@@ -1992,13 +2094,34 @@ class nonlocalBuilder:
         """Scalar kernels for each of the kernel's valueSize components
         (constant-s derivative kernels have one component; ref
         IndexManagerVector loops q over kernel.valueSize)."""
+        if getattr(self.kernel, 'valueSize', 1) > 1:
+            return self.kernel.componentKernels()
         return [self.kernel]
 
     def getDenseVector(self):
         """Dense vector-valued assembly (ref getDense vecA branch,
-        nonlocalAssembly pxi:1354 Dense_VectorLinearOperator): entries carry
-        kernel.valueSize components; constant-order derivative kernels
-        assemble their single component through the scalar panel engine."""
+        nonlocalAssembly pxi:1354 Dense_VectorLinearOperator).
+
+        Multi-component kernels (valueSize > 1, e.g. derivative kernels of
+        multi-parameter orders) assemble ALL components in ONE pass through
+        the panel engine: the vector bucket kernels emit [P, nPSI^2, V]
+        contributions (ref IndexManagerVector scatter; kernelsCy eval
+        :1911 fills vec[valueSize] per point).  Constant-order derivative
+        kernels (valueSize 1) go through the scalar engine."""
+        from .panels import classifyPairsDense
+        V = getattr(self.kernel, 'valueSize', 1)
+        if V > 1:
+            dm = self.dm
+            N = dm.num_dofs
+            info = self._makeRules(classifyPairsDense(
+                dm, self.kernel,
+                target_order=self.params.get('target_order')))
+            acc = VectorDenseAccumulator(N, V,
+                                         dtype=self.params.get('dtype'))
+            self._runPairBuckets(acc, info)
+            if self.zeroExterior:
+                self._addZeroExterior(acc)
+            return acc.result()
         from ..base.linear_operators import Dense_VectorLinearOperator
         comps = []
         for k in self._componentKernels():

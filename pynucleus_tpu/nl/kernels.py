@@ -85,11 +85,23 @@ def _bessel_j0y0(x):
 # ------------------------------------------------------------ fractional orders
 
 class fractionalOrderBase:
-    """s(x, y); ref fractionalOrders.pyx:45."""
+    """s(x, y); ref fractionalOrders.pyx:45.
+
+    ``numParameters`` / ``evalGradJax`` expose the parametrization of the
+    order (ref fractionalOrders.pxd:21 numParameters, evalGrad :59):
+    derivative kernels are vector-valued with one component per parameter,
+    component q carrying ds/dp_q(x, y)."""
     symmetric = True
+    numParameters = 1
 
     def __call__(self, X, Y):
         raise NotImplementedError()
+
+    def evalGradJax(self, x, y):
+        """ds/dparams at (x, y) -> [..., numParameters] (device).  The
+        default single-parameter order is s itself: gradient 1."""
+        shape = jnp.broadcast_shapes(x.shape[:-1], y.shape[:-1])
+        return jnp.ones(shape + (1,))
 
     @property
     def min(self):
@@ -142,6 +154,10 @@ class leftRightFractionalOrder(fractionalOrderBase):
 
     def __init__(self, sll, srr, slr=None, srl=None, interface=0.0):
         self.sll, self.srr = sll, srr
+        # tied cross-values (slr=sll, srl=srr) leave TWO free parameters;
+        # explicit cross-values make FOUR (ref numParameters semantics)
+        self._tied = slr is None and srl is None
+        self.numParameters = 2 if self._tied else 4
         self.slr = slr if slr is not None else sll
         self.srl = srl if srl is not None else srr
         self.interface = interface
@@ -164,9 +180,21 @@ class leftRightFractionalOrder(fractionalOrderBase):
                          jnp.where(~xl & ~yl, self.srr,
                                    jnp.where(xl, self.slr, self.srl)))
 
+    def evalGradJax(self, x, y):
+        xl = x[..., 0] < self.interface
+        yl = y[..., 0] < self.interface
+        ll = (xl & yl).astype(x.dtype)
+        rr = (~xl & ~yl).astype(x.dtype)
+        lr = (xl & ~yl).astype(x.dtype)
+        rl = (~xl & yl).astype(x.dtype)
+        if self._tied:
+            # slr follows sll, srl follows srr
+            return jnp.stack([ll + lr, rr + rl], axis=-1)
+        return jnp.stack([ll, rr, lr, rl], axis=-1)
+
     def _key(self):
         return (type(self).__name__, self.sll, self.srr, self.slr, self.srl,
-                self.interface)
+                self.interface, self._tied)
 
     def __repr__(self):
         if self.slr != self.sll or self.srl != self.srr:
@@ -466,6 +494,65 @@ class feFractionalOrder(fractionalOrderBase):
                  + fx * fy * g[i + 1, j + 1])
         return jnp.broadcast_to(v, jnp.broadcast_shapes(x.shape[:-1],
                                                         y.shape[:-1]))
+
+    @property
+    def numParameters(self):
+        """One parameter per dof of the order's FE vector (ref
+        fractionalOrders.pyx:667 numParameters=vec.dm.num_dofs)."""
+        return self.dm.num_dofs
+
+    def _gridWeights(self):
+        """W [nGrid, num_dofs]: P1 basis values of the order space at the
+        background grid points; the grid rasterization is linear in the dof
+        values, so ds/ds_q(x) = sum_c w_c(x) W[c, q]."""
+        if getattr(self, '_W', None) is None:
+            from ..fem.lookup import cellFinder
+            assert self.dm.polynomialOrder == 1, \
+                'feFractionalOrder gradients need a P1 order space'
+            mesh = self.dm.mesh
+            dim = mesh.dim
+            n = self._gridN
+            axes = [np.linspace(self._lo[d], self._hi[d], n)
+                    for d in range(dim)]
+            G = np.meshgrid(*axes, indexing='ij')
+            pts = np.stack([g.ravel() for g in G], axis=1)
+            fnd = cellFinder(mesh)
+            W = np.zeros((pts.shape[0], self.dm.num_dofs))
+            dofs = np.asarray(self.dm.dofs)
+            for p in range(pts.shape[0]):
+                c, lam = fnd.find(pts[p], tol=1e-8)
+                if c < 0:
+                    continue
+                for loc in range(dofs.shape[1]):
+                    q = dofs[c, loc]
+                    if q >= 0:
+                        W[p, q] = lam[loc]
+            self._W = jnp.asarray(W)
+        return self._W
+
+    def evalGradJax(self, x, y):
+        W = self._gridWeights()
+        lo = jnp.asarray(self._lo)
+        hi = jnp.asarray(self._hi)
+        n = self._gridN
+        t = jnp.clip((x - lo) / (hi - lo), 0.0, 1.0) * (n - 1)
+        i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n - 2)
+        f = t - i0
+        dim = x.shape[-1]
+        if dim == 1:
+            i = i0[..., 0]
+            g = (1 - f[..., 0])[..., None] * W[i] \
+                + f[..., 0][..., None] * W[i + 1]
+        else:
+            i, j = i0[..., 0], i0[..., 1]
+            fx, fy = f[..., 0][..., None], f[..., 1][..., None]
+            flat = i * n + j
+            g = ((1 - fx) * (1 - fy) * W[flat]
+                 + fx * (1 - fy) * W[flat + n]
+                 + (1 - fx) * fy * W[flat + 1]
+                 + fx * fy * W[flat + n + 1])
+        shape = jnp.broadcast_shapes(x.shape[:-1], y.shape[:-1])
+        return jnp.broadcast_to(g, shape + (self.dm.num_dofs,))
 
     def _key(self):
         return (type(self).__name__, id(self.vec), self.smin, self.smax)
@@ -1408,6 +1495,124 @@ class DerivativeFractionalKernel(FractionalKernel):
                                  self.normalized)
 
 
+class VectorFractionalKernel(FractionalKernel):
+    """Vector-valued derivative kernel for a MULTI-PARAMETER fractional
+    order (ref kernelsCy.pyx:1580-1584: derivative=1 -> valueSize =
+    s.numParameters, derivative=2 -> numParameters**2; eval :1911-1944
+    multiplies d^k gamma/ds^k with s.evalGrad/outer product).
+
+    TPU-native: component q is  d^k gamma/ds^k (x,y; s(x,y)) * ds/dp_q(x,y)
+    — ALL components come from ONE scalar kernel evaluation per quadrature
+    point (jvp-autodiffed through the closed-form normalized profile) times
+    the order's parameter gradient, so vector assembly is a single pass, not
+    valueSize scalar re-assemblies."""
+
+    def __init__(self, dim, s, horizon=np.inf, interaction=None,
+                 normalized=True, boundary=False, temperedLambda=0.0,
+                 derivative=1):
+        super().__init__(dim, s, horizon=horizon, interaction=interaction,
+                         normalized=normalized, boundary=boundary,
+                         temperedLambda=temperedLambda)
+        self.derivative = int(derivative)
+        self.normalized = normalized
+        P = int(s.numParameters)
+        self.valueSize = P if self.derivative == 1 else P * P
+        # gradient factors are generally unsymmetric in (x, y)
+        self.symmetric = False
+        self.variable = True
+
+    def _profile(self, sv, r2):
+        """Closed-form normalized gamma as a differentiable function of the
+        order value (same expression as FractionalKernel.evalXY)."""
+        from jax.scipy.special import gammaln
+        d = self.dim
+        if self.normalized:
+            if self.horizonValue == np.inf:
+                C = (2.0 ** (2 * sv) * sv / np.pi ** (0.5 * d) * 0.5 *
+                     jnp.exp(gammaln(sv + 0.5 * d) - gammaln(1.0 - sv)))
+            else:
+                C = ((2.0 - 2.0 * sv)
+                     * self.horizonValue ** (2 * sv - 2.0) * d
+                     * np.exp(float(_gammalnHost(0.5 * d)))
+                     / np.pi ** (0.5 * d) * 0.5)
+        else:
+            C = 0.5 * jnp.ones_like(sv)
+        if self.boundary:
+            val = (C / sv) * r2 ** (0.5 * (1.0 - d) - sv)
+        else:
+            val = C * r2 ** (-0.5 * d - sv)
+        if self.temperedLambda != 0.0:
+            val = val * jnp.exp(-self.temperedLambda * jnp.sqrt(r2))
+        return val
+
+    def evalComponentsJax(self, x, y, r2):
+        """All valueSize components at once -> [..., valueSize]."""
+        sv = self.s.jaxEval(x, y).astype(r2.dtype)
+        sv = jnp.broadcast_to(sv, r2.shape)
+        ones = jnp.ones_like(sv)
+        f = lambda s_: self._profile(s_, r2)          # noqa: E731
+        grad = self.s.evalGradJax(x, y).astype(r2.dtype)
+        grad = jnp.broadcast_to(grad, r2.shape + grad.shape[-1:])
+        if self.derivative == 1:
+            d1 = jax.jvp(f, (sv,), (ones,))[1]
+            return d1[..., None] * grad
+        d2 = jax.jvp(lambda s_: jax.jvp(f, (s_,), (ones,))[1],
+                     (sv,), (ones,))[1]
+        outer = grad[..., :, None] * grad[..., None, :]
+        return (d2[..., None, None] * outer).reshape(
+            r2.shape + (self.valueSize,))
+
+    def evalXY(self, x, y, r2):
+        raise TypeError('vector-valued kernel: use evalComponentsJax '
+                        '(scalar assembly paths must not see valueSize>1)')
+
+    def componentKernels(self):
+        """Scalar kernels for each component (ref: per-component views of
+        the vector operator); used by component-wise H2 and parity tests."""
+        return [_ComponentFractionalKernel(self, q)
+                for q in range(self.valueSize)]
+
+    def getBoundaryKernel(self):
+        return VectorFractionalKernel(
+            self.dim, self.s, horizon=self.horizonValue,
+            normalized=self.normalized, boundary=True,
+            temperedLambda=self.temperedLambda, derivative=self.derivative)
+
+    def _key(self):
+        return super()._key() + ('vectorDerivative', self.derivative,
+                                 self.normalized)
+
+
+class _ComponentFractionalKernel(FractionalKernel):
+    """Scalar view of one component of a VectorFractionalKernel (goes
+    through the ordinary scalar panel engine)."""
+
+    def __init__(self, parent, q):
+        super().__init__(parent.dim, parent.s, horizon=parent.horizonValue,
+                         normalized=parent.normalized,
+                         boundary=parent.boundary,
+                         temperedLambda=parent.temperedLambda)
+        self.parent = parent
+        self.q = int(q)
+        self.symmetric = False
+        self.variable = True
+        # same quadrature-order bump as the vector kernel (the assembly
+        # engine raises the rule order for the log factor of s-derivatives)
+        self.derivative = parent.derivative
+
+    def evalXY(self, x, y, r2):
+        return self.parent.evalComponentsJax(x, y, r2)[..., self.q]
+
+    def getBoundaryKernel(self):
+        return _ComponentFractionalKernel(self.parent.getBoundaryKernel(),
+                                          self.q)
+
+    def _key(self):
+        return super()._key() + ('component', self.q,
+                                 self.parent.derivative,
+                                 self.parent.normalized)
+
+
 def _gammalnHost(x):
     from scipy.special import gammaln as _g
     return _g(x)
@@ -1434,6 +1639,12 @@ def getFractionalKernel(dim, s, horizon=np.inf, interaction=None, scaling=None,
     if interaction is None:
         interaction = fullSpace() if hv == np.inf else ball2()
     if derivative:
+        if getattr(s, 'numParameters', 1) > 1:
+            # multi-parameter order -> vector-valued kernel
+            # (ref kernelsCy.pyx:1583 valueSize = s.numParameters)
+            return VectorFractionalKernel(
+                dim, s, hv, interaction, normalized=normalized,
+                boundary=boundary, derivative=derivative)
         k = DerivativeFractionalKernel(
             dim, s, hv, interaction, normalized=normalized,
             boundary=boundary, derivative=derivative)
