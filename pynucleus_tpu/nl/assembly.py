@@ -65,11 +65,34 @@ def _radial_eval(kernel, r2, x=None, y=None):
     return jnp.where(r2 > 0, val, 0.0)
 
 
-@partial(jax.jit, static_argnames=('kernel', 'useNormals', 'useYShift'))
+def _log_extra_scalar(kernel, r2, x, y, lnEta, cw1, cw2):
+    """Per-node log-correction term for s-derivative kernels on singular
+    rules: cw1 (b + 2 c lnR) + cw2 c with (b, c) the ln r / ln^2 r
+    coefficients and lnR = ln r - lnEta smooth (see PanelRule docstring)."""
+    r2safe = jnp.where(r2 > 0, r2, 1.0)
+    b, c = kernel.evalLogCoeffsJax(x, y, r2safe)
+    ok = (r2 > 0)
+    if b.ndim == r2.ndim + 1:          # vector-valued [..., V]
+        ok = ok[..., None]
+        lnR = (0.5 * jnp.log(r2safe) - lnEta[None, :])[..., None]
+        cw1 = cw1[None, :, None]
+        cw2 = cw2[None, :, None]
+    else:
+        lnR = 0.5 * jnp.log(r2safe) - lnEta[None, :]
+        cw1 = cw1[None, :]
+        cw2 = cw2[None, :]
+    b = jnp.where(ok, b, 0.0)
+    c = jnp.where(ok, c, 0.0)
+    return cw1 * (b + 2.0 * c * lnR) + cw2 * c
+
+
+@partial(jax.jit, static_argnames=('kernel', 'useNormals', 'useYShift',
+                                   'useLogCorr'))
 def _bucket_contrib(vertices, vertIdx1, vertIdx2, volsym,
                     bary_x, bary_y, w, PSIP,
                     normals=None, kernel=None, useNormals=False,
-                    yShift=None, useYShift=False):
+                    yShift=None, useYShift=False,
+                    lnEta=None, cw1=None, cw2=None, useLogCorr=False):
     """One panel bucket -> local pair matrices M [P, nPSI^2].
 
     yShift [P, dim] nudges the y evaluation points (surface integrals of
@@ -86,17 +109,20 @@ def _bucket_contrib(vertices, vertIdx1, vertIdx2, volsym,
         y = y + yShift[:, None, :]
     r2 = jnp.sum((x - y) ** 2, axis=-1)
     g = _radial_eval(kernel, r2, x, y)
+    t = g * w[None, :]
+    if useLogCorr:
+        t = t + _log_extra_scalar(kernel, r2, x, y, lnEta, cw1, cw2)
     if kernel.finiteHorizon or kernel.complement:
         ind = kernel.interaction.jaxIndicator(x, y, kernel.horizonValue ** 2)
-        g = g * ind
+        t = t * ind
     if useNormals:
         # boundary kernels carry n.(y-x)/|y-x| (outward normal at y on the
         # surface element; ref fractionalLaplacian1D.pyx:736-749 and the 2D
         # eval_distant_boundary)
         rsafe = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
         fac = jnp.einsum('pd,pqd->pq', normals, y - x) / rsafe
-        g = g * jnp.where(r2 > 0, fac, 0.0)
-    t = (g * w[None, :]) * volsym[:, None]        # [P, Q]
+        t = t * jnp.where(r2 > 0, fac, 0.0)
+    t = t * volsym[:, None]                       # [P, Q]
     return t @ PSIP                               # [P, nPSI*nPSI]  (MXU)
 
 
@@ -362,9 +388,10 @@ def _bucket_natural_scatter(A, vertices, cellsArr, dofsArr, volsArr,
     return A.at[rb, cb].add(M.reshape(-1))
 
 
-@partial(jax.jit, static_argnames=('kernel',))
+@partial(jax.jit, static_argnames=('kernel', 'useLogCorr'))
 def _bucket_contrib_nonsym(vertices, vertIdx1, vertIdx2, volsym,
-                           bary_x, bary_y, w, PHIxPSI, PHIyPSI, kernel=None):
+                           bary_x, bary_y, w, PHIxPSI, PHIyPSI, kernel=None,
+                           lnEta=None, cw1=None, cw2=None, useLogCorr=False):
     """Nonsymmetric local matrices (ref fractionalLaplacian1D_nonsym eval
     :549-603): M = t1 @ (PHIx_I PSI_J) - t2 @ (PHIy_I PSI_J) with
     t1 = w gamma(x,y) vol, t2 = w gamma(y,x) vol."""
@@ -373,14 +400,17 @@ def _bucket_contrib_nonsym(vertices, vertIdx1, vertIdx2, volsym,
     x = jnp.einsum('pvd,vq->pqd', v1, bary_x)
     y = jnp.einsum('pvd,vq->pqd', v2, bary_y)
     r2 = jnp.sum((x - y) ** 2, axis=-1)
-    g1 = _radial_eval(kernel, r2, x, y)
-    g2 = _radial_eval(kernel, r2, y, x)
+    t1 = _radial_eval(kernel, r2, x, y) * w[None, :]
+    t2 = _radial_eval(kernel, r2, y, x) * w[None, :]
+    if useLogCorr:
+        t1 = t1 + _log_extra_scalar(kernel, r2, x, y, lnEta, cw1, cw2)
+        t2 = t2 + _log_extra_scalar(kernel, r2, y, x, lnEta, cw1, cw2)
     if kernel.finiteHorizon or kernel.complement:
         ind = kernel.interaction.jaxIndicator(x, y, kernel.horizonValue ** 2)
-        g1 = g1 * ind
-        g2 = g2 * ind
-    t1 = (g1 * w[None, :]) * volsym[:, None]
-    t2 = (g2 * w[None, :]) * volsym[:, None]
+        t1 = t1 * ind
+        t2 = t2 * ind
+    t1 = t1 * volsym[:, None]
+    t2 = t2 * volsym[:, None]
     return t1 @ PHIxPSI - t2 @ PHIyPSI
 
 
@@ -391,10 +421,11 @@ def _vec_eval(kernel, r2, x, y):
     return jnp.where((r2 > 0)[..., None], val, 0.0)
 
 
-@partial(jax.jit, static_argnames=('kernel', 'useNormals'))
+@partial(jax.jit, static_argnames=('kernel', 'useNormals', 'useLogCorr'))
 def _bucket_contrib_vec(vertices, vertIdx1, vertIdx2, volsym,
                         bary_x, bary_y, w, PSIP,
-                        normals=None, kernel=None, useNormals=False):
+                        normals=None, kernel=None, useNormals=False,
+                        lnEta=None, cw1=None, cw2=None, useLogCorr=False):
     """Vector-valued local pair matrices [P, nPSI^2, V]: ONE quadrature
     pass evaluates every component (ref IndexManagerVector scatter loops,
     nonlocalAssembly pxi; kernelsCy.pyx eval :1911 fills vec[valueSize])."""
@@ -403,22 +434,25 @@ def _bucket_contrib_vec(vertices, vertIdx1, vertIdx2, volsym,
     x = jnp.einsum('pvd,vq->pqd', v1, bary_x)
     y = jnp.einsum('pvd,vq->pqd', v2, bary_y)
     r2 = jnp.sum((x - y) ** 2, axis=-1)
-    g = _vec_eval(kernel, r2, x, y)               # [P, Q, V]
+    t = _vec_eval(kernel, r2, x, y) * w[None, :, None]    # [P, Q, V]
+    if useLogCorr:
+        t = t + _log_extra_scalar(kernel, r2, x, y, lnEta, cw1, cw2)
     if kernel.finiteHorizon or kernel.complement:
         ind = kernel.interaction.jaxIndicator(x, y, kernel.horizonValue ** 2)
-        g = g * ind[..., None]
+        t = t * ind[..., None]
     if useNormals:
         rsafe = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
         fac = jnp.einsum('pd,pqd->pq', normals, y - x) / rsafe
-        g = g * jnp.where(r2 > 0, fac, 0.0)[..., None]
-    t = (g * w[None, :, None]) * volsym[:, None, None]
+        t = t * jnp.where(r2 > 0, fac, 0.0)[..., None]
+    t = t * volsym[:, None, None]
     return jnp.einsum('pqv,qm->pmv', t, PSIP)     # [P, nPSI^2, V]
 
 
-@partial(jax.jit, static_argnames=('kernel',))
+@partial(jax.jit, static_argnames=('kernel', 'useLogCorr'))
 def _bucket_contrib_nonsym_vec(vertices, vertIdx1, vertIdx2, volsym,
                                bary_x, bary_y, w, PHIxPSI, PHIyPSI,
-                               kernel=None):
+                               kernel=None, lnEta=None, cw1=None, cw2=None,
+                               useLogCorr=False):
     """Nonsymmetric vector local matrices (the vector analogue of
     _bucket_contrib_nonsym)."""
     v1 = vertices[vertIdx1]
@@ -426,14 +460,17 @@ def _bucket_contrib_nonsym_vec(vertices, vertIdx1, vertIdx2, volsym,
     x = jnp.einsum('pvd,vq->pqd', v1, bary_x)
     y = jnp.einsum('pvd,vq->pqd', v2, bary_y)
     r2 = jnp.sum((x - y) ** 2, axis=-1)
-    g1 = _vec_eval(kernel, r2, x, y)
-    g2 = _vec_eval(kernel, r2, y, x)
+    t1 = _vec_eval(kernel, r2, x, y) * w[None, :, None]
+    t2 = _vec_eval(kernel, r2, y, x) * w[None, :, None]
+    if useLogCorr:
+        t1 = t1 + _log_extra_scalar(kernel, r2, x, y, lnEta, cw1, cw2)
+        t2 = t2 + _log_extra_scalar(kernel, r2, y, x, lnEta, cw1, cw2)
     if kernel.finiteHorizon or kernel.complement:
         ind = kernel.interaction.jaxIndicator(x, y, kernel.horizonValue ** 2)
-        g1 = g1 * ind[..., None]
-        g2 = g2 * ind[..., None]
-    t1 = (g1 * w[None, :, None]) * volsym[:, None, None]
-    t2 = (g2 * w[None, :, None]) * volsym[:, None, None]
+        t1 = t1 * ind[..., None]
+        t2 = t2 * ind[..., None]
+    t1 = t1 * volsym[:, None, None]
+    t2 = t2 * volsym[:, None, None]
     return jnp.einsum('pqv,qm->pmv', t1, PHIxPSI) \
         - jnp.einsum('pqv,qm->pmv', t2, PHIyPSI)
 
@@ -1329,6 +1366,14 @@ class _BucketRunner:
         if P == 0:
             return
         V = getattr(self.kernel, 'valueSize', 1)
+        useLogCorr = (getattr(rule, 'cw1', None) is not None
+                      and bool(getattr(self.kernel, 'derivative', 0))
+                      and hasattr(self.kernel, 'evalLogCoeffsJax'))
+        logkw = {}
+        if useLogCorr:
+            logkw = dict(lnEta=_jd(rule.lnEta, self.dtype),
+                         cw1=_jd(rule.cw1, self.dtype),
+                         cw2=_jd(rule.cw2, self.dtype))
         nonsym = PHI is not None
         if nonsym:
             PHIx, PHIy = PHI
@@ -1366,7 +1411,8 @@ class _BucketRunner:
                         self.vertices, _jd(vi1, INDEX),
                         _jd(vi2, INDEX), jnp.asarray(vs),
                         bary_x, bary_y, w, PHIxPSI, PHIyPSI,
-                        _statics=dict(kernel=self.kernel))
+                        _statics=dict(kernel=self.kernel,
+                                      useLogCorr=useLogCorr), **logkw)
                 else:
                     M = _launch(
                         _bucket_contrib_vec,
@@ -1375,14 +1421,16 @@ class _BucketRunner:
                         bary_x, bary_y, w, PSIP,
                         normals=nm,
                         _statics=dict(kernel=self.kernel,
-                                      useNormals=self.useNormals))
+                                      useNormals=self.useNormals,
+                                      useLogCorr=useLogCorr), **logkw)
             elif nonsym:
                 M = _launch(
                     _bucket_contrib_nonsym,
                     self.vertices, _jd(vi1, INDEX),
                     _jd(vi2, INDEX), jnp.asarray(vs),
                     bary_x, bary_y, w, PHIxPSI, PHIyPSI,
-                    _statics=dict(kernel=self.kernel))
+                    _statics=dict(kernel=self.kernel,
+                                  useLogCorr=useLogCorr), **logkw)
             else:
                 M = _launch(
                     _bucket_contrib,
@@ -1393,7 +1441,8 @@ class _BucketRunner:
                     yShift=yo,
                     _statics=dict(kernel=self.kernel,
                                   useNormals=self.useNormals,
-                                  useYShift=yo is not None))
+                                  useYShift=yo is not None,
+                                  useLogCorr=useLogCorr), **logkw)
             dr = _pad(dofRows[sl], csize, fill=-1)
             if V > 1:
                 shape3 = (chunk, nPSI, nPSI)
@@ -1459,7 +1508,7 @@ class nonlocalBuilder:
         # s-derivative kernels carry an extra log|x-y| factor that the
         # Gauss-Jacobi singularity cancellation only resolves at higher
         # order (the weight absorbs the power law exactly, the log remains)
-        pBump = 4 * int(getattr(self.kernel, 'derivative', 0) or 0)
+        pBump = 4 * int(getattr(self.kernel, "derivative", 0) or 0)
         p = p + pBump
         continuous = dm.polynomialOrder >= 1
         out = {}
@@ -1486,6 +1535,28 @@ class nonlocalBuilder:
                                                continuous=continuous,
                                                radialOrder=radial)
         return out
+
+    def _makeSplitRuleFor(self, sing, quad_order_diagonal, nS):
+        """Touching-panel rule with cancellation=1 for the one-sided terms
+        of mixed-singularity nonsym panels (see _runPairBuckets split
+        branch / quad_singular.vertexRule1D docstring)."""
+        dm, mesh = self.dm, self.mesh
+        mdim = mesh.manifold_dim
+        p = max(dm.polynomialOrder, 1) \
+            + 4 * int(getattr(self.kernel, 'derivative', 0) or 0)
+        continuous = dm.polynomialOrder >= 1
+        if mdim == 1:
+            return vertexRule1D(sing, quad_order_diagonal, 2 * p,
+                                continuous=continuous, cancellation=1.0)
+        from .quad_singular_2d import edgeRule2DSS, vertexRule2DSS
+        radial = max(p - 1, 1)
+        if nS == 2:
+            return edgeRule2DSS(sing, 2 * p, quad_order_diagonal,
+                                continuous=continuous, radialOrder=radial,
+                                cancellation=1.0)
+        return vertexRule2DSS(sing, 2 * p, quad_order_diagonal,
+                              continuous=continuous, radialOrder=radial,
+                              cancellation=1.0)
 
     def _pairSingularities(self, pi, pj):
         """Per-pair kernel singularity from the cell-center fractional order
@@ -1572,17 +1643,30 @@ class nonlocalBuilder:
                 runner.run(acc, ruleId, PSI, cells[idsS], cells[idsS],
                            dofs[idsS], vsId, entryMask=em, PHI=PHI)
 
-        # --- touching panels, grouped by (#shared vertices, singularity)
+        # --- touching panels, grouped by (#shared vertices, singularity of
+        # gamma(x,y), singularity of gamma(y,x)).  For UNSYMMETRIC variable
+        # orders the two orderings can have different singular exponents on
+        # the same panel (e.g. leftRight pairs across the interface:
+        # s(x,y)=slr but s(y,x)=srl); the Gauss-Jacobi weight must match
+        # each term's own exponent, so such panels are evaluated in two
+        # passes (t1-only with rule(sing12), t2-only with rule(sing21)).
+        # The reference uses ONE rule from s(center1,center2) for both terms
+        # (nonlocalOperator pxi getPanelType + fractionalLaplacian1D_nonsym
+        # eval), which under-resolves the mismatched term; the split here is
+        # a deliberate accuracy improvement over the reference.
         pairs, sharedInfo = info['touching']
         if len(pairs):
-            sings = self._pairSingularities(pairs[:, 0], pairs[:, 1])
+            sings12 = self._pairSingularities(pairs[:, 0], pairs[:, 1])
+            sings21 = sings12 if sym else \
+                self._pairSingularities(pairs[:, 1], pairs[:, 0])
             byKey = {}
             for k in range(len(pairs)):
-                key = (sharedInfo[k][0], round(float(sings[k]), 12))
+                key = (sharedInfo[k][0], round(float(sings12[k]), 12),
+                       round(float(sings21[k]), 12))
                 byKey.setdefault(key, []).append(k)
         else:
             byKey = {}
-        for (nS, sing), idxs in byKey.items():
+        for (nS, sing, sing21), idxs in byKey.items():
             rules = rulesFor(sing)
             if mdim == 1:
                 rule = rules['ruleVertex']
@@ -1648,7 +1732,39 @@ class nonlocalBuilder:
                         # = natural mask position dpe + ld2[r]
                         ldFull2 = np.concatenate([dpe + ld2, ld1])
                         em[o2] = baseMask[gsel][:, ldFull2][:, :, ldFull2]
-            runner.run(acc, rule, PSI, vi1, vi2, dr, vs, entryMask=em, PHI=PHI)
+            if sym or sing == sing21:
+                runner.run(acc, rule, PSI, vi1, vi2, dr, vs, entryMask=em,
+                           PHI=PHI)
+            else:
+                # mixed-singularity nonsym panel: each one-sided kernel term
+                # with its own matched rule.  The split terms only carry ONE
+                # vanishing factor (the trial difference; the test function
+                # does not vanish at the shared simplex), so the split rules
+                # use cancellation=1 (see group-key comment above).
+                splitRules = {}
+
+                def splitRule(sg):
+                    if sg not in splitRules:
+                        r = self._makeSplitRuleFor(sg, qd, nS)
+                        ps = r.buildPSI(dm, nSharedVertices=nS)
+                        ph = r.buildPHI(dm, nSharedVertices=nS)
+                        z = np.zeros_like(ph[0])
+                        splitRules[sg] = (r, ps, ph, z)
+                    return splitRules[sg]
+
+                sA, sB = slice(0, P), slice(P, 2 * P)
+                for rows in (sA, sB):
+                    emR = em[rows] if em is not None else None
+                    # gamma(x,y) term: singularity of (cell1, cell2) order
+                    s12 = sing if rows is sA else sing21
+                    s21 = sing21 if rows is sA else sing
+                    r1, ps1, ph1, z1 = splitRule(s12)
+                    runner.run(acc, r1, ps1, vi1[rows], vi2[rows], dr[rows],
+                               vs[rows], entryMask=emR, PHI=(ph1[0], z1))
+                    # gamma(y,x) term: the transposed ordering's singularity
+                    r2, ps2, ph2, z2 = splitRule(s21)
+                    runner.run(acc, r2, ps2, vi1[rows], vi2[rows], dr[rows],
+                               vs[rows], entryMask=emR, PHI=(z2, ph2[1]))
 
         # --- distant panels, bucketed by quad order (high orders merged)
         di, dj, orders = info['distant']
@@ -3365,12 +3481,26 @@ class nonlocalBuilder:
         # number of shared vertices (2D: vertex vs edge panels)
         tpairs, perms = binfo['touching']
         if len(tpairs):
-            sigb = bkernel.getSingularityValue()
             qd = binfo['quad_order_diagonal']
+            if bkernel.variable:
+                # per-pair singularity from the order at (cell center,
+                # surface center) — variable-order boundary panels must use
+                # a rule matched to the LOCAL exponent (cf. the interior
+                # touching-panel grouping)
+                ccen = mesh.vertices[cells].mean(axis=1)
+                scen = mesh.vertices[scells].reshape(
+                    len(scells), -1, mesh.dim).mean(axis=1)
+                sv = np.asarray(bkernel.s(ccen[tpairs[:, 0]],
+                                          scen[tpairs[:, 1]]))
+                sigbs = 1.0 - bkernel.dim - 2.0 * sv
+            else:
+                sigbs = np.full(len(tpairs), bkernel.getSingularityValue())
             byShared = {}
             for k in range(len(tpairs)):
-                byShared.setdefault(perms[k][0], []).append(k)
-            for nS, idxs in byShared.items():
+                byShared.setdefault((perms[k][0],
+                                     round(float(sigbs[k]), 12)),
+                                    []).append(k)
+            for (nS, sigb), idxs in byShared.items():
                 if mdim == 1:
                     rule = boundaryVertexRule1D(sigb, qd)
                 else:

@@ -1521,9 +1521,9 @@ class VectorFractionalKernel(FractionalKernel):
         self.symmetric = False
         self.variable = True
 
-    def _profile(self, sv, r2):
-        """Closed-form normalized gamma as a differentiable function of the
-        order value (same expression as FractionalKernel.evalXY)."""
+    def _prefactor(self, sv):
+        """C(s) (or C(s)/s for the boundary kernel) as a differentiable
+        function of the order value."""
         from jax.scipy.special import gammaln
         d = self.dim
         if self.normalized:
@@ -1537,13 +1537,24 @@ class VectorFractionalKernel(FractionalKernel):
                      / np.pi ** (0.5 * d) * 0.5)
         else:
             C = 0.5 * jnp.ones_like(sv)
+        return C / sv if self.boundary else C
+
+    def _rpower(self, sv, r2):
+        d = self.dim
         if self.boundary:
-            val = (C / sv) * r2 ** (0.5 * (1.0 - d) - sv)
-        else:
-            val = C * r2 ** (-0.5 * d - sv)
+            return r2 ** (0.5 * (1.0 - d) - sv)
+        return r2 ** (-0.5 * d - sv)
+
+    def _tempered(self, r2):
         if self.temperedLambda != 0.0:
-            val = val * jnp.exp(-self.temperedLambda * jnp.sqrt(r2))
-        return val
+            return jnp.exp(-self.temperedLambda * jnp.sqrt(r2))
+        return 1.0
+
+    def _profile(self, sv, r2):
+        """Closed-form normalized gamma as a differentiable function of the
+        order value (same expression as FractionalKernel.evalXY)."""
+        return self._prefactor(sv) * self._rpower(sv, r2) \
+            * self._tempered(r2)
 
     def evalComponentsJax(self, x, y, r2):
         """All valueSize components at once -> [..., valueSize]."""
@@ -1561,6 +1572,29 @@ class VectorFractionalKernel(FractionalKernel):
         outer = grad[..., :, None] * grad[..., None, :]
         return (d2[..., None, None] * outer).reshape(
             r2.shape + (self.valueSize,))
+
+    def evalLogCoeffsJax(self, x, y, r2):
+        """(b, c) [..., valueSize]: coefficients of ln|x-y| and ln^2|x-y| in
+        the derivative integrand (gamma = C(s) r^{alpha(s)}, alpha' = -2:
+        d1 -> b = -2 gamma_plain, c = 0;
+        d2 -> b = -4 C'(s) r^alpha, c = 4 gamma_plain).
+        The singular rules integrate these factors exactly through their
+        log-correction weights (quad_singular.PanelRule.cw1/cw2)."""
+        sv = self.s.jaxEval(x, y).astype(r2.dtype)
+        sv = jnp.broadcast_to(sv, r2.shape)
+        grad = self.s.evalGradJax(x, y).astype(r2.dtype)
+        grad = jnp.broadcast_to(grad, r2.shape + grad.shape[-1:])
+        rad = self._rpower(sv, r2) * self._tempered(r2)
+        plain = self._prefactor(sv) * rad
+        if self.derivative == 1:
+            b = -2.0 * plain[..., None] * grad
+            return b, jnp.zeros_like(b)
+        dC = jax.jvp(self._prefactor, (sv,), (jnp.ones_like(sv),))[1]
+        outer = (grad[..., :, None] * grad[..., None, :]).reshape(
+            r2.shape + (self.valueSize,))
+        b = (-4.0 * dC * rad)[..., None] * outer
+        c = (4.0 * plain)[..., None] * outer
+        return b, c
 
     def evalXY(self, x, y, r2):
         raise TypeError('vector-valued kernel: use evalComponentsJax '
@@ -1602,6 +1636,10 @@ class _ComponentFractionalKernel(FractionalKernel):
 
     def evalXY(self, x, y, r2):
         return self.parent.evalComponentsJax(x, y, r2)[..., self.q]
+
+    def evalLogCoeffsJax(self, x, y, r2):
+        b, c = self.parent.evalLogCoeffsJax(x, y, r2)
+        return b[..., self.q], c[..., self.q]
 
     def getBoundaryKernel(self):
         return _ComponentFractionalKernel(self.parent.getBoundaryKernel(),

@@ -32,7 +32,7 @@ def test_native_matches_numpy(dim, noRef, monkeypatch):
     monkeypatch.setattr(asm.nonlocalBuilder, '_runPairBuckets',
                         lambda self, acc, info, maskLookup=None: None)
     monkeypatch.setattr(asm.nonlocalBuilder, '_runUnionSurface',
-                        lambda self, acc, items: None)
+                        lambda self, acc, *a, **kw: None)
     monkeypatch.setattr(asm.nonlocalBuilder, '_addZeroExterior',
                         lambda self, acc, sign=1.0: None)
     nodes = buildClusterTree(dm, 12)
