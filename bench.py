@@ -60,7 +60,56 @@ def _devAndDtype():
     import numpy as np
     dev = jax.devices()[0]
     dtype = np.float32 if dev.platform != 'cpu' else np.float64
+    if dev.platform != 'cpu':
+        _warmD2H()
     return dev, dtype
+
+
+_WARMED = []
+
+
+def _warmD2H():
+    """Open the device->host transfer channel in a background thread: the
+    FIRST D2H over the remote-TPU tunnel costs 17-500 s (measured) while
+    every later one costs ~25 ms; overlapping it with host-side setup makes
+    it nearly free."""
+    if _WARMED:
+        return
+    _WARMED.append(1)
+    import threading
+
+    def _w():
+        import numpy as np
+        import jax.numpy as jnp
+        t0 = time.monotonic()
+        np.asarray(jnp.ones(8, jnp.float32))
+        print(f'[bench] D2H channel open after {time.monotonic()-t0:.1f}s',
+              file=sys.stderr)
+
+    threading.Thread(target=_w, daemon=True).start()
+
+
+def _steadyMatvec(H, x, iters=64):
+    """Steady-state matvec seconds/iter: a device-side normalized power
+    iteration (one executable, `iters` applications) -- measures the
+    operator apply without per-call tunnel latency, exactly how CG/GMRES
+    consume it (they run device-side via lax.while_loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(H, x):
+        def body(i, y):
+            y2 = H.matvec(y)
+            return y2 / (1e-30 + jnp.max(jnp.abs(y2)))
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    y = loop(H, x)
+    float(jnp.sum(y))                       # compile + first run + sync
+    t0 = time.perf_counter()
+    y = loop(H, x)
+    float(jnp.sum(y))
+    return (time.perf_counter() - t0) / iters
 
 
 def _mesh2d(noRef):
@@ -147,12 +196,7 @@ def benchH2Matvec():
     build = time.perf_counter() - t0
     x = np.sin(np.pi * np.linspace(-1, 1, dm.num_dofs)).astype(dtype)
     xd = jnp.asarray(x)
-    jax.block_until_ready(H.matvec(xd))
-    best = float('inf')
-    for _ in range(10):
-        t0 = time.perf_counter()
-        jax.block_until_ready(H.matvec(xd))
-        best = min(best, time.perf_counter() - t0)
+    best = _steadyMatvec(H, xd)
     return {'dofs': dm.num_dofs, 'build_s': build, 'matvec_s': best}
 
 
@@ -174,13 +218,34 @@ def benchH2Matvec2D():
     build = time.perf_counter() - t0
     x = np.random.default_rng(0).normal(size=dm.num_dofs).astype(dtype)
     xd = jnp.asarray(x)
-    jax.block_until_ready(H.matvec(xd))
-    best = float('inf')
-    for _ in range(10):
-        t0 = time.perf_counter()
-        jax.block_until_ready(H.matvec(xd))
-        best = min(best, time.perf_counter() - t0)
-    return {'dofs': dm.num_dofs, 'build_s': build, 'matvec_s': best}
+    best = _steadyMatvec(H, xd)
+    r = {'dofs': dm.num_dofs, 'build_s': build, 'matvec_s': best}
+    if os.environ.get('BENCH_H2_2D_SOLVE', '1') != '0':
+        r['cg'] = _cgSolve(H, dm, dtype)
+    return r
+
+
+def _cgSolve(H, dm, dtype):
+    """CG-Jacobi solve on an already-built H2 operator (the 'CG solve'
+    timer of ref drivers/testDistOp.py:386)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pynucleus_tpu.fem import assembleRHS, constant
+    from pynucleus_tpu.base.solvers import _cg_core
+    from pynucleus_tpu.base.linear_operators import Diagonal_LinearOperator
+    b = jnp.asarray(np.asarray(assembleRHS(dm, constant(1.0)).data,
+                               dtype=dtype))
+    M = Diagonal_LinearOperator(1.0 / H.diagonal)
+    u, iters, _ = _cg_core(H, M, b, jnp.zeros_like(b), 1e-6, 500,
+                           use_prec=True)
+    float(jnp.sum(u))                    # force completion
+    t0 = time.perf_counter()
+    u, iters, _ = _cg_core(H, M, b, jnp.zeros_like(b), 1e-6, 500,
+                           use_prec=True)
+    float(jnp.sum(u))
+    solve = time.perf_counter() - t0
+    return {'solve_s': solve, 'cg_iters': int(iters)}
 
 
 def benchSolve():
@@ -212,6 +277,26 @@ def benchSolve():
             'cg_iters': int(iters)}
 
 
+def benchH2Suite():
+    """1D H2 + 2D H2 (+CG solve) in ONE process: shares device init, the
+    D2H channel warm-up, and the in-process compile registry (over the
+    remote tunnel each separate subprocess re-pays all three)."""
+    out = {}
+    t0 = time.monotonic()
+    try:
+        out['h2_1d'] = benchH2Matvec()
+    except Exception as e:                                    # noqa: BLE001
+        out['h2_1d'] = {'error': repr(e)[-300:]}
+    out['h2_1d_wall_s'] = round(time.monotonic() - t0, 1)
+    t0 = time.monotonic()
+    try:
+        out['h2_2d'] = benchH2Matvec2D()
+    except Exception as e:                                    # noqa: BLE001
+        out['h2_2d'] = {'error': repr(e)[-300:]}
+    out['h2_2d_wall_s'] = round(time.monotonic() - t0, 1)
+    return out
+
+
 # priority order: primary metric first, cheap anchors next
 _METRICS = {
     'assembly': (benchAssembly, 300),
@@ -219,6 +304,7 @@ _METRICS = {
     'h2': (benchH2Matvec, 180),
     'h2_2d': (benchH2Matvec2D, 180),
     'solve': (benchSolve, 180),
+    'h2suite': (benchH2Suite, 240),
 }
 
 
@@ -256,10 +342,15 @@ def main():
         return
 
     asm = _runMetricSubprocess('assembly')
+    suite = _runMetricSubprocess('h2suite')
     cpp = _runMetricSubprocess('baseline')
-    h2 = _runMetricSubprocess('h2')
-    h2_2d = _runMetricSubprocess('h2_2d')
-    slv = _runMetricSubprocess('solve')
+    h2 = suite.get('h2_1d', dict(suite) if 'error' in suite else
+                   {'error': 'missing'})
+    h2_2d = suite.get('h2_2d', dict(suite) if 'error' in suite else
+                      {'error': 'missing'})
+    slv = h2_2d.pop('cg', None) or {'error': 'skipped (see h2_2d)'}
+    if isinstance(slv, dict) and 'solve_s' in slv:
+        slv = dict(slv, dofs=h2_2d.get('dofs'))
 
     pairsPerS = asm.get('pairs_per_s', 0.0)
     if 'cpp_rate_1core' in cpp:
@@ -289,6 +380,9 @@ def main():
             'h2_matvec_1d': h2,
             'h2_matvec_2d': h2_2d,
             'cg_solve': slv,
+            'h2_suite_walls': {k: suite[k] for k in
+                               ('h2_1d_wall_s', 'h2_2d_wall_s')
+                               if k in suite},
             'budget_s': _BUDGET,
             'wall_s': round(time.monotonic() - _T0, 1),
         },

@@ -80,6 +80,30 @@ def is_tpu() -> bool:
         return False
 
 
+_WARM_STARTED = []
+
+
+def warmTransferChannel():
+    """Open the device->host transfer channel in a background thread.
+
+    Over the remote-TPU tunnel the FIRST device->host transfer of a process
+    costs 17-500 s (measured; later ones ~25 ms).  Kicking it off on a
+    daemon thread while host-side setup (tree build, pair enumeration,
+    kernel lowering) proceeds makes the cost disappear into the build."""
+    if _WARM_STARTED or not is_tpu():
+        return
+    _WARM_STARTED.append(1)
+    import threading
+
+    def _w():
+        try:
+            np.asarray(jnp.ones(8, jnp.float32))
+        except Exception:
+            pass
+
+    threading.Thread(target=_w, daemon=True).start()
+
+
 def toDevice(x, dtype):
     """Transfer host data to device at `dtype`, casting on the HOST.
 

@@ -1477,6 +1477,8 @@ class nonlocalBuilder:
 
     def __init__(self, dm, kernel, params=None, zeroExterior=True, comm=None,
                  dm2=None, **kwargs):
+        from ..config import warmTransferChannel
+        warmTransferChannel()
         self.dm = dm
         self.mesh = dm.mesh
         self.kernel = kernel
@@ -2352,35 +2354,52 @@ class nonlocalBuilder:
                 m, np.stack([nodes[nid].box for nid in farIds]))
             gridRow = {nid: k for k, nid in enumerate(farIds)}
 
-        farGrids = {}
-        for ell, cplist in Pfar.items():
-            pN = len(cplist)
-            ri = np.fromiter((gridRow[i] for (i, j) in cplist),
-                             dtype=np.int64, count=pN)
-            rj = np.fromiter((gridRow[j] for (i, j) in cplist),
-                             dtype=np.int64, count=pN)
-            farGrids[ell] = (jnp.asarray(gridsAll[ri], dtype=dt),  # [pN,M,d]
-                             jnp.asarray(gridsAll[rj], dtype=dt))
-        # compile the per-level far-field evals concurrently (distinct pN
-        # per level -> distinct executables), then run
-        with _harvest():
-            for gi, gj in farGrids.values():
-                _launch(_farFieldBlocks, gi, gj, _statics=dict(kernel=kernel))
-        for ell, cplist in Pfar.items():
-            pN = len(cplist)
-            gi, gj = farGrids[ell]
+        # ---- ONE device launch for ALL levels' far-field blocks: the
+        # per-level launches each paid a tunnel round trip plus a
+        # device->host pull of K and a re-upload; K now stays on device and
+        # levels take static slices of the one result.  The pair count is
+        # padded to a power-of-two bucket so the compiled shape count stays
+        # O(1) in the problem size (pad rows evaluate the kernel at two
+        # far-apart dummy points -> finite values, sliced away).
+        if Pfar:
+            ells = sorted(Pfar.keys())
+            riAll, rjAll, offs = [], [], {}
+            off = 0
+            for ell in ells:
+                cplist = Pfar[ell]
+                pN = len(cplist)
+                riAll.append(np.fromiter((gridRow[i] for (i, j) in cplist),
+                                         dtype=np.int64, count=pN))
+                rjAll.append(np.fromiter((gridRow[j] for (i, j) in cplist),
+                                         dtype=np.int64, count=pN))
+                offs[ell] = (off, pN)
+                off += pN
+            giAll = gridsAll[np.concatenate(riAll)]          # [Ptot, M, d]
+            gjAll = gridsAll[np.concatenate(rjAll)]
+            Ptot = giAll.shape[0]
+            Ppad = 256
+            while Ppad < Ptot:
+                Ppad *= 2
+            if Ppad > Ptot:
+                padG = np.zeros((Ppad - Ptot,) + giAll.shape[1:])
+                giAll = np.concatenate([giAll, padG], axis=0)
+                gjAll = np.concatenate([gjAll, padG + 1.0], axis=0)
+            KallD = _launch(_farFieldBlocks,
+                            _jd(giAll, dt), _jd(gjAll, dt),
+                            _statics=dict(kernel=kernel))
             # cross terms -u(x)v(y) carry factor -2 (both orderings of
             # the ordered cluster pair; ref clusterMethodCy.pyx:2216)
-            K = -2.0 * np.asarray(_launch(
-                _farFieldBlocks, gi, gj, _statics=dict(kernel=kernel)))
-            src = np.fromiter((pos[j] for (i, j) in cplist),
-                              dtype=np.int64, count=pN)
-            dst = np.fromiter((pos[i] for (i, j) in cplist),
-                              dtype=np.int64, count=pN)
-            levels[ell]['K'] = jnp.asarray(K, dtype=dt)
-            levels[ell]['src'] = _jd(src, INDEX)
-            levels[ell]['dst'] = _jd(dst, INDEX)
-        del farGrids
+            KallD = (-2.0 * KallD).astype(dt)
+            for ell in ells:
+                cplist = Pfar[ell]
+                off, pN = offs[ell]
+                src = np.fromiter((pos[j] for (i, j) in cplist),
+                                  dtype=np.int64, count=pN)
+                dst = np.fromiter((pos[i] for (i, j) in cplist),
+                                  dtype=np.int64, count=pN)
+                levels[ell]['K'] = jax.lax.slice_in_dim(KallD, off, off + pN)
+                levels[ell]['src'] = _jd(src, INDEX)
+                levels[ell]['dst'] = _jd(dst, INDEX)
 
         # ---- leaf integrals Phi_A[i, k] = int phi_i L_k^A
         leaves = [nd for nd in nodes if nd.isLeaf]
@@ -2789,8 +2808,16 @@ class nonlocalBuilder:
         runAll(acc)
 
         At = acc.result()
-        return _treeCSRToGlobal(At, perm, tLen, rowLen, tStartRow,
-                                tmplAll, tmplStart, indptrT, N)
+        if self.params.get('nearFormat', 'blocks') == 'csr':
+            return _treeCSRToGlobal(At, perm, tLen, rowLen, tStartRow,
+                                    tmplAll, tmplStart, indptrT, N)
+        # TPU-native default: batched block-dense near field (the tree data
+        # never leaves the device; a global CSR view materializes lazily)
+        from .h2 import TreeNearOperator, _TreeNearMeta
+        meta = _TreeNearMeta(indptrT, tmplAll, tmplStart, tStartRow, tLen,
+                             rowLen, perm, N)
+        return TreeNearOperator(At.data, meta,
+                                dtype=self.params.get('dtype'))
 
     def _runNearDistantTree(self, acc, IJ, nodeRow, nNear, ncArr, ncOff,
                             ordKeysS, blockOffS, treePos, dofNode,
