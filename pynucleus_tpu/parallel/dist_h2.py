@@ -784,9 +784,9 @@ jax.tree_util.register_pytree_node(
     DistributedCSROperator, _flattenDistCSR, _unflattenDistCSR)
 
 
-def dryrunDistributedH2(mesh):
+def dryrunDistributedH2(mesh, noRef=14):
     """Smoke the S4 path on the given mesh: distributed H2 matvec parity
-    vs the single-device H2 + a distributed CG solve."""
+    vs the single-device H2 + a distributed CG solve (default 16383 dofs)."""
     import numpy as np
     from ..fem import simpleInterval, P1_DoFMap
     from ..nl import getFractionalKernel
@@ -795,20 +795,22 @@ def dryrunDistributedH2(mesh):
     from ..base.linear_operators import Diagonal_LinearOperator
 
     m = simpleInterval(-1.0, 1.0)
-    for _ in range(5):
+    for _ in range(noRef):
         m = m.refine()
     dm = P1_DoFMap(m)
     kernel = getFractionalKernel(1, 0.5)
-    A = nonlocalBuilder(dm, kernel).getDense()
     H = nonlocalBuilder(dm, kernel).getH2()
     Ad = DistributedH2Matrix(H, mesh)
     x = jnp.asarray(np.sin(np.pi * np.linspace(-1, 1, dm.num_dofs)))
-    err = float(jnp.linalg.norm(H.matvec(x) - Ad.matvec(x)))
+    ref = H.matvec(x)
+    err = float(jnp.linalg.norm(ref - Ad.matvec(x))
+                / jnp.linalg.norm(ref))
     assert err < 1e-10, err
     b = jnp.ones(dm.num_dofs) * float(m.h)
     M = Diagonal_LinearOperator(1.0 / Ad.diagonal)
     u, iters, res = _cg_core(Ad, M, b, jnp.zeros_like(b), 1e-8, 200,
                              use_prec=True)
     rn = float(jnp.linalg.norm(b - Ad.matvec(u)))
-    print(f'dryrunDistributedH2: |H2 - distH2|x = {err:.2e}, '
+    print(f'dryrunDistributedH2: dofs={dm.num_dofs}, '
+          f'|H2 - distH2|x rel = {err:.2e}, '
           f'CG iters={int(iters)}, residual={rn:.2e}')
