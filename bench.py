@@ -138,15 +138,22 @@ def benchAssembly():
     t0 = time.perf_counter()
     nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getDense()
     cold = time.perf_counter() - t0
+    out = {'pairs_per_s': nPairs / cold, 'nPairs': nPairs,
+           'ndofs': dm.num_dofs, 'assembly_s': cold,
+           'cold_assembly_s': cold, 'platform': dev.platform,
+           'stage': 'cold only'}
+    print(json.dumps(out), flush=True)      # partial: salvaged on timeout
     elapsed = float('inf')
     for _ in range(2):
         t0 = time.perf_counter()
         A = nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getDense()
         jax.block_until_ready(A.data)
         elapsed = min(elapsed, time.perf_counter() - t0)
-    return {'pairs_per_s': nPairs / elapsed, 'nPairs': nPairs,
-            'ndofs': dm.num_dofs, 'assembly_s': elapsed,
-            'cold_assembly_s': cold, 'platform': dev.platform}
+        out.update(pairs_per_s=nPairs / elapsed, assembly_s=elapsed,
+                   stage='warm')
+        print(json.dumps(out), flush=True)
+    out.pop('stage')
+    return out
 
 
 def benchBaselineCpp():
@@ -194,10 +201,12 @@ def benchH2Matvec():
     t0 = time.perf_counter()
     H = nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getH2()
     build = time.perf_counter() - t0
+    out = {'dofs': dm.num_dofs, 'build_s': build}
+    print(json.dumps({'h2_1d': out}), flush=True)
     x = np.sin(np.pi * np.linspace(-1, 1, dm.num_dofs)).astype(dtype)
     xd = jnp.asarray(x)
-    best = _steadyMatvec(H, xd)
-    return {'dofs': dm.num_dofs, 'build_s': build, 'matvec_s': best}
+    out['matvec_s'] = _steadyMatvec(H, xd)
+    return out
 
 
 def benchH2Matvec2D():
@@ -216,10 +225,12 @@ def benchH2Matvec2D():
     t0 = time.perf_counter()
     H = nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getH2()
     build = time.perf_counter() - t0
+    r = {'dofs': dm.num_dofs, 'build_s': build}
+    print(json.dumps({'h2_2d': r}), flush=True)
     x = np.random.default_rng(0).normal(size=dm.num_dofs).astype(dtype)
     xd = jnp.asarray(x)
-    best = _steadyMatvec(H, xd)
-    r = {'dofs': dm.num_dofs, 'build_s': build, 'matvec_s': best}
+    r['matvec_s'] = _steadyMatvec(H, xd)
+    print(json.dumps({'h2_2d': r}), flush=True)
     if os.environ.get('BENCH_H2_2D_SOLVE', '1') != '0':
         r['cg'] = _cgSolve(H, dm, dtype)
     return r
@@ -280,7 +291,9 @@ def benchSolve():
 def benchH2Suite():
     """1D H2 + 2D H2 (+CG solve) in ONE process: shares device init, the
     D2H channel warm-up, and the in-process compile registry (over the
-    remote tunnel each separate subprocess re-pays all three)."""
+    remote tunnel each separate subprocess re-pays all three).  Prints a
+    cumulative JSON line after every stage so a timeout salvages the
+    completed stages."""
     out = {}
     t0 = time.monotonic()
     try:
@@ -288,6 +301,7 @@ def benchH2Suite():
     except Exception as e:                                    # noqa: BLE001
         out['h2_1d'] = {'error': repr(e)[-300:]}
     out['h2_1d_wall_s'] = round(time.monotonic() - t0, 1)
+    print(json.dumps(out), flush=True)
     t0 = time.monotonic()
     try:
         out['h2_2d'] = benchH2Matvec2D()
@@ -320,19 +334,52 @@ def _runMetricSubprocess(name):
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), '--metric', name],
             capture_output=True, text=True, timeout=tmo, cwd=_HERE)
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
         print(f'[bench] {name}: timeout after {tmo:.0f}s', file=sys.stderr)
+        # metrics print partial JSON lines as stages complete -- salvage the
+        # last one so a slow tunnel degrades results instead of zeroing them
+        partial = _lastJsonLine(e.stdout)
+        if partial is not None:
+            partial['_partial'] = f'timeout after {tmo:.0f}s'
+            return partial
         return {'error': f'timeout after {tmo:.0f}s'}
     dt = time.monotonic() - t0
     if r.returncode != 0:
         print(f'[bench] {name}: rc={r.returncode} ({dt:.0f}s)',
               file=sys.stderr)
+        partial = _lastJsonLine(r.stdout)
+        if partial is not None:
+            partial['_partial'] = f'rc={r.returncode}'
+            return partial
         return {'error': r.stderr.strip()[-500:]}
     print(f'[bench] {name}: ok ({dt:.0f}s)', file=sys.stderr)
-    try:
-        return json.loads(r.stdout.strip().splitlines()[-1])
-    except Exception as e:                                   # noqa: BLE001
-        return {'error': f'unparseable output: {e}'}
+    out = _lastJsonLine(r.stdout)
+    return out if out is not None else {'error': 'unparseable output'}
+
+
+def _lastJsonLine(text):
+    """Merge every parseable JSON-dict line (stage partials print
+    cumulatively; later lines win key-wise, nested dicts shallow-merged)."""
+    if not text:
+        return None
+    if isinstance(text, bytes):
+        text = text.decode('utf-8', 'replace')
+    out = None
+    for line in text.strip().splitlines():
+        try:
+            v = json.loads(line)
+        except Exception:                                    # noqa: BLE001
+            continue
+        if not isinstance(v, dict):
+            continue
+        if out is None:
+            out = {}
+        for k, val in v.items():
+            if (isinstance(val, dict) and isinstance(out.get(k), dict)):
+                out[k].update(val)
+            else:
+                out[k] = val
+    return out
 
 
 def main():

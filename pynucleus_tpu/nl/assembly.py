@@ -635,6 +635,19 @@ def _chunk_size(chunk):
     return min(c, CHUNK_CAP)
 
 
+def _nch_pad(n):
+    """Pad a scan chunk COUNT to the next power of two.
+
+    The chunk count is part of the scanned executable's input shape, so an
+    un-padded count compiles a fresh kernel for EVERY problem size; the
+    pow2 ladder bounds the distinct shapes at O(log N) across all sizes
+    (persistently cached), at <=2x padded no-op work (zero symfac rows)."""
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 @partial(jax.jit, static_argnames=('kernel',))
 def _farFieldBlocks(gi, gj, kernel=None):
     """K[p, a, b] = gamma(gi[p, a], gj[p, b]) for batched Chebyshev grids
@@ -746,7 +759,15 @@ def _parallelCompileWorthIt():
 
 class _harvest:
     """Context manager: record-and-queue bucket launches instead of
-    executing them, then compile everything queued in parallel on exit."""
+    executing them, then compile everything queued in parallel on exit.
+
+    defer=True skips the compile on exit: the queued lowerings join the
+    NEXT harvest's parallel compile batch (or compile lazily on first real
+    launch) -- used to batch the far-field kernel with the near-field
+    bucket compiles."""
+
+    def __init__(self, defer=False):
+        self.defer = defer
 
     def __enter__(self):
         self._prev = _compiler.harvesting
@@ -755,7 +776,7 @@ class _harvest:
 
     def __exit__(self, *exc):
         _compiler.harvesting = self._prev
-        if not _compiler.harvesting and exc[0] is None:
+        if not _compiler.harvesting and not self.defer and exc[0] is None:
             _compiler.compilePending()
         return False
 
@@ -1259,8 +1280,8 @@ class _BucketRunner:
         nPSI = PSI.shape[0]
         Q = rule.num_nodes
         maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)), 256)
-        chunk = _chunk_size(min(maxP, P))
-        nChunks = (P + chunk - 1) // chunk
+        chunk = _chunk_size(maxP)             # Q-only: shape reuse across N
+        nChunks = _nch_pad((P + chunk - 1) // chunk)
         total = nChunks * chunk
         dip = _pad(np.asarray(di), total, fill=0).reshape(nChunks, chunk)
         djp = _pad(np.asarray(dj), total, fill=0).reshape(nChunks, chunk)
@@ -1288,8 +1309,8 @@ class _BucketRunner:
         nPSI = PSI.shape[0]
         Q = rule.num_nodes
         maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)), 256)
-        chunk = _chunk_size(min(maxP, P))
-        nChunks = (P + chunk - 1) // chunk
+        chunk = _chunk_size(maxP)             # Q-only: shape reuse across N
+        nChunks = _nch_pad((P + chunk - 1) // chunk)
         total = nChunks * chunk
         diA = np.asarray(di)
         djA = np.asarray(dj)
@@ -1326,8 +1347,8 @@ class _BucketRunner:
         nPSI = PSI.shape[0]
         Q = rule.num_nodes
         maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)), 256)
-        chunk = _chunk_size(min(maxP, P))
-        nCh = (P + chunk - 1) // chunk
+        chunk = _chunk_size(maxP)             # Q-only: shape reuse across N
+        nCh = _nch_pad((P + chunk - 1) // chunk)
         tot = nCh * chunk
         dim = self.vertices.shape[1]
         nv1, nv2 = vertIdx1.shape[1], vertIdx2.shape[1]
@@ -2361,6 +2382,7 @@ class nonlocalBuilder:
         # padded to a power-of-two bucket so the compiled shape count stays
         # O(1) in the problem size (pad rows evaluate the kernel at two
         # far-apart dummy points -> finite values, sliced away).
+        giD = gjD = None
         if Pfar:
             ells = sorted(Pfar.keys())
             riAll, rjAll, offs = [], [], {}
@@ -2384,22 +2406,13 @@ class nonlocalBuilder:
                 padG = np.zeros((Ppad - Ptot,) + giAll.shape[1:])
                 giAll = np.concatenate([giAll, padG], axis=0)
                 gjAll = np.concatenate([gjAll, padG + 1.0], axis=0)
-            KallD = _launch(_farFieldBlocks,
-                            _jd(giAll, dt), _jd(gjAll, dt),
+            giD, gjD = _jd(giAll, dt), _jd(gjAll, dt)
+            if _parallelCompileWorthIt():
+                # queue the far-field lowering now so it joins the near
+                # field's parallel compile batch (defer=no compile yet)
+                with _harvest(defer=True):
+                    _launch(_farFieldBlocks, giD, gjD,
                             _statics=dict(kernel=kernel))
-            # cross terms -u(x)v(y) carry factor -2 (both orderings of
-            # the ordered cluster pair; ref clusterMethodCy.pyx:2216)
-            KallD = (-2.0 * KallD).astype(dt)
-            for ell in ells:
-                cplist = Pfar[ell]
-                off, pN = offs[ell]
-                src = np.fromiter((pos[j] for (i, j) in cplist),
-                                  dtype=np.int64, count=pN)
-                dst = np.fromiter((pos[i] for (i, j) in cplist),
-                                  dtype=np.int64, count=pN)
-                levels[ell]['K'] = jax.lax.slice_in_dim(KallD, off, off + pN)
-                levels[ell]['src'] = _jd(src, INDEX)
-                levels[ell]['dst'] = _jd(dst, INDEX)
 
         # ---- leaf integrals Phi_A[i, k] = int phi_i L_k^A
         leaves = [nd for nd in nodes if nd.isLeaf]
@@ -2467,6 +2480,24 @@ class nonlocalBuilder:
         # Cell pairs shared between cluster pairs are evaluated once with the
         # UNION of their masks (ref tupleDictMASK machinery).
         Anear = self._assembleNearField(Pnear, nodes)
+
+        # ---- far-field blocks (compiled in the near field's batch above)
+        if Pfar:
+            KallD = _launch(_farFieldBlocks, giD, gjD,
+                            _statics=dict(kernel=kernel))
+            # cross terms -u(x)v(y) carry factor -2 (both orderings of
+            # the ordered cluster pair; ref clusterMethodCy.pyx:2216)
+            KallD = (-2.0 * KallD).astype(dt)
+            for ell in ells:
+                cplist = Pfar[ell]
+                off, pN = offs[ell]
+                src = np.fromiter((pos[j] for (i, j) in cplist),
+                                  dtype=np.int64, count=pN)
+                dst = np.fromiter((pos[i] for (i, j) in cplist),
+                                  dtype=np.int64, count=pN)
+                levels[ell]['K'] = jax.lax.slice_in_dim(KallD, off, off + pN)
+                levels[ell]['src'] = _jd(src, INDEX)
+                levels[ell]['dst'] = _jd(dst, INDEX)
 
         op = H2Matrix(Anear, _jd(leafDofs, INDEX),
                       jnp.asarray(leafPhi, dtype=dt), (lvlIdx, posIdx),
@@ -3031,8 +3062,8 @@ class nonlocalBuilder:
             Q = rule.num_nodes
             maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)),
                        256)
-            chunk = _chunk_size(min(maxP, P))
-            nCh = (P + chunk - 1) // chunk
+            chunk = _chunk_size(maxP)         # Q-only: shape reuse across N
+            nCh = _nch_pad((P + chunk - 1) // chunk)
             totP = nCh * chunk
 
             def padI(a, fill=0):
@@ -3113,8 +3144,8 @@ class nonlocalBuilder:
         w = _jd(rule.w, dtype)
         Q = rule.num_nodes
         maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)), 256)
-        chunk = _chunk_size(min(maxP, P))
-        nCh = (P + chunk - 1) // chunk
+        chunk = _chunk_size(maxP)             # Q-only: shape reuse across N
+        nCh = _nch_pad((P + chunk - 1) // chunk)
         totP = nCh * chunk
 
         def padI(a, fill=0):
