@@ -128,14 +128,18 @@ int64_t nearfield_enumerate(
         }
     }
 
-    // global merge: orders in (8, 16] -> min(16, omax); > 16 -> omax
-    const int32_t mid = omax < 16 ? omax : 16;
+    // DETERMINISTIC order merge (mirrors the numpy fallback): (8,16] -> 16,
+    // >16 -> next multiple of 8.  The former chunk-max snap made the
+    // quadrature order of a pair depend on which OTHER pairs shared its
+    // chunk, breaking bitwise parity between full and device-restricted
+    // assemblies (DistributedH2Matrix.assemble).
+    (void)omax;
     for (int64_t i = 0; i < n; ++i) {
         const int32_t o = outOrd[i];
         if (o > 16)
-            outOrd[i] = omax;
+            outOrd[i] = ((o + 7) / 8) * 8;
         else if (o > 8)
-            outOrd[i] = mid;
+            outOrd[i] = 16;
     }
     return n;
 }

@@ -1219,7 +1219,9 @@ def _treeCSRToGlobal(At, perm, tLen, rowLen, tStartRow, tmplAll, tmplStart,
     dataT = np.asarray(At.data)
     nnz = dataT.shape[0]
     nNear = len(tLen)
-    lenPerG = np.empty(N, dtype=np.int64)
+    # zeros (not empty): with a partial node cover (restricted Pnear, see
+    # _assembleNearField) uncovered dofs keep zero-length rows
+    lenPerG = np.zeros(N, dtype=np.int64)
     lenPerG[perm] = np.repeat(rowLen, tLen)
     indptrG = np.zeros(N + 1, dtype=np.int64)
     indptrG[1:] = np.cumsum(lenPerG)
@@ -2295,9 +2297,77 @@ class nonlocalBuilder:
             # ratios, so finite-horizon H2 delegates to the sparse format.
             A = self.getSparse()
             return (A, None) if returnNearField else A
-        from .panels import classifyPairList
-        from .h2 import (buildClusterTree, admissibleClusters, H2Matrix,
-                         tensorChebyshevGrid, tensorLagrangeEval, _H2Level,
+        from .h2 import H2Matrix, _H2Level
+        kernel = self.kernel
+        N = self.dm.num_dofs
+
+        plan = self.planH2()
+        nodes, Pfar, Pnear = plan['nodes'], plan['Pfar'], plan['Pnear']
+        pos, dt = plan['pos'], plan['dt']
+        levels = []
+        for ell in range(plan['nLvl']):
+            entry = _H2Level(plan['sizes'][ell])
+            if ell > 0:
+                entry['T'] = jnp.asarray(plan['Thost'][ell], dtype=dt)
+                entry['parentIdx'] = _jd(plan['parentIdxH'][ell], INDEX)
+            levels.append(entry)
+
+        # ---- ONE device launch for ALL levels' far-field blocks: the
+        # per-level launches each paid a tunnel round trip plus a
+        # device->host pull of K and a re-upload; K now stays on device and
+        # levels take static slices of the one result.  The pair count is
+        # padded to a power-of-two bucket so the compiled shape count stays
+        # O(1) in the problem size (pad rows evaluate the kernel at two
+        # far-apart dummy points -> finite values, sliced away).
+        giD = gjD = None
+        if plan['farGi'] is not None:
+            giD, gjD = _jd(plan['farGi'], dt), _jd(plan['farGj'], dt)
+            if _parallelCompileWorthIt():
+                # queue the far-field lowering now so it joins the near
+                # field's parallel compile batch (defer=no compile yet)
+                with _harvest(defer=True):
+                    _launch(_farFieldBlocks, giD, gjD,
+                            _statics=dict(kernel=kernel))
+
+        # ---- near field (ref assembleClusters pxi:1663-2160): for each near
+        # cluster pair (I, J):
+        #   - the (u(x)-u(y))(v(x)-v(y)) interaction over the needed cell
+        #     pairs, masked to entries (I x J) u (J x I);
+        #   - the diagonal mass from everything OUTSIDE the pair's cell
+        #     union, via a Gauss-theorem surface integral over the union's
+        #     boundary (this also covers the zeroExterior part for the
+        #     infinite-horizon Dirichlet problem).
+        # Cell pairs shared between cluster pairs are evaluated once with the
+        # UNION of their masks (ref tupleDictMASK machinery).
+        Anear = self._assembleNearField(Pnear, nodes)
+
+        # ---- far-field blocks (compiled in the near field's batch above)
+        if plan['farGi'] is not None:
+            KallD = _launch(_farFieldBlocks, giD, gjD,
+                            _statics=dict(kernel=kernel))
+            # cross terms -u(x)v(y) carry factor -2 (both orderings of
+            # the ordered cluster pair; ref clusterMethodCy.pyx:2216)
+            KallD = (-2.0 * KallD).astype(dt)
+            for ell, (off, pN) in plan['farOffs'].items():
+                src, dst = plan['farSrcDst'][ell]
+                levels[ell]['K'] = jax.lax.slice_in_dim(KallD, off, off + pN)
+                levels[ell]['src'] = _jd(src, INDEX)
+                levels[ell]['dst'] = _jd(dst, INDEX)
+
+        op = H2Matrix(Anear, _jd(plan['leafDofs'], INDEX),
+                      jnp.asarray(plan['leafPhi'], dtype=dt),
+                      (plan['lvlIdx'], plan['posIdx']),
+                      levels, N, symmetric=kernel.symmetric)
+        return op
+
+    def planH2(self):
+        """Host-side H2 plan: tree, admissibility, transfer matrices, leaf
+        integrals, far-field Chebyshev grids — all METADATA (O(N·M) host
+        arrays), no kernel evaluations and no near-field data.  Shared by
+        getH2 (single-device) and DistributedH2Matrix.assemble
+        (partition-FIRST distributed assembly, ref partitionDoFs /
+        createLocalStuff nonlocalAssembly pxi:2401-2424)."""
+        from .h2 import (buildClusterTree, admissibleClusters,
                          batchedChebyshevGrids, batchedLagrangeEval)
         from ..fem.quadrature import simplexCompact
         dm, mesh, kernel = self.dm, self.mesh, self.kernel
@@ -2347,72 +2417,62 @@ class nonlocalBuilder:
         # ---- transfer matrices per level (child coeffs -> parent coeffs;
         # batched over the level's nodes -- the per-node python loop is the
         # host bottleneck past ~100k dofs)
-        levels = []
-        for ell in range(nLvl):
+        sizes = [len(byLevel[ell]) for ell in range(nLvl)]
+        Thost = [None]
+        parentIdxH = [None]
+        for ell in range(1, nLvl):
             ids = byLevel[ell]
-            size = len(ids)
-            entry = _H2Level(size)
-            if ell > 0:
-                childBoxes = np.stack([nodes[nid].box for nid in ids])
-                parBoxes = np.stack([nodes[nodes[nid].parent].box
-                                     for nid in ids])
-                parentIdx = np.fromiter((pos[nodes[nid].parent] for nid in ids),
-                                        dtype=np.int64, count=size)
-                gridC = batchedChebyshevGrids(m, childBoxes)   # [size, M, d]
-                entry['T'] = jnp.asarray(
-                    batchedLagrangeEval(m, parBoxes, gridC),
-                    dtype=dt)                                  # [size, M, M]
-                entry['parentIdx'] = _jd(parentIdx, INDEX)
-            levels.append(entry)
+            childBoxes = np.stack([nodes[nid].box for nid in ids])
+            parBoxes = np.stack([nodes[nodes[nid].parent].box
+                                 for nid in ids])
+            pidx = np.fromiter((pos[nodes[nid].parent] for nid in ids),
+                               dtype=np.int64, count=len(ids))
+            gridC = batchedChebyshevGrids(m, childBoxes)       # [size, M, d]
+            Thost.append(batchedLagrangeEval(m, parBoxes, gridC))
+            parentIdxH.append(pidx)
 
-        # ---- far-field kernel blocks per level (batched: ONE jitted kernel
-        # eval over all [pairs, M, M] Chebyshev grid products per level);
-        # all node grids built in one vectorized shot
+        # ---- far-field Chebyshev grids: all node grids built in one
+        # vectorized shot; level-major concatenation padded to a power of
+        # two (O(1) compiled far-field shapes in N)
         farIds = sorted({nid for cplist in Pfar.values()
                          for pair in cplist for nid in pair})
+        farGi = farGj = gridsAll = None
+        farOffs = {}
+        farSrcDst = {}
+        farRows = {}
         if farIds:
             gridsAll = batchedChebyshevGrids(
                 m, np.stack([nodes[nid].box for nid in farIds]))
             gridRow = {nid: k for k, nid in enumerate(farIds)}
-
-        # ---- ONE device launch for ALL levels' far-field blocks: the
-        # per-level launches each paid a tunnel round trip plus a
-        # device->host pull of K and a re-upload; K now stays on device and
-        # levels take static slices of the one result.  The pair count is
-        # padded to a power-of-two bucket so the compiled shape count stays
-        # O(1) in the problem size (pad rows evaluate the kernel at two
-        # far-apart dummy points -> finite values, sliced away).
-        giD = gjD = None
-        if Pfar:
-            ells = sorted(Pfar.keys())
-            riAll, rjAll, offs = [], [], {}
+            riAll, rjAll = [], []
             off = 0
-            for ell in ells:
+            for ell in sorted(Pfar.keys()):
                 cplist = Pfar[ell]
                 pN = len(cplist)
-                riAll.append(np.fromiter((gridRow[i] for (i, j) in cplist),
-                                         dtype=np.int64, count=pN))
-                rjAll.append(np.fromiter((gridRow[j] for (i, j) in cplist),
-                                         dtype=np.int64, count=pN))
-                offs[ell] = (off, pN)
+                ri = np.fromiter((gridRow[i] for (i, j) in cplist),
+                                 dtype=np.int64, count=pN)
+                rj = np.fromiter((gridRow[j] for (i, j) in cplist),
+                                 dtype=np.int64, count=pN)
+                riAll.append(ri)
+                rjAll.append(rj)
+                farRows[ell] = (ri, rj)
+                farSrcDst[ell] = (
+                    np.fromiter((pos[j] for (i, j) in cplist),
+                                dtype=np.int64, count=pN),
+                    np.fromiter((pos[i] for (i, j) in cplist),
+                                dtype=np.int64, count=pN))
+                farOffs[ell] = (off, pN)
                 off += pN
-            giAll = gridsAll[np.concatenate(riAll)]          # [Ptot, M, d]
-            gjAll = gridsAll[np.concatenate(rjAll)]
-            Ptot = giAll.shape[0]
+            farGi = gridsAll[np.concatenate(riAll)]            # [Ptot, M, d]
+            farGj = gridsAll[np.concatenate(rjAll)]
+            Ptot = farGi.shape[0]
             Ppad = 256
             while Ppad < Ptot:
                 Ppad *= 2
             if Ppad > Ptot:
-                padG = np.zeros((Ppad - Ptot,) + giAll.shape[1:])
-                giAll = np.concatenate([giAll, padG], axis=0)
-                gjAll = np.concatenate([gjAll, padG + 1.0], axis=0)
-            giD, gjD = _jd(giAll, dt), _jd(gjAll, dt)
-            if _parallelCompileWorthIt():
-                # queue the far-field lowering now so it joins the near
-                # field's parallel compile batch (defer=no compile yet)
-                with _harvest(defer=True):
-                    _launch(_farFieldBlocks, giD, gjD,
-                            _statics=dict(kernel=kernel))
+                padG = np.zeros((Ppad - Ptot,) + farGi.shape[1:])
+                farGi = np.concatenate([farGi, padG], axis=0)
+                farGj = np.concatenate([farGj, padG + 1.0], axis=0)
 
         # ---- leaf integrals Phi_A[i, k] = int phi_i L_k^A
         leaves = [nd for nd in nodes if nd.isLeaf]
@@ -2469,40 +2529,13 @@ class nonlocalBuilder:
             np.add.at(flatPhi, flat[sel], contrib[sel])
         leafPhi = flatPhi.reshape(L, maxLeafN, M)
 
-        # ---- near field (ref assembleClusters pxi:1663-2160): for each near
-        # cluster pair (I, J):
-        #   - the (u(x)-u(y))(v(x)-v(y)) interaction over the needed cell
-        #     pairs, masked to entries (I x J) u (J x I);
-        #   - the diagonal mass from everything OUTSIDE the pair's cell
-        #     union, via a Gauss-theorem surface integral over the union's
-        #     boundary (this also covers the zeroExterior part for the
-        #     infinite-horizon Dirichlet problem).
-        # Cell pairs shared between cluster pairs are evaluated once with the
-        # UNION of their masks (ref tupleDictMASK machinery).
-        Anear = self._assembleNearField(Pnear, nodes)
-
-        # ---- far-field blocks (compiled in the near field's batch above)
-        if Pfar:
-            KallD = _launch(_farFieldBlocks, giD, gjD,
-                            _statics=dict(kernel=kernel))
-            # cross terms -u(x)v(y) carry factor -2 (both orderings of
-            # the ordered cluster pair; ref clusterMethodCy.pyx:2216)
-            KallD = (-2.0 * KallD).astype(dt)
-            for ell in ells:
-                cplist = Pfar[ell]
-                off, pN = offs[ell]
-                src = np.fromiter((pos[j] for (i, j) in cplist),
-                                  dtype=np.int64, count=pN)
-                dst = np.fromiter((pos[i] for (i, j) in cplist),
-                                  dtype=np.int64, count=pN)
-                levels[ell]['K'] = jax.lax.slice_in_dim(KallD, off, off + pN)
-                levels[ell]['src'] = _jd(src, INDEX)
-                levels[ell]['dst'] = _jd(dst, INDEX)
-
-        op = H2Matrix(Anear, _jd(leafDofs, INDEX),
-                      jnp.asarray(leafPhi, dtype=dt), (lvlIdx, posIdx),
-                      levels, N, symmetric=kernel.symmetric)
-        return op
+        return dict(nodes=nodes, Pfar=Pfar, Pnear=Pnear, m=m, M=M, dt=dt,
+                    nLvl=nLvl, byLevel=byLevel, pos=pos, sizes=sizes,
+                    Thost=Thost, parentIdxH=parentIdxH,
+                    farGi=farGi, farGj=farGj, farOffs=farOffs,
+                    farSrcDst=farSrcDst, farRows=farRows, gridsAll=gridsAll,
+                    leafDofs=leafDofs, leafPhi=leafPhi, lvlIdx=lvlIdx,
+                    posIdx=posIdx, maxLeafN=maxLeafN)
 
     def _assembleNearField(self, Pnear, nodes):
         """Near field of the H2 operator (see getH2 docstring).
@@ -2533,7 +2566,12 @@ class nonlocalBuilder:
         dofNode = np.full(N, -1, dtype=np.int64)
         for nid in nearIds:
             dofNode[nodes[nid].dofs] = nid
-        lc = np.unique(np.stack([nodeRow[dofNode[dofs[cc, ll]]], cc],
+        # drop dofs of UNCOVERED nodes (partial Pnear, see Nt below): their
+        # dofNode is -1 and nodeRow[-1] would alias the LAST covered node,
+        # flooding its cell list with every incident cell
+        dn = dofNode[dofs[cc, ll]]
+        okc = dn >= 0
+        lc = np.unique(np.stack([nodeRow[dn[okc]], cc[okc]],
                                 axis=1), axis=0)
         ncOff = np.searchsorted(lc[:, 0], np.arange(len(nearIds) + 1))
         ncArr = lc[:, 1]
@@ -2551,10 +2589,16 @@ class nonlocalBuilder:
                            dtype=np.int64, count=nNear)
         tStartRow = np.zeros(nNear + 1, dtype=np.int64)
         tStartRow[1:] = np.cumsum(tLen)
+        # Nt == N for a full assembly; Nt < N when the caller restricted
+        # Pnear to a device's pairs (DistributedH2Matrix.assemble) -- the
+        # pattern then covers only the restricted nodes' tree rows and
+        # treePos/dofNode stay -1 for uncovered dofs (their contributions
+        # mask to the dump slot).
         perm = np.concatenate([nodes[nid].dofs for nid in nearIds])
-        assert len(perm) == N, (len(perm), N)
-        treePos = np.empty(N, dtype=np.int64)
-        treePos[perm] = np.arange(N)
+        Nt = len(perm)
+        assert Nt <= N, (Nt, N)
+        treePos = np.full(N, -1, dtype=np.int64)
+        treePos[perm] = np.arange(Nt)
         tStartOfNode = np.full(len(nodes), -1, dtype=np.int64)
         tStartOfNode[nearIds] = tStartRow[:-1]
 
@@ -2585,9 +2629,9 @@ class nonlocalBuilder:
         # template (the concatenation of its partners' tree ranges)
         tmplAll = np.repeat(tStartRow[:-1][rjS], lens) + _aranges(lens)
         tmplStart = total[grpStart[:-1]]                       # [nNear]
-        rowNode = np.repeat(np.arange(nNear), tLen)            # [N]
+        rowNode = np.repeat(np.arange(nNear), tLen)            # [Nt]
         rowlens = rowLen[rowNode]
-        indptrT = np.zeros(N + 1, dtype=np.int64)
+        indptrT = np.zeros(Nt + 1, dtype=np.int64)
         indptrT[1:] = np.cumsum(rowlens)
         nnz = int(indptrT[-1])
         assert nnz < (1 << 31), nnz
@@ -2595,7 +2639,7 @@ class nonlocalBuilder:
         indicesT = tmplAll[colIdx].astype(np.int32)
         del colIdx
         S = sp.csr_matrix((np.zeros(nnz, dtype=np.float32), indicesT,
-                           indptrT), shape=(N, N))
+                           indptrT), shape=(Nt, Nt))
 
         # dofNode (built above): membership tests dofNode[d] == I replace the
         # former O(N)-reset boolean arrays (quadratic at 100k+ dofs)
@@ -2958,10 +3002,12 @@ class nonlocalBuilder:
                 return lo, hi, pidx, lo
             orders = distantOrders(dm, kernel, hs, centers, lo, hi, mp)
             orders = ((orders + 1) // 2) * 2
-            omax = int(orders.max())
-            orders = np.where(orders > 16, omax, orders)
-            orders = np.where((orders > 8) & (orders <= 16),
-                              min(16, omax), orders)
+            # DETERMINISTIC bucket merge: (8,16] -> 16, >16 -> next multiple
+            # of 8.  A chunk-max snap would make a pair's quadrature order
+            # depend on its chunk-mates, breaking parity between full and
+            # device-restricted assemblies (DistributedH2Matrix.assemble).
+            orders = np.where(orders > 16, ((orders + 7) // 8) * 8, orders)
+            orders = np.where((orders > 8) & (orders <= 16), 16, orders)
             return lo, hi, pidx, orders
 
         CHUNK = 1 << 23

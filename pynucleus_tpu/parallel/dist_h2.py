@@ -134,34 +134,144 @@ def _buildHaloExchange(needPerDev, ownerOf, slotOf, nd, bcast=False):
 
 class DistributedH2Matrix:
     """S4 distributed H2: sharded level-major arrays, halo + cluster
-    coefficient exchange, one-jit matvec.  Built FROM a single-device
-    :class:`~pynucleus_tpu.nl.h2.H2Matrix` (the assembly itself is the
-    existing vectorized host+device pipeline; distribution re-shards its
-    arrays, the TPU analogue of the reference's global-build +
-    ``DistributedH2Matrix_localData`` wrap)."""
+    coefficient exchange, one-jit matvec.
+
+    Two construction paths:
+
+    * ``DistributedH2Matrix(op, mesh)`` re-shards a built single-device
+      :class:`~pynucleus_tpu.nl.h2.H2Matrix` (the reference's global-build
+      + ``DistributedH2Matrix_localData`` wrap).
+    * ``DistributedH2Matrix.assemble(dm, kernel, mesh)`` partitions FIRST
+      and assembles each device's near-field rows and owned far-field
+      blocks directly into the sharded layout — the global operator is
+      never materialized (ref reduceNearOp / drop-off-rank / partitionDoFs
+      / createLocalStuff, nonlocalAssembly pxi:2162,2232,2401-2424)."""
 
     def __init__(self, op, mesh, axis='d', bcast=False):
         from ..nl.h2 import H2Matrix
         assert isinstance(op, H2Matrix), type(op)
+        nLvl = len(op.levels)
+        meta = dict(
+            N=op.num_rows, symmetric=op.symmetric,
+            leafDofs=np.asarray(op.leafDofs),
+            leafPhi=np.asarray(op.leafPhi),
+            lvlIdx=np.asarray(op.leafLevelPos[0]),
+            posIdx=np.asarray(op.leafLevelPos[1]),
+            sizes=[int(op.levels[l].size) for l in range(nLvl)],
+            parentIdx=[None] + [np.asarray(op.levels[l].parentIdx)
+                                for l in range(1, nLvl)],
+            Thost=[None] + [np.asarray(op.levels[l].T)
+                            for l in range(1, nLvl)],
+            farSrcDst={ell: (np.asarray(op.levels[ell].src),
+                             np.asarray(op.levels[ell].dst))
+                       for ell in range(nLvl)
+                       if op.levels[ell].K is not None},
+        )
+
+        def getK(ell, idx):
+            return np.asarray(op.levels[ell].K)[idx]
+
+        An = op.Anear
+        rowidsG = np.asarray(An.rowids)
+        colsG = np.asarray(An.indices)
+        dataG = np.asarray(An.data)
+
+        def nearRowsFor(k, dofDev):
+            sel = dofDev[rowidsG] == k
+            return rowidsG[sel], colsG[sel], dataG[sel]
+
+        self._setup(meta, mesh, axis, bcast, getK, nearRowsFor)
+
+    @classmethod
+    def assemble(cls, dm, kernel, mesh, axis='d', bcast=False, params=None,
+                 zeroExterior=True):
+        """Partition-first distributed assembly: dof partition from the
+        cluster tree alone, then each device's near-field rows and its
+        owned far-field blocks are assembled directly into the sharded
+        layout.  No global near-field data array and no global far-field
+        K are ever built (ref nonlocalAssembly pxi:2162 reduceNearOp,
+        :2232 drop off-rank, :2401 partitionDoFs, :2424 createLocalStuff)."""
+        from ..nl.assembly import (nonlocalBuilder, _farFieldBlocks,
+                                   _launch)
+        builder = nonlocalBuilder(dm, kernel, params=dict(params or {}),
+                                  zeroExterior=zeroExterior)
+        if kernel.finiteHorizon:
+            raise NotImplementedError(
+                'finite-horizon distributed operators go through '
+                'DistributedCSROperator')
+        plan = builder.planH2()
+        nodes = plan['nodes']
+        PnearAll = plan['Pnear']
+        dtp = plan['dt']
+        gridsAll = plan['gridsAll']
+        meta = dict(
+            N=dm.num_dofs, symmetric=kernel.symmetric,
+            leafDofs=plan['leafDofs'], leafPhi=plan['leafPhi'],
+            lvlIdx=plan['lvlIdx'], posIdx=plan['posIdx'],
+            sizes=plan['sizes'], parentIdx=plan['parentIdxH'],
+            Thost=plan['Thost'], farSrcDst=plan['farSrcDst'],
+        )
+
+        def getK(ell, idx):
+            idx = np.asarray(idx, dtype=np.int64)
+            M = plan['M']
+            if len(idx) == 0:
+                return np.zeros((0, M, M))
+            ri, rj = plan['farRows'][ell]
+            gi = gridsAll[ri[idx]]
+            gj = gridsAll[rj[idx]]
+            P = gi.shape[0]
+            Pp = 256
+            while Pp < P:
+                Pp *= 2
+            if Pp > P:
+                pad = np.zeros((Pp - P,) + gi.shape[1:])
+                gi = np.concatenate([gi, pad], axis=0)
+                gj = np.concatenate([gj, pad + 1.0], axis=0)
+            K = np.asarray(_launch(_farFieldBlocks, _jd(gi, dtp),
+                                   _jd(gj, dtp),
+                                   _statics=dict(kernel=kernel)))
+            return (-2.0 * K[:P]).astype(dtp)
+
+        def nearRowsFor(k, dofDev):
+            # pairs touching device k: both orderings are present in Pnear,
+            # so the restricted list keeps the ordered-pair symmetry the
+            # near-field engine expects.  Cross-device pairs are assembled
+            # on BOTH owners (each keeps only its own rows) — the analogue
+            # of the reference's off-rank drop (pxi:2232).
+            Pk = [pair for pair in PnearAll
+                  if dofDev[nodes[pair[0]].dofs[0]] == k
+                  or dofDev[nodes[pair[1]].dofs[0]] == k]
+            sub = builder._assembleNearField(Pk, nodes)
+            rows = np.asarray(sub.rowids)
+            cols = np.asarray(sub.indices)
+            data = np.asarray(sub.data)
+            sel = dofDev[rows] == k
+            return rows[sel], cols[sel], data[sel]
+
+        self = cls.__new__(cls)
+        self._setup(meta, mesh, axis, bcast, getK, nearRowsFor)
+        return self
+
+    def _setup(self, meta, mesh, axis, bcast, getK, nearRowsFor):
         self.mesh = mesh
         self.axis = axis
         self.bcast = bcast
         nd = int(mesh.devices.size)
         self.nd = nd
-        N = op.num_rows
+        N = meta['N']
         self.num_rows = self.num_columns = N
-        self.symmetric = op.symmetric
-        M = op.leafPhi.shape[2]
-        nLvl = len(op.levels)
+        self.symmetric = meta['symmetric']
+        M = meta['leafPhi'].shape[2]
+        nLvl = len(meta['sizes'])
 
-        leafDofs = np.asarray(op.leafDofs)
-        leafPhi = np.asarray(op.leafPhi)
-        lvlIdx = np.asarray(op.leafLevelPos[0])
-        posIdx = np.asarray(op.leafLevelPos[1])
+        leafDofs = meta['leafDofs']
+        leafPhi = meta['leafPhi']
+        lvlIdx = meta['lvlIdx']
+        posIdx = meta['posIdx']
         L, maxLeafN = leafDofs.shape
-        sizes = [int(op.levels[l].size) for l in range(nLvl)]
-        parentIdx = [None] + [np.asarray(op.levels[l].parentIdx)
-                              for l in range(1, nLvl)]
+        sizes = meta['sizes']
+        parentIdx = meta['parentIdx']
 
         # ---- 1. leaf partition (contiguous in DFS order, dof-balanced)
         leafCnt = (leafDofs >= 0).sum(axis=1)
@@ -257,7 +367,7 @@ class DistributedH2Matrix:
         Town, parOwnS, parShrS, Tshr, parShr = [None], [None], [None], \
             [None], [None]
         for ell in range(1, nLvl):
-            T = np.asarray(op.levels[ell].T)
+            T = meta['Thost'][ell]
             par = parentIdx[ell]
             mo, moP = maxOwn[ell], maxOwn[ell - 1]
             to = np.zeros((nd, max(mo, 1), M, M))
@@ -292,12 +402,11 @@ class DistributedH2Matrix:
         # src, on src's device + psum), D (both shared, replicated)
         farMeta = {}
         for ell in range(nLvl):
-            K = op.levels[ell].K
-            if K is None:
+            if ell not in meta['farSrcDst']:
                 continue
-            K = np.asarray(K)
-            src = np.asarray(op.levels[ell].src)
-            dst = np.asarray(op.levels[ell].dst)
+            src, dst = meta['farSrcDst'][ell]
+            src = np.asarray(src)
+            dst = np.asarray(dst)
             sOwn = owned[ell][src]
             dOwn = owned[ell][dst]
             isA = dOwn
@@ -328,7 +437,7 @@ class DistributedH2Matrix:
             srcIA = np.full((nd, mpa), ceLen, dtype=np.int64)        # ghost
             dstIA = np.full((nd, mpa), max(mo, 1), dtype=np.int64)   # ghost
             fill = np.zeros(nd, dtype=np.int64)
-            Ka, idxA = K[isA], np.nonzero(isA)[0]
+            Ka = getK(ell, np.nonzero(isA)[0])
             for p in range(len(srcA)):
                 k = int(devA[p])
                 q = fill[k]
@@ -352,7 +461,7 @@ class DistributedH2Matrix:
             srcIC = np.full((nd, mpc), max(mo, 1), dtype=np.int64)   # ghost
             dstIC = np.full((nd, mpc), nShr[ell], dtype=np.int64)    # ghost
             fill = np.zeros(nd, dtype=np.int64)
-            Kc = K[isC]
+            Kc = getK(ell, np.nonzero(isC)[0])
             for p in range(len(srcC)):
                 k = int(devC[p])
                 q = fill[k]
@@ -361,7 +470,7 @@ class DistributedH2Matrix:
                 srcIC[k, q] = ownSlot[ell][srcC[p]]
                 dstIC[k, q] = shrSlot[ell][dstC[p]]
             # D pairs (replicated)
-            KD = K[isD]
+            KD = getK(ell, np.nonzero(isD)[0])
             srcID = shrSlot[ell][src[isD]]
             dstID = shrSlot[ell][dst[isD]]
             farMeta[ell] = dict(maxSendC=maxSendC, ceLen=ceLen,
@@ -372,30 +481,22 @@ class DistributedH2Matrix:
                 KD=KD, srcID=srcID, dstID=dstID)
         self._farMeta = farMeta
 
-        # ---- 8. near-field CSR row blocks + halo plan
-        An = op.Anear
-        rowids = np.asarray(An.rowids)
-        colsG = np.asarray(An.indices)
-        dataN = np.asarray(An.data)
-        rdev = dofDev[rowids]
-        needX = [[] for _ in range(nd)]
-        for k in range(nd):
-            ck = colsG[rdev == k]
-            rem = np.unique(ck[dofDev[ck] != k])
-            needX[k] = rem.tolist()
+        # ---- 8. near-field CSR row blocks + halo plan (per-device rows
+        # come from nearRowsFor: global-CSR slices in wrap mode, directly
+        # assembled shards in assemble mode)
+        perK = [nearRowsFor(k, dofDev) for k in range(nd)]
+        needX = [np.unique(c[dofDev[c] != k]).tolist()
+                 for k, (_, c, _) in enumerate(perK)]
         sendSlotX, recvPosX, maxSendX = _buildHaloExchange(
             needX, dofDev, dofSlot, nd, bcast=bcast)
         xeLen = R + nd * maxSendX
-        cntN = np.bincount(rdev, minlength=nd)
-        maxNnz = max(int(cntN.max()), 1)
+        maxNnz = max(max(len(r) for (r, _, _) in perK), 1)
         nearRow = np.full((nd, maxNnz), R, dtype=np.int64)           # ghost
         nearCol = np.full((nd, maxNnz), xeLen, dtype=np.int64)       # ghost
         nearDat = np.zeros((nd, maxNnz))
-        for k in range(nd):
-            sel = rdev == k
-            nk = int(sel.sum())
-            nearRow[k, :nk] = dofSlot[rowids[sel]]
-            ck = colsG[sel]
+        for k, (rk, ck, dk) in enumerate(perK):
+            nk = len(rk)
+            nearRow[k, :nk] = dofSlot[rk]
             loc = dofDev[ck] == k
             ci = np.empty(nk, dtype=np.int64)
             ci[loc] = dofSlot[ck[loc]]
@@ -403,7 +504,7 @@ class DistributedH2Matrix:
                 rpk = recvPosX if bcast else recvPosX[k]
                 ci[~loc] = [R + rpk[int(g)] for g in ck[~loc]]
             nearCol[k, :nk] = ci
-            nearDat[k, :nk] = dataN[sel]
+            nearDat[k, :nk] = dk
 
         # ---- 9. pack device arrays: sharded tree + replicated tree
         sh = dict(
@@ -814,3 +915,19 @@ def dryrunDistributedH2(mesh, noRef=14):
     print(f'dryrunDistributedH2: dofs={dm.num_dofs}, '
           f'|H2 - distH2|x rel = {err:.2e}, '
           f'CG iters={int(iters)}, residual={rn:.2e}')
+
+    # partition-first distributed assembly (no global operator build)
+    m2 = simpleInterval(-1.0, 1.0)
+    for _ in range(10):
+        m2 = m2.refine()
+    dm2 = P1_DoFMap(m2)
+    H2s = nonlocalBuilder(dm2, kernel).getH2()
+    Aw = DistributedH2Matrix(H2s, mesh)
+    Aa = DistributedH2Matrix.assemble(dm2, kernel, mesh)
+    x2 = jnp.asarray(np.sin(np.pi * np.linspace(-1, 1, dm2.num_dofs)))
+    ref2 = np.asarray(Aw.matvec(x2))
+    errA = float(np.linalg.norm(ref2 - np.asarray(Aa.matvec(x2)))
+                 / np.linalg.norm(ref2))
+    assert errA < 1e-10, errA
+    print(f'distributed assemble (partition-first): dofs={dm2.num_dofs}, '
+          f'|wrap - assemble|x rel = {errA:.2e}')

@@ -74,12 +74,26 @@ def run(noRef):
     y = A.matvec(x)
     y.block_until_ready()
     tMv1 = time.time() - t0
+
+    # steady state: device-side normalized power loop (no per-call tunnel
+    # latency; this is how CG consumes the operator)
+    iters = 64
+
+    @jax.jit
+    def loop(A, x):
+        def body(i, y):
+            y2 = A.matvec(y)
+            return y2 / (1e-30 + jnp.max(jnp.abs(y2)))
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    y = loop(A, x)
+    float(jnp.sum(y))
     t0 = time.time()
-    for _ in range(5):
-        y = A.matvec(x)
-    y.block_until_ready()
-    tMv = (time.time() - t0) / 5
-    print(f'  matvec first={tMv1:.2f}s steady={tMv*1000:.1f}ms', flush=True)
+    y = loop(A, x)
+    float(jnp.sum(y))
+    tMv = (time.time() - t0) / iters
+    print(f'  matvec first={tMv1:.2f}s steady={tMv*1000:.2f}ms '
+          f'(device loop x{iters})', flush=True)
 
     try:
         stats = dev.memory_stats()
