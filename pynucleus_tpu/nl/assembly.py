@@ -2890,7 +2890,8 @@ class nonlocalBuilder:
         # never leaves the device; a global CSR view materializes lazily)
         from .h2 import TreeNearOperator, _TreeNearMeta
         meta = _TreeNearMeta(indptrT, tmplAll, tmplStart, tStartRow, tLen,
-                             rowLen, perm, N)
+                             rowLen, perm, N,
+                             partners=(rjS, grpStart))
         return TreeNearOperator(At.data, meta,
                                 dtype=self.params.get('dtype'))
 

@@ -420,24 +420,36 @@ def _pow2(v, lo=1):
     return p
 
 
+def _nf_aranges(reps):
+    """Concatenated [0..r) ranges for each r in reps (ragged arange)."""
+    reps = np.asarray(reps)
+    total = int(reps.sum())
+    starts = np.repeat(np.cumsum(reps) - reps, reps)
+    return np.arange(total) - starts
+
+
 class _TreeNearMeta:
     """Host-side structure of the tree-ordered near field.  Identity-hashed
     (default object hash) so it can sit in a pytree aux without pulling
     nnz-scale arrays into jit cache keys."""
 
     __slots__ = ('indptrT', 'tmplAll', 'tmplStart', 'tStartRow', 'tLen',
-                 'rowLen', 'perm', 'N')
+                 'rowLen', 'perm', 'N', 'partners')
 
     def __init__(self, indptrT, tmplAll, tmplStart, tStartRow, tLen,
-                 rowLen, perm, N):
-        self.indptrT = indptrT        # [N+1] row pointer (tree order)
+                 rowLen, perm, N, partners=None):
+        self.indptrT = indptrT        # [Nt+1] row pointer (tree order)
         self.tmplAll = tmplAll        # concatenated per-node col templates
         self.tmplStart = tmplStart    # [nNear] template start per node
         self.tStartRow = tStartRow    # [nNear+1] tree row start per node
         self.tLen = tLen              # [nNear] rows per node
         self.rowLen = rowLen          # [nNear] cols per node
-        self.perm = perm              # [N] tree position -> global dof
+        self.perm = perm              # [Nt] tree position -> global dof
         self.N = N
+        # (partnerNodes, grpStart): per row-node r the partner node rows
+        # are partnerNodes[grpStart[r]:grpStart[r+1]], sorted by tree start
+        # (the template order)
+        self.partners = partners
 
 
 class TreeNearOperator(LinearOperator):
@@ -474,62 +486,100 @@ class TreeNearOperator(LinearOperator):
         tLen = np.asarray(meta.tLen)
         rowLen = np.asarray(meta.rowLen)
         nNear = len(tLen)
+        partnerNodes, grpStart = meta.partners
+        nPart = np.diff(grpStart)                     # partners per node
+        # uniform padded leaf layout: node r's rows/cols live in row r of an
+        # [nNear, nbar] matrix, so the x fetch per (node, partner) becomes a
+        # ROW gather (slice size nbar) — the per-SLICE gather cost on the
+        # TPU makes this ~10x the per-element form (measured)
+        nbar = max(int(tLen.max()) if nNear else 1, 1)
+        self.nbar = nbar
         live = (tLen > 0) & (rowLen > 0)
-        keys = [(int(_pow2(tLen[r], 1)), int(_pow2(rowLen[r], 8)))
-                for r in range(nNear)]
         buckets = {}
         for r in range(nNear):
             if live[r]:
-                buckets.setdefault(keys[r], []).append(r)
-        permD = jnp.asarray(np.asarray(meta.perm), dtype=INDEX)
-        tmplGlobal = np.asarray(meta.perm)[np.asarray(meta.tmplAll)]
-        tmplD = jnp.asarray(tmplGlobal, dtype=INDEX)   # template -> global dof
+                buckets.setdefault(int(_pow2(max(nPart[r], 1), 2)),
+                                   []).append(r)
+        permPad = np.full(nNear * nbar, N, dtype=np.int64)
+        for_r = np.repeat(np.arange(nNear), tLen)
+        in_r = _nf_aranges(tLen)
+        permPad[for_r * nbar + in_r] = meta.perm
+        self.permPad = jnp.asarray(permPad, dtype=INDEX)
         indptrD = jnp.asarray(np.asarray(meta.indptrT), dtype=jnp.int64)
+        # partner template offsets within each node's rows (exclusive
+        # prefix of partner lengths, template order)
+        pLenAll = tLen[partnerNodes]
+        pOffAll = np.zeros(len(partnerNodes) + 1, dtype=np.int64)
+        pOffAll[1:] = np.cumsum(pLenAll)
+        pOffAll = pOffAll[:-1] - np.repeat(pOffAll[grpStart[:-1]], nPart)
         self.blocks = []
         self.bucketShapes = []
-        for (nP, LP), rs in sorted(buckets.items()):
+        for PP, rs in sorted(buckets.items()):
             rs = np.asarray(rs)
+            B = len(rs)
+            pIdx = np.full((B, PP), nNear, dtype=np.int64)     # pad: zero row
+            pOff = np.zeros((B, PP), dtype=np.int64)
+            pLen = np.zeros((B, PP), dtype=np.int64)
+            for q, r in enumerate(rs):
+                s, e = grpStart[r], grpStart[r + 1]
+                pIdx[q, :e - s] = partnerNodes[s:e]
+                pOff[q, :e - s] = pOffAll[s:e]
+                pLen[q, :e - s] = pLenAll[s:e]
             startD = jnp.asarray(meta.indptrT[meta.tStartRow[rs]],
-                                 dtype=jnp.int64)
-            nD = jnp.asarray(tLen[rs], dtype=jnp.int64)
+                                 dtype=jnp.int64)              # [B]
             LD = jnp.asarray(rowLen[rs], dtype=jnp.int64)
-            tsD = jnp.asarray(meta.tmplStart[rs], dtype=jnp.int64)
-            rowD = jnp.asarray(meta.tStartRow[rs], dtype=jnp.int64)
-            ii = jnp.arange(nP, dtype=jnp.int64)
-            jj = jnp.arange(LP, dtype=jnp.int64)
-            okI = ii[None, :] < nD[:, None]                    # [B, nP]
-            okJ = jj[None, :] < LD[:, None]                    # [B, LP]
-            idx = (startD[:, None, None] + ii[None, :, None] * LD[:, None, None]
-                   + jj[None, None, :])
-            idx = jnp.where(okI[:, :, None] & okJ[:, None, :], idx, nnz)
-            bd = self.dataZ[idx]                               # [B, nP, LP]
-            ci = jnp.where(okJ, tmplD[jnp.where(
-                okJ, tsD[:, None] + jj[None, :], 0)], N).astype(INDEX)
-            ri = jnp.where(okI, permD[jnp.where(
-                okI, rowD[:, None] + ii[None, :], 0)], N).astype(INDEX)
-            self.blocks.append((bd, ci, ri))
-            self.bucketShapes.append((len(rs), nP, LP))
+            nD = jnp.asarray(tLen[rs], dtype=jnp.int64)
+            pOffD = jnp.asarray(pOff, dtype=jnp.int64)
+            pLenD = jnp.asarray(pLen, dtype=jnp.int64)
+            ii = jnp.arange(nbar, dtype=jnp.int64)
+            cc = jnp.arange(nbar, dtype=jnp.int64)
+            # idx[b, i, p, c] = rowStart(b, i) + pOff[b, p] + c
+            rowStart = startD[:, None] + ii[None, :] * LD[:, None]  # [B, nbar]
+            idx = (rowStart[:, :, None, None] + pOffD[:, None, :, None]
+                   + cc[None, None, None, :])
+            ok = ((ii[None, :, None, None] < nD[:, None, None, None])
+                  & (cc[None, None, None, :] < pLenD[:, None, :, None]))
+            idx = jnp.where(ok, idx, nnz)
+            bd = self.dataZ[idx].reshape(B, nbar, PP * nbar)
+            self.blocks.append((bd, jnp.asarray(pIdx, dtype=INDEX),
+                                jnp.asarray(rs, dtype=INDEX)))
+            self.bucketShapes.append((B, nbar, PP))
+        self._nNear = nNear
         self._diag = None
         self._gcsr = None
 
     # ------------------------------------------------------------- matvec
+    def _x2(self, x):
+        xp = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+        xt = xp[self.permPad].reshape(self._nNear, self.nbar)
+        return jnp.concatenate(
+            [xt, jnp.zeros((1, self.nbar), x.dtype)])   # pad row nNear
+
     def matvec(self, x):
         N = self.num_rows
-        xp = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
-        yp = jnp.zeros(N + 1, x.dtype)
-        for bd, ci, ri in self.blocks:
-            yb = jnp.einsum('bnl,bl->bn', bd, xp[ci])
-            yp = yp.at[ri].add(yb)
-        return yp[:N]
+        x2 = self._x2(x)
+        y2 = jnp.zeros((self._nNear + 1, self.nbar), x.dtype)
+        for bd, pIdx, nodeIdx in self.blocks:
+            xw = x2[pIdx]                               # [B, PP, nbar] rows
+            yb = jnp.einsum('bic,bc->bi', bd,
+                            xw.reshape(xw.shape[0], -1))
+            y2 = y2.at[nodeIdx].add(yb)                 # row scatter
+        yt = y2[:self._nNear].reshape(-1)
+        return jax.ops.segment_sum(yt, self.permPad,
+                                   num_segments=N + 1)[:N]
 
     def rmatvec(self, x):
         N = self.num_rows
-        xp = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
-        yp = jnp.zeros(N + 1, x.dtype)
-        for bd, ci, ri in self.blocks:
-            yb = jnp.einsum('bnl,bn->bl', bd, xp[ri])
-            yp = yp.at[ci].add(yb)
-        return yp[:N]
+        x2 = self._x2(x)
+        y2 = jnp.zeros((self._nNear + 1, self.nbar), x.dtype)
+        for bd, pIdx, nodeIdx in self.blocks:
+            xr = x2[nodeIdx]                            # [B, nbar]
+            cb = jnp.einsum('bic,bi->bc', bd, xr)       # [B, PP*nbar]
+            y2 = y2.at[pIdx].add(
+                cb.reshape(cb.shape[0], -1, self.nbar))
+        yt = y2[:self._nNear].reshape(-1)
+        return jax.ops.segment_sum(yt, self.permPad,
+                                   num_segments=N + 1)[:N]
 
     def matvec_no_overwrite(self, x, y):
         return y + self.matvec(x)
@@ -609,16 +659,17 @@ class TreeNearOperator(LinearOperator):
 
 
 def _nearop_flatten(op):
-    children = (op.dataZ, tuple(op.blocks), op._diag)
-    aux = (op.meta, tuple(op.bucketShapes), op.outDtype)
+    children = (op.dataZ, tuple(op.blocks), op.permPad, op._diag)
+    aux = (op.meta, tuple(op.bucketShapes), op.outDtype, op.nbar,
+           op._nNear)
     return children, aux
 
 
 def _nearop_unflatten(aux, children):
     op = TreeNearOperator.__new__(TreeNearOperator)
-    op.meta, shapes, op.outDtype = aux
+    op.meta, shapes, op.outDtype, op.nbar, op._nNear = aux
     op.bucketShapes = list(shapes)
-    op.dataZ, blocks, op._diag = children
+    op.dataZ, blocks, op.permPad, op._diag = children
     op.blocks = list(blocks)
     op.num_rows = op.num_columns = op.meta.N
     op._gcsr = None
