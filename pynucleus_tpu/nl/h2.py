@@ -555,18 +555,24 @@ class TreeNearOperator(LinearOperator):
         return jnp.concatenate(
             [xt, jnp.zeros((1, self.nbar), x.dtype)])   # pad row nNear
 
-    def matvec(self, x):
-        N = self.num_rows
-        x2 = self._x2(x)
-        y2 = jnp.zeros((self._nNear + 1, self.nbar), x.dtype)
+    def _matvec_tree(self, x2):
+        """Near matvec in the padded tree layout: x2, result [nNear+1, nbar]
+        (callers fuse the global<->tree exchange with the far field)."""
+        y2 = jnp.zeros((self._nNear + 1, self.nbar), x2.dtype)
         for bd, pIdx, nodeIdx in self.blocks:
             xw = x2[pIdx]                               # [B, PP, nbar] rows
             yb = jnp.einsum('bic,bc->bi', bd,
                             xw.reshape(xw.shape[0], -1))
             y2 = y2.at[nodeIdx].add(yb)                 # row scatter
+        return y2
+
+    def _scatter_tree(self, y2):
         yt = y2[:self._nNear].reshape(-1)
         return jax.ops.segment_sum(yt, self.permPad,
-                                   num_segments=N + 1)[:N]
+                                   num_segments=self.num_rows + 1)[:-1]
+
+    def matvec(self, x):
+        return self._scatter_tree(self._matvec_tree(self._x2(x)))
 
     def rmatvec(self, x):
         N = self.num_rows
@@ -756,6 +762,19 @@ class H2Matrix(LinearOperator):
             sel = np.nonzero(lvlArr == ell)[0]
             self.leafSel.append(jnp.asarray(sel, dtype=INDEX))
             self.leafPos.append(jnp.asarray(posArr[sel], dtype=INDEX))
+        # fused tree layout: when the near operator's padded row layout
+        # coincides with the leaf list (leaf li == near row li), the whole
+        # matvec shares ONE global->tree gather and ONE tree->global
+        # segment-sum (leaf moments read x2 rows directly, no leafDofs
+        # gather)
+        self.fusedTree = False
+        if (isinstance(Anear, TreeNearOperator)
+                and Anear._nNear == leafPhi.shape[0]
+                and Anear.nbar == leafPhi.shape[1]):
+            lfFlat = np.where(np.asarray(leafDofs) >= 0,
+                              np.asarray(leafDofs), num_rows).reshape(-1)
+            self.fusedTree = bool(
+                (np.asarray(Anear.permPad) == lfFlat).all())
 
     def isSparse(self):
         return False
@@ -870,7 +889,8 @@ jax.tree_util.register_pytree_node(
 def _h2_flatten(op):
     children = (op.Anear, op.leafDofs, op.leafPhi, op.levels,
                 op.leafSel, op.leafPos)
-    aux = (op.leafLevelPos, op.num_rows, op.symmetric)
+    aux = (op.leafLevelPos, op.num_rows, op.symmetric,
+           getattr(op, 'fusedTree', False))
     return children, aux
 
 
@@ -878,7 +898,7 @@ def _h2_unflatten(aux, children):
     op = object.__new__(H2Matrix)
     (op.Anear, op.leafDofs, op.leafPhi, op.levels,
      op.leafSel, op.leafPos) = children
-    op.leafLevelPos, op.num_rows, op.symmetric = aux
+    op.leafLevelPos, op.num_rows, op.symmetric, op.fusedTree = aux
     op.num_columns = op.num_rows
     return op
 
@@ -944,9 +964,15 @@ def _h2_matvec(op, x):
     nLvl = len(op.levels)
     M = op.leafPhi.shape[2]
 
-    # ---- leaf moments
-    xg = jnp.where(op.leafDofs >= 0, x[jnp.clip(op.leafDofs, 0)], 0.0)
-    cLeaf = jnp.einsum('lnm,ln->lm', op.leafPhi, xg)       # [L, M]
+    # ---- leaf moments (fused: leaf li's x-values ARE row li of the near
+    # operator's padded tree layout -- one shared global->tree gather)
+    if getattr(op, 'fusedTree', False):
+        L = op.leafPhi.shape[0]
+        x2 = op.Anear._x2(x)
+        cLeaf = jnp.einsum('lnm,ln->lm', op.leafPhi, x2[:L])
+    else:
+        xg = jnp.where(op.leafDofs >= 0, x[jnp.clip(op.leafDofs, 0)], 0.0)
+        cLeaf = jnp.einsum('lnm,ln->lm', op.leafPhi, xg)   # [L, M]
 
     # ---- scatter leaf moments into their levels, then sweep up
     # (device index maps; shapes are static at trace time)
@@ -989,9 +1015,13 @@ def _h2_matvec(op, x):
 
     yvals = jnp.einsum('lnm,lm->ln', op.leafPhi, yLeaf)    # [L, maxLeafN]
     N = op.num_rows
+
+    # ---- near field + tree->global (fused: one segment-sum for both)
+    if getattr(op, 'fusedTree', False):
+        y2 = op.Anear._matvec_tree(x2)
+        y2 = y2.at[:L].add(yvals)
+        return op.Anear._scatter_tree(y2)
     flat = jnp.where(op.leafDofs >= 0, op.leafDofs, N).reshape(-1)
     y = jax.ops.segment_sum(yvals.reshape(-1), flat, num_segments=N + 1)[:N]
-
-    # ---- near field
     y = y + op.Anear.matvec(x)
     return y
