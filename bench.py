@@ -295,19 +295,21 @@ def benchH2Suite():
     cumulative JSON line after every stage so a timeout salvages the
     completed stages."""
     out = {}
-    t0 = time.monotonic()
-    try:
-        out['h2_1d'] = benchH2Matvec()
-    except Exception as e:                                    # noqa: BLE001
-        out['h2_1d'] = {'error': repr(e)[-300:]}
-    out['h2_1d_wall_s'] = round(time.monotonic() - t0, 1)
-    print(json.dumps(out), flush=True)
+    # 2D first: it also carries the CG-solve metric (two of the three
+    # BASELINE numbers), so a budget cut degrades to losing 1D only
     t0 = time.monotonic()
     try:
         out['h2_2d'] = benchH2Matvec2D()
     except Exception as e:                                    # noqa: BLE001
         out['h2_2d'] = {'error': repr(e)[-300:]}
     out['h2_2d_wall_s'] = round(time.monotonic() - t0, 1)
+    print(json.dumps(out), flush=True)
+    t0 = time.monotonic()
+    try:
+        out['h2_1d'] = benchH2Matvec()
+    except Exception as e:                                    # noqa: BLE001
+        out['h2_1d'] = {'error': repr(e)[-300:]}
+    out['h2_1d_wall_s'] = round(time.monotonic() - t0, 1)
     return out
 
 
@@ -318,7 +320,7 @@ _METRICS = {
     'h2': (benchH2Matvec, 180),
     'h2_2d': (benchH2Matvec2D, 180),
     'solve': (benchSolve, 180),
-    'h2suite': (benchH2Suite, 240),
+    'h2suite': (benchH2Suite, 420),
 }
 
 
