@@ -3013,6 +3013,7 @@ class nonlocalBuilder:
 
         CHUNK = 1 << 23
         p0 = 0
+        nLaunched = 0
         while p0 < len(IJ):
             p1 = min(int(np.searchsorted(cum, (cum[p0 - 1] if p0 else 0)
                                          + CHUNK)) + 1, len(IJ))
@@ -3025,6 +3026,14 @@ class nonlocalBuilder:
             if len(lo) == 0:
                 p0 = p1
                 continue
+            # BACKPRESSURE: over the remote tunnel, async dispatch runs far
+            # ahead of execution and every in-flight launch pins its staged
+            # [nCh, chunk] argument buffers in host RAM (tens of GB at
+            # 100k+ dofs -> OOM).  Syncing on the accumulator each chunk
+            # bounds in-flight memory to one chunk's worth.
+            if deviceAcc and nLaunched:
+                jax.block_until_ready(acc.data)
+            nLaunched += 1
             # one stable sort by order -> contiguous per-bucket slices
             # (beats per-order boolean selects over the 6 full arrays)
             srt = np.argsort(orders, kind='stable')

@@ -27,7 +27,7 @@ def run(noRef):
     dtype = np.float32 if dev.platform != 'cpu' else np.float64
 
     t0 = time.time()
-    m = circle(n=8)
+    m = circle(n=int(os.environ.get('LADDER_CIRCLE_N', '8')))
     for _ in range(noRef):
         m = m.refine()
     dm = P1_DoFMap(m)
