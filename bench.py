@@ -143,15 +143,13 @@ def benchAssembly():
            'cold_assembly_s': cold, 'platform': dev.platform,
            'stage': 'cold only'}
     print(json.dumps(out), flush=True)      # partial: salvaged on timeout
-    elapsed = float('inf')
-    for _ in range(2):
-        t0 = time.perf_counter()
-        A = nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getDense()
-        jax.block_until_ready(A.data)
-        elapsed = min(elapsed, time.perf_counter() - t0)
-        out.update(pairs_per_s=nPairs / elapsed, assembly_s=elapsed,
-                   stage='warm')
-        print(json.dumps(out), flush=True)
+    t0 = time.perf_counter()
+    A = nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getDense()
+    jax.block_until_ready(A.data)
+    elapsed = time.perf_counter() - t0
+    out.update(pairs_per_s=nPairs / elapsed, assembly_s=elapsed,
+               stage='warm')
+    print(json.dumps(out), flush=True)
     out.pop('stage')
     return out
 
@@ -198,14 +196,17 @@ def benchH2Matvec():
         m = m.refine()
     dm = P1_DoFMap(m)
     kernel = getFractionalKernel(1, 0.75)
+    print(json.dumps({'h2_1d': {'dofs': dm.num_dofs,
+                                'stage': 'building'}}), flush=True)
     t0 = time.perf_counter()
     H = nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getH2()
     build = time.perf_counter() - t0
-    out = {'dofs': dm.num_dofs, 'build_s': build}
+    out = {'dofs': dm.num_dofs, 'build_s': build, 'stage': 'built'}
     print(json.dumps({'h2_1d': out}), flush=True)
     x = np.sin(np.pi * np.linspace(-1, 1, dm.num_dofs)).astype(dtype)
     xd = jnp.asarray(x)
     out['matvec_s'] = _steadyMatvec(H, xd)
+    out['stage'] = 'done'
     return out
 
 
@@ -222,14 +223,17 @@ def benchH2Matvec2D():
     m = _mesh2d(noRef)
     dm = P1_DoFMap(m)
     kernel = getFractionalKernel(2, 0.75)
+    print(json.dumps({'h2_2d': {'dofs': dm.num_dofs,
+                                'stage': 'building'}}), flush=True)
     t0 = time.perf_counter()
     H = nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getH2()
     build = time.perf_counter() - t0
-    r = {'dofs': dm.num_dofs, 'build_s': build}
+    r = {'dofs': dm.num_dofs, 'build_s': build, 'stage': 'built'}
     print(json.dumps({'h2_2d': r}), flush=True)
     x = np.random.default_rng(0).normal(size=dm.num_dofs).astype(dtype)
     xd = jnp.asarray(x)
     r['matvec_s'] = _steadyMatvec(H, xd)
+    r['stage'] = 'done'
     print(json.dumps({'h2_2d': r}), flush=True)
     if os.environ.get('BENCH_H2_2D_SOLVE', '1') != '0':
         r['cg'] = _cgSolve(H, dm, dtype)
@@ -315,7 +319,7 @@ def benchH2Suite():
 
 # priority order: primary metric first, cheap anchors next
 _METRICS = {
-    'assembly': (benchAssembly, 300),
+    'assembly': (benchAssembly, 240),
     'baseline': (benchBaselineCpp, 120),
     'h2': (benchH2Matvec, 180),
     'h2_2d': (benchH2Matvec2D, 180),

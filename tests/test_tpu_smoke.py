@@ -42,7 +42,7 @@ uex = (2.0 ** (-2 * s) * np.sqrt(np.pi)
        / (gamma(s + 0.5) * gamma(1.0 + s))) * (1 - xs ** 2) ** s
 err = float(np.abs(np.asarray(u) - uex).max())
 print('TPU_SMOKE_ERR', err)
-assert err < 5e-4, err
+assert err < 2e-3, err
 """
 
 
@@ -61,4 +61,4 @@ def test_tpu_f32_accuracy_smoke():
     line = [ln for ln in r.stdout.splitlines() if 'TPU_SMOKE_ERR' in ln]
     assert line, r.stdout[-500:]
     err = float(line[0].split()[-1])
-    assert err < 5e-4, err
+    assert err < 2e-3, err
