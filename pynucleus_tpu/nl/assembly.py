@@ -687,13 +687,18 @@ class _ParallelCompiler:
         sig = tuple((np.shape(l), np.result_type(l).name) for l in leaves)
         return (fn, tuple(sorted(statics.items())), treedef, sig)
 
-    def launch(self, fn, *args, _statics=None, **dynkw):
+    def launch(self, fn, *args, _statics=None, _force=False, **dynkw):
         statics = _statics or {}
         if not hasattr(fn, 'lower'):
             # plain callable (e.g. a profiling monkeypatch): bypass AOT
             return fn(*args, **dynkw, **statics)
         key = self._key(fn, args, dynkw, statics)
-        if self.harvesting:
+        if self.harvesting and _force:
+            # value-producing launch whose OUTPUT steers later launches
+            # (e.g. the enumeration histogram): execute even while
+            # harvesting so the dependent launches get harvested too
+            pass
+        elif self.harvesting:
             if key not in self.compiled and key not in self.pending:
                 lowered = fn.lower(*args, **dynkw, **statics)
                 self.pending[key] = lowered
@@ -740,8 +745,9 @@ class _ParallelCompiler:
 _compiler = _ParallelCompiler()
 
 
-def _launch(fn, *args, _statics=None, **dynkw):
-    return _compiler.launch(fn, *args, _statics=_statics, **dynkw)
+def _launch(fn, *args, _statics=None, _force=False, **dynkw):
+    return _compiler.launch(fn, *args, _statics=_statics, _force=_force,
+                            **dynkw)
 
 
 # problem signatures whose launches were already harvested this process
@@ -1070,6 +1076,401 @@ def _bucket_tree_csr_scan(data, vertices, cellsArr, volsArr, dofsArr,
     return data
 
 
+# ------------------------------------------------------------------------
+# Device-side near-field enumeration (zero per-cell-pair host transfer).
+#
+# The host-enumeration path ships (c1, c2, I, J, offF, offB, sf) per cell
+# pair -- 28 bytes/pair, ~2.3 GB at 16k 2D dofs, and the remote-TPU tunnel
+# moves ~35 MB/s, so transfers dominated the H2 build (measured 62 s of a
+# 109 s warm build).  Here the device derives everything from
+# per-CLUSTER-pair descriptors (a few MB total):
+#
+#   phase 1 (_enum_phase1): for every flat index t of the concatenated
+#     cells(I) x cells(J) products, recover the cell pair, apply the
+#     validity rules (no identical cells, no vertex-sharing cells -- the
+#     singular path owns those -- and canonical orientation only when both
+#     orderings are enumerated), evaluate the SAME f32 quadrature-order
+#     model as the host path (panels.distantOrders, ref
+#     fractionalLaplacian2D.pyx:622-641), snap orders to the bucket ladder,
+#     and return (key per element, cluster-pair index per element, order
+#     histogram).  Only the histogram crosses to the host.
+#
+#   phase 2 (_enum_phase2): per order bucket, stream-compact that order's
+#     element ids on device (cumsum + scatter), then run the standard
+#     arithmetic-slot quadrature scan over the compacted ids.  Work equals
+#     the host-enumerated path's (same per-element orders); the ordered
+#     pads and invalid elements are evaluated only by the ~20-flop key
+#     model, never by quadrature.
+
+_ENUM_SENTINEL = 127
+
+
+def _enum_elem_key(t, Treal, cum, offI, offJ, n2A, IA, JA, ncArrD,
+                   cellsArr, cellNodesD, centersD, loghD, cA, cB, cC,
+                   mdim, p=None):
+    """(cluster pair p, cells a/b, validity, snapped order) for flat ids t.
+
+    Order-model constants: 2D (cA, cB, cC) = (s, c, logH0); 1D = (sval, c,
+    logH0) (see panels.distantOrders / the native enumerator scalars)."""
+    if p is None:
+        p = jnp.searchsorted(cum, t, side='right') - 1
+        p = jnp.clip(p, 0, IA.shape[0] - 1)
+    l = t - cum[p]
+    n2p = n2A[p]
+    a = ncArrD[offI[p] + l // n2p]
+    b = ncArrD[offJ[p] + l % n2p]
+    I = IA[p]
+    J = JA[p]
+    # validity: skip identical + vertex-sharing cells (singular path) and
+    # the non-canonical ordering of doubly-enumerated pairs.  All gathers
+    # are COLUMN-wise ([C]-slice then flat [T] gather): a [T, nv] gather is
+    # tile-padded nv->128 on TPU (40-60x memory blowup at T=2^25)
+    nv = cellsArr.shape[1]
+    vaCols = [jax.lax.index_in_dim(cellsArr, i, 1, keepdims=False)[a]
+              for i in range(nv)]
+    vbCols = [jax.lax.index_in_dim(cellsArr, i, 1, keepdims=False)[b]
+              for i in range(nv)]
+    share = jnp.zeros(t.shape, bool)
+    for i in range(nv):
+        for j_ in range(nv):
+            share = share | (vaCols[i] == vbCols[j_])
+    dpe = cellNodesD.shape[1]
+    bInI = jnp.zeros(t.shape, bool)
+    aInJ = jnp.zeros(t.shape, bool)
+    for i in range(dpe):
+        col = jax.lax.index_in_dim(cellNodesD, i, 1, keepdims=False)
+        bInI = bInI | (col[b] == I)
+        aInJ = aInJ | (col[a] == J)
+    dup = bInI & aInJ
+    valid = (t < Treal) & (a != b) & ~share & (~dup | (a < b))
+    # f32 order model (mirrors panels.distantOrders).  centersD is stored
+    # COLUMN-wise [dim, C] and gathered per coordinate: a [T, dim] gather
+    # would be tile-padded dim->128 on TPU (64x memory blowup at T=2^25)
+    r2c = jnp.zeros_like(loghD[a])
+    for d_ in range(centersD.shape[0]):
+        dd = centersD[d_][a] - centersD[d_][b]
+        r2c = r2c + dd * dd
+    logd = 0.5 * jnp.log(jnp.maximum(r2c, jnp.float32(1e-38)))
+    lh1 = loghD[a]
+    lh2 = loghD[b]
+    if mdim == 1:
+        sval, c_, lH0 = cA, cB, cC
+        lH1 = jnp.abs(lh1 - lH0)
+        lH2 = jnp.abs(lh2 - lH0)
+        ldh1 = logd - lh1
+        ldh2 = logd - lh2
+        num1 = c_ + (2 * sval - 1) * lH2 - 2 * sval * ldh2
+        num2 = c_ + (2 * sval - 1) * lH1 - 2 * sval * ldh1
+        o1 = jnp.ceil(num1 / (jnp.maximum(ldh1, 0) + jnp.float32(0.8)))
+        o2 = jnp.ceil(num2 / (jnp.maximum(ldh2, 0) + jnp.float32(0.8)))
+    else:
+        s_, c_, lH0 = cA, cB, cC
+        ldh1 = logd - lh1
+        ldh2 = logd - lh2
+        l1 = jnp.abs(lh1 - lH0)
+        l2 = jnp.abs(lh2 - lH0)
+        lmin = jnp.maximum(l1, l2)
+        o1 = jnp.ceil((c_ + (s_ - 1.0) * l2 + lmin - s_ * ldh2) /
+                      (jnp.maximum(ldh1, 0) + jnp.float32(0.4)))
+        o2 = jnp.ceil((c_ + (s_ - 1.0) * l1 + lmin - s_ * ldh1) /
+                      (jnp.maximum(ldh2, 0) + jnp.float32(0.4)))
+    o = jnp.maximum(jnp.maximum(o1, o2), 2.0)
+    o = jnp.clip(o, 2.0, 120.0).astype(jnp.int32)
+    # deterministic snap (matches emitChunk): even; (8,16]->16; >16->mult 8
+    o = ((o + 1) // 2) * 2
+    o = jnp.where(o > 16, ((o + 7) // 8) * 8, o)
+    o = jnp.where((o > 8) & (o <= 16), 16, o)
+    key = jnp.where(valid, o, _ENUM_SENTINEL)
+    return p, a, b, I, J, key
+
+
+@partial(jax.jit, static_argnames=('Tpad', 'mdim'))
+def _enum_phase1(cum, offI, offJ, n2A, IA, JA, ncArrD, cellsArr,
+                 cellNodesD, centersD, loghD, cA, cB, cC, Treal,
+                 Tpad=None, mdim=2):
+    """Keys + cluster-pair index per flat element, order histogram.
+
+    The element -> cluster-pair map pT is built by a boundary scatter +
+    cumsum (nP scatter increments, one contiguous [Tpad] prefix sum) -- a
+    per-element searchsorted would cost log2(nP) full-array gather rounds
+    (measured ~half of phase 1)."""
+    t = jnp.arange(Tpad, dtype=jnp.int32)
+    nP = IA.shape[0]
+    bumps = jnp.zeros(Tpad, jnp.int32).at[cum[1:nP]].add(
+        1, mode='drop')
+    p = jnp.cumsum(bumps)
+    p, a, b, I, J, key = _enum_elem_key(
+        t, Treal, cum, offI, offJ, n2A, IA, JA, ncArrD, cellsArr,
+        cellNodesD, centersD, loghD, cA, cB, cC, mdim, p=p)
+    hist = jnp.bincount(key, length=_ENUM_SENTINEL + 1)
+    return key.astype(jnp.int8), p, hist
+
+
+# ------------------------------------------------------------------------
+# Block-structured near field: process each near cluster pair as the dense
+# [n1, n2] product of its cell lists, with quadrature points tensorized
+# [n1, Q1] x [n2, Q2] and dof placement factored into one-hot matrices so
+# the whole accumulation becomes batched MXU contractions (the reference
+# walks the same products per-pair on the host, assembleClusters
+# nonlocalAssembly pxi:1663; the flat per-element device path above spends
+# ~95% of its time in gathers and 36-wide scatter-adds -- measured 34 s for
+# the order-4 bucket at 16k dofs vs <1 s of quadrature math).
+#
+# For one cluster pair (I, J) and cells a in cells(I), b in cells(J):
+#   M_ab = PSI^T diag(w g_ab) PSI with PSI = [phi_x; -phi_y] splits into
+#   xx/xy/yx/yy blocks; placing rows into I's tree slots and columns into
+#   J's gives
+#     B_IJ = sum_ab [ Rx_I(a)^T diag(sx) Rx_J(a) + Ry_I(b)^T diag(sy) Ry_J(b)
+#                     - Rx_I(a)^T G_ab Ry_J(b) - Ry_I(b)^T G_ab^T Rx_J(a) ]
+#   where R*_N(c) [Q, nbar] is the basis evaluated on the quadrature grid
+#   times the one-hot placement of c's dofs into node N's tree slots.
+#   B_JI = B_IJ^T (kernel symmetric).  The four terms are einsums over
+#   [B, n1, n2, Q1, Q2] g with per-row/per-col [.., Q, nbar] placements --
+#   all MXU.  Scatter volume collapses from 36 adds per CELL pair to one
+#   [nbar, nbar] block add per CLUSTER pair.
+#
+# Element validity and the per-element f32 order model are identical to
+# _enum_elem_key (outer-product form); the block path runs each cluster
+# pair once per LOW order it contains (counts from _block_near_count).
+# High orders (>8; Duffy rules with Q up to ~80k) stay on the flat
+# per-element path, restricted to the few pairs that contain them.
+
+_LOW_ORDER_MAX = 8
+
+
+def _block_mask_order(offI, offJ, n1q, n2q, I, J, cellsArr, dofsArr,
+                      dofNodeArr, ncArrD, centersD, loghD, cA, cB, cC,
+                      n1p, n2p, mdim):
+    """Shared prelude: per-(row cell, col cell) validity mask and snapped
+    order for a chunk of cluster pairs (all gathers O(n1 + n2))."""
+    ar1 = jnp.arange(n1p, dtype=jnp.int32)
+    ar2 = jnp.arange(n2p, dtype=jnp.int32)
+    cellsA = ncArrD[offI[:, None] + ar1[None, :]]        # [Bc, n1]
+    cellsB = ncArrD[offJ[:, None] + ar2[None, :]]        # [Bc, n2]
+    rowLive = ar1[None, :] < n1q[:, None]
+    colLive = ar2[None, :] < n2q[:, None]
+    vA = cellsArr[cellsA]                                # [Bc, n1, nv]
+    vB = cellsArr[cellsB]
+    dA = dofsArr[cellsA]                                 # [Bc, n1, dpe]
+    dB = dofsArr[cellsB]
+    dAs = jnp.where(dA >= 0, dA, 0)
+    dBs = jnp.where(dB >= 0, dB, 0)
+    nodeA = jnp.where(dA >= 0, dofNodeArr[dAs], -1)
+    nodeB = jnp.where(dB >= 0, dofNodeArr[dBs], -1)
+    aInJ = (nodeA == J[:, None, None]).any(axis=2)       # [Bc, n1]
+    bInI = (nodeB == I[:, None, None]).any(axis=2)       # [Bc, n2]
+    dup = aInJ[:, :, None] & bInI[:, None, :]
+    canon = ~dup | (cellsA[:, :, None] < cellsB[:, None, :])
+    share = (vA[:, :, None, :, None] == vB[:, None, :, None, :]) \
+        .any(axis=(3, 4))
+    neq = cellsA[:, :, None] != cellsB[:, None, :]
+    live = rowLive[:, :, None] & colLive[:, None, :]
+    mask = live & neq & ~share & canon
+    # f32 order model on the [n1, n2] grid (same formulas as
+    # _enum_elem_key; centersD column-wise [dim, C])
+    r2c = jnp.zeros(mask.shape, jnp.float32)
+    for d_ in range(centersD.shape[0]):
+        col = centersD[d_]
+        dd = col[cellsA][:, :, None] - col[cellsB][:, None, :]
+        r2c = r2c + dd * dd
+    logd = 0.5 * jnp.log(jnp.maximum(r2c, jnp.float32(1e-38)))
+    lh1 = loghD[cellsA][:, :, None]
+    lh2 = loghD[cellsB][:, None, :]
+    if mdim == 1:
+        sval, c_, lH0 = cA, cB, cC
+        lH1 = jnp.abs(lh1 - lH0)
+        lH2 = jnp.abs(lh2 - lH0)
+        ldh1 = logd - lh1
+        ldh2 = logd - lh2
+        num1 = c_ + (2 * sval - 1) * lH2 - 2 * sval * ldh2
+        num2 = c_ + (2 * sval - 1) * lH1 - 2 * sval * ldh1
+        o1 = jnp.ceil(num1 / (jnp.maximum(ldh1, 0) + jnp.float32(0.8)))
+        o2 = jnp.ceil(num2 / (jnp.maximum(ldh2, 0) + jnp.float32(0.8)))
+    else:
+        s_, c_, lH0 = cA, cB, cC
+        ldh1 = logd - lh1
+        ldh2 = logd - lh2
+        l1 = jnp.abs(lh1 - lH0)
+        l2 = jnp.abs(lh2 - lH0)
+        lmin = jnp.maximum(l1, l2)
+        o1 = jnp.ceil((c_ + (s_ - 1.0) * l2 + lmin - s_ * ldh2) /
+                      (jnp.maximum(ldh1, 0) + jnp.float32(0.4)))
+        o2 = jnp.ceil((c_ + (s_ - 1.0) * l1 + lmin - s_ * ldh1) /
+                      (jnp.maximum(ldh2, 0) + jnp.float32(0.4)))
+    o = jnp.maximum(jnp.maximum(o1, o2), 2.0)
+    o = jnp.clip(o, 2.0, 120.0).astype(jnp.int32)
+    o = ((o + 1) // 2) * 2
+    o = jnp.where(o > 16, ((o + 7) // 8) * 8, o)
+    o = jnp.where((o > 8) & (o <= 16), 16, o)
+    return (cellsA, cellsB, vA, vB, dA, dB, dAs, dBs, nodeA, nodeB,
+            mask, o)
+
+
+@partial(jax.jit, static_argnames=('n1p', 'n2p', 'mdim'))
+def _block_near_count(offIx, offJx, n1x, n2x, Ix, Jx, cellsArr, dofsArr,
+                      dofNodeArr, ncArrD, centersD, loghD, cA, cB, cC,
+                      n1p=None, n2p=None, mdim=2):
+    """Per-(cluster pair, order class) element counts.  Classes 0-3 =
+    orders 2/4/6/8, class 4 = any order > 8 (flat-path pairs)."""
+
+    def body(_, xs):
+        offI, offJ, n1q, n2q, I, J = xs
+        (_, _, _, _, _, _, _, _, _, _, mask, o) = _block_mask_order(
+            offI, offJ, n1q, n2q, I, J, cellsArr, dofsArr, dofNodeArr,
+            ncArrD, centersD, loghD, cA, cB, cC, n1p, n2p, mdim)
+        cnt = []
+        for k in range(4):
+            cnt.append((mask & (o == 2 * (k + 1))).sum(
+                axis=(1, 2), dtype=jnp.int32))
+        cnt.append((mask & (o > _LOW_ORDER_MAX)).sum(
+            axis=(1, 2), dtype=jnp.int32))
+        return 0, jnp.stack(cnt, axis=1)                 # [Bc, 5]
+
+    _, counts = jax.lax.scan(body, 0, (offIx, offJx, n1x, n2x, Ix, Jx))
+    return counts                                        # [nCh, Bc, 5]
+
+
+@partial(jax.jit,
+         static_argnames=('kernel', 'n1p', 'n2p', 'nbar', 'order', 'mdim'))
+def _block_near_quad(data, vertices, cellsArr, volsArr, dofsArr,
+                     treePosArr, dofNodeArr, ncArrD, centersD, loghD,
+                     offIx, offJx, n1x, n2x, Ix, Jx, tSIx, tSJx, baseFx,
+                     baseBx, LIx, LJx, cA, cB, cC, PHI1, PHI2, B1, B2,
+                     W1, W2, kernel=None, n1p=None, n2p=None, nbar=None,
+                     order=None, mdim=2):
+    """One (order, size-bucket) pass of the block near field (see the
+    section comment above).  Scatter: one [nbar, nbar] block add per
+    cluster pair into the tree-ordered CSR (slots are affine:
+    base + i*rowLen + j), plus the transpose block for I != J."""
+    HI = jax.lax.Precision.HIGHEST
+
+    def body(dataAcc, xs):
+        (offI, offJ, n1q, n2q, I, J, tSI, tSJ, baseF, baseB, LI, LJ) = xs
+        (cellsA, cellsB, vA, vB, dA, dB, dAs, dBs, nodeA, nodeB, mask,
+         o) = _block_mask_order(
+            offI, offJ, n1q, n2q, I, J, cellsArr, dofsArr, dofNodeArr,
+            ncArrD, centersD, loghD, cA, cB, cC, n1p, n2p, mdim)
+        mask = mask & (o == order)
+        dt = dataAcc.dtype
+        # quadrature points/values, tensorized [n1, Q1] x [n2, Q2]
+        vxA = vertices[vA]                               # [Bc, n1, nv, d]
+        vxB = vertices[vB]
+        x = jnp.einsum('qv,bavd->baqd', B1, vxA, precision=HI)
+        y = jnp.einsum('pv,bcvd->bcpd', B2, vxB, precision=HI)
+        xb = x[:, :, None, :, None, :]
+        yb = y[:, None, :, None, :, :]
+        r2 = jnp.sum((xb - yb) ** 2, axis=-1)      # [Bc, n1, n2, Q1, Q2]
+        g = _radial_eval(kernel, r2, xb, yb)
+        volsA = volsArr[cellsA]
+        volsB = volsArr[cellsB]
+        fac = (volsA[:, :, None] * volsB[:, None, :] * 2.0) \
+            * mask.astype(dt)
+        gW = g * (W1[:, None] * W2[None, :])[None, None, None, :, :] \
+            * fac[:, :, :, None, None]
+        # dof placements into tree slots of I (rows) / J (cols)
+        ib = jnp.arange(nbar, dtype=jnp.int32)
+
+        def placed(node, tree, dofsRaw, tS, N_, PHI):
+            slot = jnp.where((node == N_[:, None, None]) & (dofsRaw >= 0),
+                             tree - tS[:, None, None], nbar)
+            oneh = (slot[..., None] == ib).astype(dt)    # [Bc, n, dpe, nbar]
+            return jnp.einsum('rq,bart->baqt', PHI, oneh, precision=HI)
+
+        treeA = treePosArr[dAs]
+        treeB = treePosArr[dBs]
+        RxI = placed(nodeA, treeA, dA, tSI, I, PHI1)     # [Bc, n1, Q1, nbar]
+        RxJ = placed(nodeA, treeA, dA, tSJ, J, PHI1)
+        RyI = placed(nodeB, treeB, dB, tSI, I, PHI2)     # [Bc, n2, Q2, nbar]
+        RyJ = placed(nodeB, treeB, dB, tSJ, J, PHI2)
+        sx = gW.sum(axis=(2, 4))                         # [Bc, n1, Q1]
+        sy = gW.sum(axis=(1, 3))                         # [Bc, n2, Q2]
+        C = jnp.einsum('baq,baqi,baqj->bij', sx, RxI, RxJ, precision=HI)
+        C += jnp.einsum('bcp,bcpi,bcpj->bij', sy, RyI, RyJ, precision=HI)
+        H = jnp.einsum('bacqp,bcpj->baqj', gW, RyJ, precision=HI)
+        C -= jnp.einsum('baqj,baqi->bij', H, RxI, precision=HI)
+        H2 = jnp.einsum('bacqp,bcpi->baqi', gW, RyI, precision=HI)
+        C -= jnp.einsum('baqi,baqj->bij', H2, RxJ, precision=HI)
+        # block scatter (affine slots); transpose block only for I != J
+        # (the I == J block already holds the full symmetric local matrix)
+        idxF = (baseF[:, None, None] + ib[None, :, None] * LI[:, None, None]
+                + ib[None, None, :])
+        dataAcc = dataAcc.at[idxF.reshape(-1)].add(
+            C.reshape(-1), mode='drop')
+        Ct = C.transpose(0, 2, 1) \
+            * (I != J).astype(dt)[:, None, None]
+        idxB = (baseB[:, None, None] + ib[None, :, None] * LJ[:, None, None]
+                + ib[None, None, :])
+        dataAcc = dataAcc.at[idxB.reshape(-1)].add(
+            Ct.reshape(-1), mode='drop')
+        return dataAcc, None
+
+    data, _ = jax.lax.scan(body, data, (offIx, offJx, n1x, n2x, Ix, Jx,
+                                        tSIx, tSJx, baseFx, baseBx, LIx,
+                                        LJx))
+    return data
+
+
+@partial(jax.jit, static_argnames=('kernel', 'chunk', 'nCh'))
+def _enum_phase2(data, keys, pT, cum, offI, offJ, n2A, IA, JA, offFA,
+                 offBA, ncArrD, vertices, cellsArr, volsArr, dofsArr,
+                 treePosArr, dofNodeArr, indptrT, tStartArr, orderD, count,
+                 bary_x, bary_y, w, PSIP, chunk=None, nCh=None,
+                 kernel=None):
+    """Compact one order's element ids on device, then the quadrature scan
+    (same slot arithmetic as _bucket_tree_csr_scan)."""
+    nnz = data.shape[0] - 1
+    Tpad = keys.shape[0]
+    idsLen = nCh * chunk
+    flags = keys == orderD.astype(keys.dtype)
+    pos = jnp.cumsum(flags.astype(jnp.int32)) - flags
+    ids = jnp.zeros(idsLen, jnp.int32).at[
+        jnp.where(flags, pos, idsLen)].set(
+        jnp.arange(Tpad, dtype=jnp.int32), mode='drop')
+
+    def body(Acc, ch):
+        tq = jax.lax.dynamic_slice(ids, (ch * chunk,), (chunk,))
+        live = (ch * chunk + jnp.arange(chunk, dtype=jnp.int32)) < count
+        p = pT[tq]
+        l = tq - cum[p]
+        n2p = n2A[p]
+        c1 = ncArrD[offI[p] + l // n2p]
+        c2 = ncArrD[offJ[p] + l % n2p]
+        I = IA[p]
+        J = JA[p]
+        offF = offFA[p]
+        offB = offBA[p]
+        sf = jnp.where(live, jnp.asarray(2.0, data.dtype), 0.0)
+        v1 = vertices[cellsArr[c1]]
+        v2 = vertices[cellsArr[c2]]
+        x = jnp.einsum('pvd,vq->pqd', v1, bary_x)
+        y = jnp.einsum('pvd,vq->pqd', v2, bary_y)
+        r2 = jnp.sum((x - y) ** 2, axis=-1)
+        g = _radial_eval(kernel, r2, x, y)
+        vols = volsArr[c1] * volsArr[c2] * sf
+        tt = (g * w[None, :]) * vols[:, None]
+        M = tt @ PSIP
+        dr = jnp.concatenate([dofsArr[c1], dofsArr[c2]], axis=1)
+        validD = dr >= 0
+        drs = jnp.where(validD, dr, 0)
+        nr = jnp.where(validD, dofNodeArr[drs], -1)
+        ta = treePosArr[drs]
+        inI = nr == I[:, None]
+        inJ = nr == J[:, None]
+        mF = inI[:, :, None] & inJ[:, None, :]
+        mB = inJ[:, :, None] & inI[:, None, :]
+        rowStart = indptrT[ta]
+        colF = ta[:, None, :] - tStartArr[J][:, None, None]
+        colB = ta[:, None, :] - tStartArr[I][:, None, None]
+        slot = jnp.where(
+            mF, rowStart[:, :, None] + offF[:, None, None] + colF,
+            jnp.where(mB, rowStart[:, :, None] + offB[:, None, None] + colB,
+                      nnz))
+        return Acc.at[slot.reshape(-1)].add(M.reshape(-1)), None
+
+    data, _ = jax.lax.scan(body, data, jnp.arange(nCh, dtype=jnp.int32))
+    return data
+
+
 @partial(jax.jit, static_argnames=('kernel', 'useNormals', 'useYShift'),
          donate_argnums=(0,))
 def _bucket_surface_tree_scan(data, vertices, dofNodeArr, treePosArr,
@@ -1282,7 +1683,7 @@ class _BucketRunner:
         nPSI = PSI.shape[0]
         Q = rule.num_nodes
         maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)), 256)
-        chunk = _chunk_size(maxP)             # Q-only: shape reuse across N
+        chunk = _chunk_size(min(maxP, P))     # pow2 ladder: no 8192 floor
         nChunks = _nch_pad((P + chunk - 1) // chunk)
         total = nChunks * chunk
         dip = _pad(np.asarray(di), total, fill=0).reshape(nChunks, chunk)
@@ -1311,7 +1712,7 @@ class _BucketRunner:
         nPSI = PSI.shape[0]
         Q = rule.num_nodes
         maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)), 256)
-        chunk = _chunk_size(maxP)             # Q-only: shape reuse across N
+        chunk = _chunk_size(min(maxP, P))     # pow2 ladder: no 8192 floor
         nChunks = _nch_pad((P + chunk - 1) // chunk)
         total = nChunks * chunk
         diA = np.asarray(di)
@@ -1349,7 +1750,7 @@ class _BucketRunner:
         nPSI = PSI.shape[0]
         Q = rule.num_nodes
         maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)), 256)
-        chunk = _chunk_size(maxP)             # Q-only: shape reuse across N
+        chunk = _chunk_size(min(maxP, P))     # pow2 ladder: no 8192 floor
         nCh = _nch_pad((P + chunk - 1) // chunk)
         tot = nCh * chunk
         dim = self.vertices.shape[1]
@@ -2953,6 +3354,17 @@ class nonlocalBuilder:
         adjK = adjKeysSorted if adjKeysSorted is not None \
             else np.zeros(0, dtype=np.int64)
 
+        if deviceAcc and not os.environ.get('PYNUCLEUS_TPU_HOST_ENUM'):
+            # device-side enumeration: only per-CLUSTER-pair descriptors
+            # cross the link (see _enum_phase1/_enum_phase2)
+            consts = (svalN, cOrderN, logH0N) if mesh.manifold_dim == 1 \
+                else (s2N, cOrderN, logH0N)
+            self._runNearDistantDeviceEnum(
+                acc, runner, IJ, rIp, rJp, tot, ncArr, ncOff, nodeRow,
+                nNear, ordKeysS, blockOffS, treePos, dofNode, tStartOfNode,
+                indptrT, consts, logh32, centers)
+            return
+
         def emitChunk(p0, p1, totc):
             """(lo, hi, pidx, rounded orders) for cluster pairs [p0, p1)."""
             from ..nearfield_native import enumerateNearPairs
@@ -3055,6 +3467,282 @@ class nonlocalBuilder:
                     tStartOfNode, indptrT, deviceAcc)
             p0 = p1
 
+    def _runNearDistantDeviceEnum(self, acc, runner, IJ, rIp, rJp, tot,
+                                  ncArr, ncOff, nodeRow, nNear, ordKeysS,
+                                  blockOffS, treePos, dofNode, tStartOfNode,
+                                  indptrT, consts, logh32, centers):
+        """Distant near-field bulk with DEVICE-side enumeration.
+
+        Host cost and host->device traffic are O(|Pnear|) cluster-pair
+        descriptors; everything per cell pair (enumeration, dedup, the f32
+        order model, masks, slots, quadrature) happens on device (see
+        _enum_phase1/_enum_phase2 above; ref assembleClusters
+        nonlocalAssembly pxi:1663 runs the same loop per-pair on the host).
+        """
+        dm, mesh = self.dm, self.mesh
+        kernel = self.kernel
+        dtype = runner.dtype
+        dofs = dm.dofs
+        mdim = mesh.manifold_dim
+
+        if not hasattr(acc, '_treeDev'):
+            acc._treeDev = (
+                _jd(mesh.cells, INDEX),
+                _jd(mesh.simplexVolumes(), dtype),
+                _jd(dofs, INDEX),
+                _jd(treePos, INDEX),
+                _jd(dofNode, INDEX),
+                _jd(indptrT, jnp.int32),
+                _jd(tStartOfNode, jnp.int32))
+        cellsD, volsD, dofsD, treePosD, dofNodeD, indptrD, tStartD = \
+            acc._treeDev
+        if not hasattr(acc, '_enumDev'):
+            cellNodes = np.where(dofs >= 0,
+                                 dofNode[np.where(dofs >= 0, dofs, 0)], -1)
+            acc._enumDev = (
+                _jd(ncArr.astype(np.int32), jnp.int32),
+                _jd(cellNodes.astype(np.int32), jnp.int32),
+                _jd(np.ascontiguousarray(centers.T.astype(np.float32)),
+                    jnp.float32),
+                _jd(logh32, jnp.float32))
+        ncArrD, cellNodesD, centersD, loghD = acc._enumDev
+        cA = jnp.float32(consts[0])
+        cB = jnp.float32(consts[1])
+        cC = jnp.float32(consts[2])
+
+        minOrder = 0
+        if os.environ.get('PYNUCLEUS_TPU_BLOCK_NEAR', '1') != '0':
+            # block path handles all low orders; the flat loop below runs
+            # only the high orders of the few pairs that contain them
+            highSel = self._runNearBlocks(
+                acc, runner, IJ, rIp, rJp, ncArr, ncOff, nodeRow, nNear,
+                ordKeysS, blockOffS, tStartOfNode, indptrT, consts)
+            if not highSel.any():
+                return
+            IJ = IJ[highSel]
+            rIp = rIp[highSel]
+            rJp = rJp[highSel]
+            tot = tot[highSel]
+            minOrder = _LOW_ORDER_MAX + 1
+
+        # per-cluster-pair descriptors (int32; a few MB at any ladder size)
+        offI = ncOff[rIp].astype(np.int32)
+        offJ = ncOff[rJp].astype(np.int32)
+        n2v = (ncOff[rJp + 1] - ncOff[rJp]).astype(np.int32)
+        IA = IJ[:, 0].astype(np.int32)
+        JA = IJ[:, 1].astype(np.int32)
+        rI = nodeRow[IJ[:, 0]]
+        rJ = nodeRow[IJ[:, 1]]
+        offF = blockOffS[np.searchsorted(
+            ordKeysS, rI * nNear + rJ)].astype(np.int32)
+        offB = blockOffS[np.searchsorted(
+            ordKeysS, rJ * nNear + rI)].astype(np.int32)
+
+        cumTot = np.zeros(len(tot) + 1, dtype=np.int64)
+        cumTot[1:] = np.cumsum(tot)
+        SEG = 1 << int(os.environ.get('PYNUCLEUS_TPU_ENUM_SEG', '25'))
+        prof = os.environ.get('PYNUCLEUS_TPU_ENUM_PROF')
+        import time as _time
+        q0 = 0
+        while q0 < len(IJ):
+            # largest q1 with segment total <= SEG (at least one pair)
+            q1 = int(np.searchsorted(cumTot, cumTot[q0] + SEG,
+                                     side='right')) - 1
+            q1 = min(max(q1, q0 + 1), len(IJ))
+            Treal = int(cumTot[q1] - cumTot[q0])
+            if Treal == 0:
+                q0 = q1
+                continue
+            nP = q1 - q0
+            nPpad = _nch_pad(nP)
+            cumP = np.full(nPpad + 1, Treal, dtype=np.int32)
+            cumP[:nP + 1] = (cumTot[q0:q1 + 1] - cumTot[q0]).astype(np.int32)
+
+            def padP(a, fill=0):
+                out = np.full(nPpad, fill, dtype=np.int32)
+                out[:nP] = a[q0:q1]
+                return _jd(out, jnp.int32)
+
+            cumD = _jd(cumP, jnp.int32)
+            offID, offJD = padP(offI), padP(offJ)
+            n2D = padP(n2v, fill=1)
+            IAD, JAD = padP(IA, fill=-1), padP(JA, fill=-1)
+            offFD, offBD = padP(offF), padP(offB)
+            Tpad = _nch_pad(Treal)
+            t0p = _time.perf_counter()
+            keys, pT, hist = _launch(
+                _enum_phase1, cumD, offID, offJD, n2D, IAD, JAD, ncArrD,
+                cellsD, cellNodesD, centersD, loghD, cA, cB, cC,
+                jnp.int32(Treal), _statics=dict(Tpad=Tpad, mdim=mdim),
+                _force=True)
+            hist = np.asarray(hist)
+            if prof:
+                jax.block_until_ready(keys)
+                print(f'  [enum seg q={q0}:{q1} T={Treal} '
+                      f'phase1={_time.perf_counter()-t0p:.2f}s]', flush=True)
+            for o in np.nonzero(hist[:_ENUM_SENTINEL])[0]:
+                o = int(o)
+                if o < minOrder:
+                    continue
+                count = int(hist[o])
+                rule = distantRule(o, mdim)
+                PSI = rule.buildPSI(dm, nSharedVertices=0)
+                PSIP = _jd(_psi_prod(PSI), dtype)
+                bary_x = _jd(rule.bary_x, dtype)
+                bary_y = _jd(rule.bary_y, dtype)
+                w = _jd(rule.w, dtype)
+                Q = rule.num_nodes
+                maxP = max(min(MAX_PAIRS_PER_LAUNCH,
+                               (1 << 25) // max(Q, 1)), 256)
+                chunk = _chunk_size(min(maxP, count))
+                nCh = _nch_pad((count + chunk - 1) // chunk)
+                t0p = _time.perf_counter()
+                acc.data = _launch(
+                    _enum_phase2, acc.data, keys, pT, cumD, offID, offJD,
+                    n2D, IAD, JAD, offFD, offBD, ncArrD, runner.vertices,
+                    cellsD, volsD, dofsD, treePosD, dofNodeD, indptrD,
+                    tStartD, jnp.int32(o), jnp.int32(count), bary_x,
+                    bary_y, w, PSIP,
+                    _statics=dict(chunk=chunk, nCh=nCh, kernel=kernel))
+                if prof:
+                    jax.block_until_ready(acc.data)
+                    print(f'    [o={o} count={count} Q={Q} chunk={chunk} '
+                          f'nCh={nCh} {_time.perf_counter()-t0p:.2f}s]',
+                          flush=True)
+            keys = pT = None
+            q0 = q1
+
+    def _runNearBlocks(self, acc, runner, IJ, rIp, rJp, ncArr, ncOff,
+                       nodeRow, nNear, ordKeysS, blockOffS, tStartOfNode,
+                       indptrT, consts):
+        """Low-order bulk of the near field as dense cluster-pair blocks
+        (see the _block_near_quad section comment).  Returns the boolean
+        per-pair mask of pairs containing order > _LOW_ORDER_MAX elements
+        (those few run through the flat per-element path afterwards)."""
+        from ..fem.quadrature import simplexCompact
+        dm, mesh = self.dm, self.mesh
+        kernel = self.kernel
+        dtype = runner.dtype
+        mdim = mesh.manifold_dim
+        cellsD, volsD, dofsD, treePosD, dofNodeD, indptrD, tStartD = \
+            acc._treeDev
+        ncArrD, cellNodesD, centersD, loghD = acc._enumDev
+        cA = jnp.float32(consts[0])
+        cB = jnp.float32(consts[1])
+        cC = jnp.float32(consts[2])
+        nnz = int(indptrT[-1])
+        nP = len(IJ)
+
+        n1v = (ncOff[rIp + 1] - ncOff[rIp]).astype(np.int32)
+        n2v = (ncOff[rJp + 1] - ncOff[rJp]).astype(np.int32)
+        offI = ncOff[rIp].astype(np.int32)
+        offJ = ncOff[rJp].astype(np.int32)
+        IA = IJ[:, 0].astype(np.int32)
+        JA = IJ[:, 1].astype(np.int32)
+        offF = blockOffS[np.searchsorted(
+            ordKeysS, nodeRow[IJ[:, 0]] * nNear + nodeRow[IJ[:, 1]])]
+        offB = blockOffS[np.searchsorted(
+            ordKeysS, nodeRow[IJ[:, 1]] * nNear + nodeRow[IJ[:, 0]])]
+        tSI = tStartOfNode[IJ[:, 0]].astype(np.int32)
+        tSJ = tStartOfNode[IJ[:, 1]].astype(np.int32)
+        baseF = (indptrT[tSI] + offF).astype(np.int32)
+        baseB = (indptrT[tSJ] + offB).astype(np.int32)
+        LI = (indptrT[tSI + 1] - indptrT[tSI]).astype(np.int32)
+        LJ = (indptrT[tSJ + 1] - indptrT[tSJ]).astype(np.int32)
+
+        # global padded tree-block width (static per problem)
+        tStarts = np.sort(tStartOfNode[tStartOfNode >= 0])
+        Nt = len(indptrT) - 1
+        tLens = np.diff(np.append(tStarts, Nt))
+        nbar = _nch_pad(int(tLens.max()) if len(tLens) else 1)
+
+        # bucket pairs by pow2-padded cell-list sizes
+        def p2v(x):
+            out = np.maximum(x, 1)
+            p = np.full(len(out), 8, dtype=np.int64)
+            while True:
+                over = out > p
+                if not over.any():
+                    break
+                p[over] *= 2
+            return p
+
+        b1s = p2v(n1v)
+        b2s = p2v(n2v)
+        bkey = b1s * (1 << 32) + b2s
+        buckets = {}
+        for key in np.unique(bkey):
+            buckets[(int(key >> 32), int(key & 0xffffffff))] = \
+                np.nonzero(bkey == key)[0]
+
+        def padXs(idxs, arrs, Bc, nCh, fills):
+            tot_ = nCh * Bc
+            out = []
+            for a, fill in zip(arrs, fills):
+                v = np.full(tot_, fill, dtype=np.int32)
+                v[:len(idxs)] = a[idxs]
+                out.append(_jd(v.reshape(nCh, Bc), jnp.int32))
+            return tuple(out)
+
+        prof = os.environ.get('PYNUCLEUS_TPU_ENUM_PROF')
+        import time as _time
+
+        # ---- counting pass: per (pair, order class) element counts
+        pairCnt = np.zeros((nP, 5), dtype=np.int64)
+        for (n1p, n2p), idxs in sorted(buckets.items()):
+            Bc = int(max(1, min((1 << 24) // (n1p * n2p), 1024)))
+            nCh = _nch_pad((len(idxs) + Bc - 1) // Bc)
+            xs = padXs(idxs, (offI, offJ, n1v, n2v, IA, JA), Bc, nCh,
+                       (0, 0, 0, 0, -1, -1))
+            t0p = _time.perf_counter()
+            counts = _launch(
+                _block_near_count, *xs, cellsD, dofsD, dofNodeD, ncArrD,
+                centersD, loghD, cA, cB, cC,
+                _statics=dict(n1p=n1p, n2p=n2p, mdim=mdim), _force=True)
+            counts = np.asarray(counts).reshape(nCh * Bc, 5)[:len(idxs)]
+            pairCnt[idxs] = counts
+            if prof:
+                print(f'  [blkcnt {n1p}x{n2p} pairs={len(idxs)} Bc={Bc} '
+                      f'nCh={nCh} {_time.perf_counter()-t0p:.2f}s]',
+                      flush=True)
+
+        # ---- quadrature passes per (low order, size bucket)
+        for k, o in enumerate((2, 4, 6, 8)):
+            selo = pairCnt[:, k] > 0
+            if not selo.any():
+                continue
+            b1q, w1q = simplexCompact(o, mdim)
+            Q1 = len(w1q)
+            PHI1 = dm.evalPhi(b1q)
+            PHI1D = _jd(PHI1, dtype)
+            B1D = _jd(b1q, dtype)
+            W1D = _jd(w1q, dtype)
+            for (n1p, n2p), idxs in sorted(buckets.items()):
+                sel = idxs[selo[idxs]]
+                if len(sel) == 0:
+                    continue
+                Bc = int(max(1, min(
+                    (1 << 25) // (n1p * n2p * Q1 * Q1),
+                    (1 << 23) // (max(n1p, n2p) * Q1 * nbar), 512)))
+                nCh = _nch_pad((len(sel) + Bc - 1) // Bc)
+                xs = padXs(sel, (offI, offJ, n1v, n2v, IA, JA, tSI, tSJ,
+                                 baseF, baseB, LI, LJ), Bc, nCh,
+                           (0, 0, 0, 0, -1, -1, 0, 0, nnz, nnz, 0, 0))
+                t0p = _time.perf_counter()
+                acc.data = _launch(
+                    _block_near_quad, acc.data, runner.vertices, cellsD,
+                    volsD, dofsD, treePosD, dofNodeD, ncArrD, centersD,
+                    loghD, *xs, cA, cB, cC, PHI1D, PHI1D, B1D, B1D, W1D,
+                    W1D,
+                    _statics=dict(kernel=kernel, n1p=n1p, n2p=n2p,
+                                  nbar=nbar, order=o, mdim=mdim))
+                if prof:
+                    jax.block_until_ready(acc.data)
+                    print(f'  [blkquad o={o} {n1p}x{n2p} pairs={len(sel)} '
+                          f'Bc={Bc} nCh={nCh} '
+                          f'{_time.perf_counter()-t0p:.2f}s]', flush=True)
+        return pairCnt[:, 4] > 0
+
     def _runNearDistantLegacy(self, acc, IJ, nodeRow, ncArr, ncOff,
                               pairMasks):
         """Nonsym/phi fallback: globally-deduped distant pairs through the
@@ -3118,7 +3806,7 @@ class nonlocalBuilder:
             Q = rule.num_nodes
             maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)),
                        256)
-            chunk = _chunk_size(maxP)         # Q-only: shape reuse across N
+            chunk = _chunk_size(min(maxP, P))  # pow2 ladder: no 8192 floor
             nCh = _nch_pad((P + chunk - 1) // chunk)
             totP = nCh * chunk
 
@@ -3200,7 +3888,7 @@ class nonlocalBuilder:
         w = _jd(rule.w, dtype)
         Q = rule.num_nodes
         maxP = max(min(MAX_PAIRS_PER_LAUNCH, (1 << 25) // max(Q, 1)), 256)
-        chunk = _chunk_size(maxP)             # Q-only: shape reuse across N
+        chunk = _chunk_size(min(maxP, P))     # pow2 ladder: no 8192 floor
         nCh = _nch_pad((P + chunk - 1) // chunk)
         totP = nCh * chunk
 

@@ -604,8 +604,6 @@ class TreeNearOperator(LinearOperator):
             m = self.meta
             N = m.N
             nnz = int(m.indptrT[-1])
-            treePos = np.empty(N, dtype=np.int64)
-            treePos[m.perm] = np.arange(N)
             slots = np.full(N, nnz, dtype=np.int64)
             nNear = len(m.tLen)
             for r in range(nNear):
@@ -690,6 +688,8 @@ def _treeCSRToGlobalData(dataT, m, outDtype):
     """Host conversion of tree-ordered near data to a global-dof CSR
     (interop path; the matvec never uses it)."""
     from ..nl.assembly import _treeCSRToGlobal
+    if outDtype is not None:
+        dataT = np.asarray(dataT).astype(outDtype, copy=False)
     At = type('X', (), {'data': dataT})()
     return _treeCSRToGlobal(At, m.perm, m.tLen, m.rowLen, m.tStartRow,
                             m.tmplAll, m.tmplStart, m.indptrT, m.N)

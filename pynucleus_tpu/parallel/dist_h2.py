@@ -242,7 +242,17 @@ class DistributedH2Matrix:
             Pk = [pair for pair in PnearAll
                   if dofDev[nodes[pair[0]].dofs[0]] == k
                   or dofDev[nodes[pair[1]].dofs[0]] == k]
-            sub = builder._assembleNearField(Pk, nodes)
+            # csr: skip the TreeNearOperator block layout the global CSR
+            # slice below would immediately discard
+            prevFmt = builder.params.get('nearFormat')
+            builder.params['nearFormat'] = 'csr'
+            try:
+                sub = builder._assembleNearField(Pk, nodes)
+            finally:
+                if prevFmt is None:
+                    builder.params.pop('nearFormat', None)
+                else:
+                    builder.params['nearFormat'] = prevFmt
             rows = np.asarray(sub.rowids)
             cols = np.asarray(sub.indices)
             data = np.asarray(sub.data)
