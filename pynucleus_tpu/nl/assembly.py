@@ -2557,6 +2557,52 @@ class nonlocalBuilder:
         from ..base.linear_operators import Diagonal_LinearOperator
         return Diagonal_LinearOperator(jnp.asarray(acc.diag[:N]))
 
+    def getEntryCluster(self, I, J):
+        """Single matrix entry A[I, J] via a restricted cluster-pair
+        assembly (ref getEntryCluster nonlocalAssembly pxi:1475): two fake
+        single-dof tree nodes, the full near-field machinery (singular
+        panels, distant pairs, union boundary surface) runs masked to the
+        one entry."""
+        from .h2 import treeNode
+        assert not self.kernel.finiteHorizon, \
+            'entry probes need horizon == inf (ref pxi:1560)'
+        I, J = int(I), int(J)
+        box = np.zeros((self.mesh.dim, 2))
+        if I == J:
+            nodes = [treeNode(0, 0, np.array([I], dtype=np.int64), box)]
+            Pnear = [(0, 0)]
+        else:
+            nodes = [treeNode(0, 0, np.array([I], dtype=np.int64), box),
+                     treeNode(1, 0, np.array([J], dtype=np.int64), box)]
+            Pnear = [(0, 1), (1, 0)]
+        prevFmt = self.params.get('nearFormat')
+        self.params['nearFormat'] = 'csr'
+        try:
+            sub = self._assembleNearField(Pnear, nodes)
+        finally:
+            if prevFmt is None:
+                self.params.pop('nearFormat', None)
+            else:
+                self.params['nearFormat'] = prevFmt
+        rows = np.asarray(sub.rowids)
+        cols = np.asarray(sub.indices)
+        data = np.asarray(sub.data)
+        sel = (rows == I) & (cols == J)
+        return data[sel].sum()
+
+    def getEntry(self, I, J):
+        """Single matrix entry A[I, J] (ref getEntry pxi:1539; both
+        reference code paths compute the same value -- here getEntry
+        delegates to the cluster-restricted assembly)."""
+        return self.getEntryCluster(I, J)
+
+    def getCoveringClusters(self):
+        """Near cluster pairs covering the full near field plus the tree
+        nodes (ref getCoveringClusters pxi:2907 -- used by the sparse /
+        distributed assembly paths to enumerate the uncompressed part)."""
+        plan = self.planH2()
+        return plan['Pnear'], plan['nodes']
+
     # ----------------------------------------------------------- sparse ---
     def _nearCellPairs(self, S):
         """Cell pairs (i <= j) needed to assemble the entries of sparsity

@@ -102,23 +102,76 @@ def run(noRef):
     except Exception:
         pass
 
-    # solve
+    # solve: cold (includes jit compile) and warm timed separately
     from pynucleus_tpu.base.solvers import (cg_solver,
                                             Diagonal_LinearOperator)
     from pynucleus_tpu.fem.functions import constant
     b = dm.assembleRHS(constant(1.0))
+    bD = jnp.asarray(b, dtype=dtype)
     t0 = time.time()
     s = cg_solver(A)
     s.setPreconditioner(Diagonal_LinearOperator(1.0 / A.diagonal))
     s.maxIter = 1000
     s.tolerance = 1e-6
     s.setup()
-    u = s.solve(jnp.asarray(b, dtype=dtype))
+    u = s.solve(bD)
     u.block_until_ready()
-    tSolve = time.time() - t0
-    print(f'  CG solve={tSolve:.1f}s iters={s.iterations} '
+    tCold = time.time() - t0
+    t0 = time.time()
+    u = s.solve(bD)
+    u.block_until_ready()
+    tWarm = time.time() - t0
+    print(f'  CG-Jacobi solve cold={tCold:.1f}s warm={tWarm:.2f}s '
+          f'iters={s.iterations} '
           f'res={s.residuals[-1] if s.residuals else float("nan"):.2e}',
           flush=True)
+
+    if os.environ.get('LADDER_MG'):
+        # cg-mg: geometric hierarchy with H2 fine levels, dense coarse
+        # (ref drivers/runFractional.py solver default 'cg-mg')
+        from pynucleus_tpu.base.solvers import solverFactory
+        from pynucleus_tpu.multilevel.gmg import buildProlongation
+        t0 = time.time()
+        mgMeshes = [circle(n=int(os.environ.get('LADDER_CIRCLE_N', '8')))]
+        for _ in range(noRef):
+            mgMeshes.append(mgMeshes[-1].refine())
+        coarsest = int(os.environ.get('LADDER_MG_COARSE', '2'))
+        dms = [P1_DoFMap(mm) for mm in mgMeshes[coarsest:]]
+        hierarchy = []
+        for lvl, dml in enumerate(dms):
+            entry = {}
+            if lvl == len(dms) - 1:
+                entry['A'] = A
+            elif dml.num_dofs < 3000:
+                entry['A'] = nonlocalBuilder(
+                    dml, kernel, zeroExterior=True,
+                    params={'dtype': dtype}).getDense()
+            else:
+                entry['A'] = nonlocalBuilder(
+                    dml, kernel, zeroExterior=True,
+                    params={'dtype': dtype}).getH2()
+            if lvl > 0:
+                P = buildProlongation(dms[lvl - 1], dml)
+                entry['P'] = P
+                entry['R'] = P.T
+            hierarchy.append(entry)
+        tHier = time.time() - t0
+        t0 = time.time()
+        smg = solverFactory.build('cg-mg', hierarchy=hierarchy, setup=True)
+        smg.maxIter = 200
+        smg.tolerance = 1e-6
+        u2 = smg.solve(bD)
+        u2.block_until_ready()
+        tCold2 = time.time() - t0
+        t0 = time.time()
+        u2 = smg.solve(bD)
+        u2.block_until_ready()
+        tWarm2 = time.time() - t0
+        rel = float(jnp.linalg.norm(u2 - u) / jnp.linalg.norm(u))
+        print(f'  CG-MG hier={tHier:.1f}s solve cold={tCold2:.1f}s '
+              f'warm={tWarm2:.2f}s iters={smg.iterations} '
+              f'res={smg.residuals[-1] if smg.residuals else float("nan"):.2e} '
+              f'|u_mg-u_jac|rel={rel:.2e}', flush=True)
 
 
 if __name__ == '__main__':
