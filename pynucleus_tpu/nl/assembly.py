@@ -128,7 +128,7 @@ def _bucket_contrib(vertices, vertIdx1, vertIdx2, volsym,
 
 @partial(jax.jit, donate_argnums=(0,),
          static_argnames=('kernel', 'nTiles', 'Ct'))
-def _grid_distant_pass(A, X, Y, ccf, vols, rowDofPad, colDof,
+def _grid_distant_pass(A, X, Y, ccf, vols, rowDofPad, incRows,
                        PhiXw, PhiX, PhiY, PsiYw, w1, w2, t_lo, t_hi,
                        kernel=None, nTiles=None, Ct=None):
     """Scatter-free dense assembly of one distance window of distant pairs.
@@ -154,47 +154,73 @@ def _grid_distant_pass(A, X, Y, ccf, vols, rowDofPad, colDof,
 
     A [N+1, N+1] donated; X [C, Q1, dim], Y [C, Q2, dim] quadrature points;
     ccf [C, dim] float32 centers; rowDofPad [C, dpe] (boundary -> N);
-    colDof [C*dpe]; PhiXw = phi(x-pts) * w1, PsiYw = -phi(y-pts) * w2."""
+    incRows [N+1, K] flat (cell, local-dof) incidences of each column dof
+    (pad/dump = C*dpe); PhiXw = phi(x-pts) * w1, PsiYw = -phi(y-pts) * w2.
+
+    The column reduction (C*dpe cell-dof columns -> N dof columns) runs as K
+    row-GATHERS over the incidence table instead of a segment-sum: TPU
+    scatter-adds serialize on duplicate indices and measured 6-12x slower
+    than the whole remaining tile computation.
+
+    Layout rule (measured, not cosmetic): every large intermediate keeps a
+    LARGE trailing dimension.  TPU (8,128) tiling pads a trailing dpe=3 to
+    128 (42x memory), and any reshape/transpose that splits or moves such a
+    dim is a full relayout copy — one stray `.T` here cost 5 s/pass.  The
+    tile is therefore computed Y-MAJOR with the x side flattened to
+    mW = Ct*Q1: the gather target [C, dpe, mW] indexes leading axes only,
+    and the x-side dof contraction is a block-diagonal [mW, Ct*dpe] matmul
+    (kron(I, PhiXw^T)) instead of a reshape to [..., Ct, Q1]."""
     N = A.shape[0] - 1
     C, Q1, dim = X.shape
     Q2 = Y.shape[1]
     dpe = PhiX.shape[0]
+    mW = Ct * Q1
+    # x-side dof contraction as block-diag matmul (see docstring)
+    Wq = jnp.kron(jnp.eye(Ct, dtype=A.dtype), PhiXw.T)     # [mW, Ct*dpe]
+    w1F = jnp.tile(w1, Ct)                                 # [mW]
+    incSafe = jnp.clip(incRows, 0, C * dpe - 1)
+    incCell = incSafe // dpe
+    incLoc = incSafe % dpe
+    incOk = incRows < C * dpe
 
     def body(carry, t):
         A, Bxx, Byy = carry
         rows = t * Ct + jnp.arange(Ct)
         valid = rows < C
         rc = jnp.clip(rows, 0, C - 1)
-        Xt = X[rc]                                     # [Ct, Q1, dim]
+        XtF = X[rc].reshape(mW, dim)
         c1 = ccf[rc]
         d2 = None
         for d in range(dim):
-            dd = c1[:, d][:, None] - ccf[:, d][None, :]
-            d2 = dd * dd if d2 is None else d2 + dd * dd
-        m = (d2 >= t_lo) & (d2 < t_hi) & valid[:, None]
+            dd = ccf[:, d][:, None] - c1[:, d][None, :]
+            d2 = dd * dd if d2 is None else d2 + dd * dd   # [C, Ct]
+        m = (d2 >= t_lo) & (d2 < t_hi) & valid[None, :]
+        mF = jnp.repeat(m, Q1, axis=1)                     # [C, mW]
         r2 = None
         for d in range(dim):
-            dd = Xt[:, :, None, None, d] - Y[None, None, :, :, d]
-            r2 = dd * dd if r2 is None else r2 + dd * dd  # [Ct,Q1,C,Q2]
+            dd = Y[:, :, None, d] - XtF[None, None, :, d]
+            r2 = dd * dd if r2 is None else r2 + dd * dd   # [C, Q2, mW]
         g = _radial_eval(kernel, r2)
         vol1 = jnp.where(valid, vols[rc], 0.0)
-        G = jnp.where(m[:, None, :, None], g, 0.0) \
-            * (vol1[:, None, None, None] * vols[None, None, :, None])
-        # ---- cross block (MXU): contract q2, then q1
-        Gv = jnp.einsum('xqyr,br->xqyb', G, PsiYw)
-        Tc = 2.0 * jnp.einsum('aq,xqyb->xayb', PhiXw, Gv)  # [Ct,dpe,C,dpe]
+        volF = jnp.repeat(vol1, Q1)                        # [mW]
+        G = jnp.where(mF[:, None, :], g, 0.0) \
+            * (vols[:, None, None] * volF[None, None, :])  # [C, Q2, mW]
+        # ---- y-side dof contraction (gather-ready: leading-axis indexing)
+        GvT = jnp.einsum('yrm,br->ybm', G, PsiYw)          # [C, dpe, mW]
         # ---- diag blocks via row/column reductions
-        Rx = jnp.einsum('xqyr,r->xq', G, w2)               # [Ct, Q1]
+        Rx = jnp.einsum('yrm,r->m', G, w2).reshape(Ct, Q1)
         Bxx = Bxx.at[rc].add(jnp.einsum('aq,bq,xq->xab', PhiXw, PhiX, Rx)
                              * valid[:, None, None])
-        Sy = jnp.einsum('xqyr,q->yr', G, w1)               # [C, Q2]
+        Sy = jnp.einsum('yrm,m->yr', G, w1F)               # [C, Q2]
         Byy = Byy + jnp.einsum('ar,br,yr->yab', PhiY * w2[None, :], PhiY, Sy)
-        # ---- cross into A: column segment-sum + row-granular scatter
-        Tc2 = Tc.reshape(Ct * dpe, C * dpe).T              # [C*dpe, Ct*dpe]
-        colred = jax.ops.segment_sum(Tc2, colDof, num_segments=N + 1)
+        # ---- cross into A: incidence row-gathers + row-granular scatter
+        gathered = GvT[incCell, incLoc]                    # [N+1, K, mW]
+        gathered = jnp.where(incOk[:, :, None], gathered, 0.0)
+        colGv = gathered.sum(axis=1)                       # [N+1, mW]
+        colredT = 2.0 * jnp.einsum('mw,nm->wn', Wq, colGv)  # [Ct*dpe, N+1]
         rowD = jnp.where(rowDofPad[rc] >= 0, rowDofPad[rc], N).reshape(-1)
         rowD = jnp.where(jnp.repeat(valid, dpe), rowD, N)
-        A = A.at[rowD].add(colred.T)
+        A = A.at[rowD].add(colredT)
         return (A, Bxx, Byy), None
 
     Bxx = jnp.zeros((C, dpe, dpe), dtype=A.dtype)
@@ -624,6 +650,29 @@ def _pad(arr, P, fill=0):
     return np.concatenate([arr, np.full(pad_shape, fill, arr.dtype)], axis=0)
 
 
+
+
+def _dofIncidence(dofs, N):
+    """[N+1, K] flat indices into dofs.reshape(-1) of each dof's (cell,
+    local) incidences, K the max interior-dof valence padded to a power of
+    two; pad/dump entries = C*dpe.  Row N (the boundary dump) gathers
+    nothing — its accumulated values are sliced away by every consumer."""
+    flat = dofs.reshape(-1)
+    tgt = np.where(flat >= 0, flat, N).astype(np.int64)
+    order = np.argsort(tgt, kind='stable')
+    srt = tgt[order]
+    counts = np.bincount(srt, minlength=N + 1)
+    K = int(counts[:N].max()) if N else 1
+    Kp = 1
+    while Kp < K:
+        Kp *= 2
+    inc = np.full((N + 1, Kp), len(flat), dtype=np.int64)
+    start = np.zeros(N + 2, dtype=np.int64)
+    start[1:] = np.cumsum(counts)
+    slot = np.arange(len(srt)) - start[srt]
+    sel = srt < N
+    inc[srt[sel], slot[sel]] = order[sel]
+    return inc
 
 
 def _chunk_size(chunk):
@@ -2324,7 +2373,7 @@ class nonlocalBuilder:
         vols = _jd(mesh.simplexVolumes(), dtype)
         ccf = jnp.asarray(cc32)
         rowDofPad = _jd(dm.dofs, INDEX)
-        colDof = _jd(np.where(dm.dofs >= 0, dm.dofs, N).reshape(-1), INDEX)
+        incRows = _jd(_dofIncidence(dm.dofs, N), INDEX)
 
         for o, t_lo, t_hi in cuts:
             b1, w1 = simplexCompact(o, mdim)
@@ -2335,11 +2384,19 @@ class nonlocalBuilder:
             PhiXw = _jd(Phi * w1[None, :], dtype)
             PsiYw = _jd(-Phi * w1[None, :], dtype)
             w1d = _jd(w1, dtype)
-            Ct = int(max(8, min(C, (1 << 25) // max(C * Q1 * Q1, 1))))
+            # pow2 tile rows, bounded by the [C, Q2, Ct*Q1] kernel-eval
+            # intermediate (~512 MB) and the [N+1, K, Ct*Q1] incidence
+            # gather (~1.5 GB)
+            K_ = incRows.shape[1]
+            cap = min((1 << 27) // max(C * Q1 * Q1, 1),
+                      (3 << 27) // max(4 * (N + 1) * K_ * Q1, 1))
+            Ct = 8
+            while Ct * 2 <= min(C, cap):
+                Ct *= 2
             nTiles = -(-C // Ct)
             acc.A = _launch(
                 _grid_distant_pass,
-                acc.A, X, X, ccf, vols, rowDofPad, colDof,
+                acc.A, X, X, ccf, vols, rowDofPad, incRows,
                 PhiXw, PhiX, PhiX, PsiYw, w1d, w1d,
                 jnp.float32(t_lo), jnp.float32(t_hi),
                 _statics=dict(kernel=kernel, nTiles=nTiles, Ct=Ct))
