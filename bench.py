@@ -134,9 +134,13 @@ def benchAssembly():
     kernel = getFractionalKernel(2, 0.75)
     C = m.num_cells
     nPairs = C * (C + 1) // 2
-    # warmup compiles all shapes once (persistent XLA cache across runs)
+    # warmup compiles all shapes once (persistent XLA cache across runs);
+    # block_until_ready so 'cold' is a real number, not async-dispatch time
+    # (r04's 17.8 s cold / hung warm was exactly that mirage: the cold
+    # device work drained inside the warm measurement)
     t0 = time.perf_counter()
-    nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getDense()
+    A = nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getDense()
+    jax.block_until_ready(A.data)
     cold = time.perf_counter() - t0
     out = {'pairs_per_s': nPairs / cold, 'nPairs': nPairs,
            'ndofs': dm.num_dofs, 'assembly_s': cold,
@@ -200,6 +204,7 @@ def benchH2Matvec():
                                 'stage': 'building'}}), flush=True)
     t0 = time.perf_counter()
     H = nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getH2()
+    jax.block_until_ready(H.Anear.dataZ)
     build = time.perf_counter() - t0
     out = {'dofs': dm.num_dofs, 'build_s': build, 'stage': 'built'}
     print(json.dumps({'h2_1d': out}), flush=True)
@@ -210,7 +215,7 @@ def benchH2Matvec():
     return out
 
 
-def benchH2Matvec2D():
+def benchH2Matvec2D(noRef=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -219,7 +224,8 @@ def benchH2Matvec2D():
     from pynucleus_tpu.nl import getFractionalKernel
     from pynucleus_tpu.nl.assembly import nonlocalBuilder
     dev, dtype = _devAndDtype()
-    noRef = int(os.environ.get('BENCH_H2_2D_NOREF', '6'))
+    if noRef is None:
+        noRef = int(os.environ.get('BENCH_H2_2D_NOREF', '6'))
     m = _mesh2d(noRef)
     dm = P1_DoFMap(m)
     kernel = getFractionalKernel(2, 0.75)
@@ -227,16 +233,20 @@ def benchH2Matvec2D():
                                 'stage': 'building'}}), flush=True)
     t0 = time.perf_counter()
     H = nonlocalBuilder(dm, kernel, params={'dtype': dtype}).getH2()
+    jax.block_until_ready(H.Anear.dataZ)
     build = time.perf_counter() - t0
     r = {'dofs': dm.num_dofs, 'build_s': build, 'stage': 'built'}
     print(json.dumps({'h2_2d': r}), flush=True)
+    # CG first: the solve metric (BASELINE.json) must land even if a slow
+    # tunnel eats the rest of the budget
+    if os.environ.get('BENCH_H2_2D_SOLVE', '1') != '0':
+        r['cg'] = _cgSolve(H, dm, dtype)
+        print(json.dumps({'h2_2d': r}), flush=True)
     x = np.random.default_rng(0).normal(size=dm.num_dofs).astype(dtype)
     xd = jnp.asarray(x)
     r['matvec_s'] = _steadyMatvec(H, xd)
     r['stage'] = 'done'
     print(json.dumps({'h2_2d': r}), flush=True)
-    if os.environ.get('BENCH_H2_2D_SOLVE', '1') != '0':
-        r['cg'] = _cgSolve(H, dm, dtype)
     return r
 
 
@@ -300,10 +310,16 @@ def benchH2Suite():
     completed stages."""
     out = {}
     # 2D first: it also carries the CG-solve metric (two of the three
-    # BASELINE numbers), so a budget cut degrades to losing 1D only
+    # BASELINE numbers), so a budget cut degrades to losing 1D only.
+    # Size by the subprocess budget: a measured number at 4k dofs beats a
+    # timeout at 16k (r04 lost matvec+solve to exactly that).
+    sub = float(os.environ.get('BENCH_SUBBUDGET', '0')) or None
+    noRef = None
+    if sub is not None and sub < 150.0:
+        noRef = 5
     t0 = time.monotonic()
     try:
-        out['h2_2d'] = benchH2Matvec2D()
+        out['h2_2d'] = benchH2Matvec2D(noRef=noRef)
     except Exception as e:                                    # noqa: BLE001
         out['h2_2d'] = {'error': repr(e)[-300:]}
     out['h2_2d_wall_s'] = round(time.monotonic() - t0, 1)
@@ -336,10 +352,11 @@ def _runMetricSubprocess(name):
         return {'error': 'skipped: budget'}
     tmo = min(tmo, rem)
     t0 = time.monotonic()
+    env = dict(os.environ, BENCH_SUBBUDGET=f'{tmo:.0f}')
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), '--metric', name],
-            capture_output=True, text=True, timeout=tmo, cwd=_HERE)
+            capture_output=True, text=True, timeout=tmo, cwd=_HERE, env=env)
     except subprocess.TimeoutExpired as e:
         print(f'[bench] {name}: timeout after {tmo:.0f}s', file=sys.stderr)
         # metrics print partial JSON lines as stages complete -- salvage the

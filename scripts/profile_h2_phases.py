@@ -51,7 +51,10 @@ def main():
                       (h2mod, 'batchedChebyshevGrids'),
                       (h2mod, 'batchedLagrangeEval')]:
         setattr(mod, name, timed(name, getattr(mod, name)))
-    for name in ['_assembleNearField', '_makeRules', '_runCutPairs']:
+    for name in ['_assembleNearField', '_makeRules', '_runCutPairs',
+                 'planH2', '_runNearDistantTree', '_runNearBlocks',
+                 '_runNearDistantDeviceEnum', '_runUnionSurface',
+                 '_runPairBuckets']:
         setattr(asm.nonlocalBuilder, name,
                 timed(name, getattr(asm.nonlocalBuilder, name)))
     asm._farFieldBlocks = timed('_farFieldBlocks', asm._farFieldBlocks)
@@ -67,13 +70,21 @@ def main():
 
     print(f'device={dev.platform} cells={m.num_cells} dofs={dm.num_dofs}',
           flush=True)
-    t0 = time.perf_counter()
-    b = asm.nonlocalBuilder(dm, kernel, params={'dtype': dtype})
-    H = b.getH2()
-    tot = time.perf_counter() - t0
-    print(f'build total={tot:.2f}s', flush=True)
-    for k in sorted(times, key=lambda k: -times[k]):
-        print(f'  {k:28s} {times[k]:8.2f}s  x{counts[k]}', flush=True)
+    nIter = int(os.environ.get('H2_PROFILE_ITERS', '2'))
+    for it in range(nIter):
+        times.clear()
+        counts.clear()
+        t0 = time.perf_counter()
+        b = asm.nonlocalBuilder(dm, kernel, params={'dtype': dtype})
+        H = b.getH2()
+        try:
+            jax.block_until_ready(H.Anear.dataZ)
+        except Exception:
+            pass
+        tot = time.perf_counter() - t0
+        print(f'iter{it}: build total={tot:.2f}s', flush=True)
+        for k in sorted(times, key=lambda k: -times[k]):
+            print(f'  {k:28s} {times[k]:8.2f}s  x{counts[k]}', flush=True)
     import jax.numpy as jnp
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=dm.num_dofs).astype(dtype))
