@@ -538,8 +538,31 @@ def _bucket_cut2d_polar(vertices, vi1, vi2, vols1, bary_x, wx,
     dAng = jnp.mod(angV - angC[..., None] + np.pi, 2 * np.pi) - np.pi
     thLo = angC + dAng.min(axis=-1)                 # [P, Qx]
     thHi = angC + dAng.max(axis=-1)
-    th = thLo[..., None] + (thHi - thLo)[..., None] * thetas  # [P, Qx, Qt]
-    wth = (thHi - thLo)[..., None] * wtheta                   # [P, Qx, Qt]
+    # the radial limit rHi(theta) = min(t_out(theta), rBall(theta)) has
+    # KINKS at the triangle vertex directions (t_out) and at the corner
+    # directions of non-smooth norm balls (Linf/L1); Gauss across a kink
+    # converges only algebraically.  Split the window at every candidate
+    # kink so each angular segment is smooth (spectral per segment).
+    cand = [angC[..., None] + dAng]                 # in [thLo, thHi]
+    inter0 = getattr(kernel, 'interaction', None)
+    cornerAngs = {'ballInf': (0.25, 0.75, 1.25, 1.75),
+                  'ball1': (0.0, 0.5, 1.0, 1.5)}.get(
+                      type(inter0).__name__ if inter0 is not None else '',
+                      ())
+    for om in cornerAngs:
+        rec = angC + jnp.mod(om * np.pi - angC + np.pi,
+                             2 * np.pi) - np.pi
+        cand.append(rec[..., None])
+    cands = jnp.clip(jnp.concatenate(cand, axis=-1),
+                     thLo[..., None], thHi[..., None])
+    bnds = jnp.sort(jnp.concatenate(
+        [thLo[..., None], cands, thHi[..., None]], axis=-1))  # [P,Qx,S+1]
+    seg = bnds[..., 1:] - bnds[..., :-1]                      # [P,Qx,S]
+    th = (bnds[..., :-1, None] + seg[..., None] * thetas)
+    wth = seg[..., None] * wtheta
+    S = th.shape[-2]
+    th = th.reshape(th.shape[:-2] + (S * th.shape[-1],))      # [P,Qx,S*Qt]
+    wth = wth.reshape(th.shape)
     d = jnp.stack([jnp.cos(th), jnp.sin(th)], axis=-1)        # [P,Qx,Qt,2]
 
     # ray-edge intersections: edges (a, b) of cell2
@@ -559,8 +582,14 @@ def _bucket_cut2d_polar(vertices, vi1, vi2, vols1, bary_x, wx,
     tIn = jnp.min(jnp.where(valid, t, np.inf), axis=-1)     # [P, Qx, Qt]
     tOut = jnp.max(jnp.where(valid, t, -np.inf), axis=-1)
     hits = valid.sum(axis=-1) >= 2
+    # exact radial clip against the interaction ball: every supported
+    # domain is a norm ball, so the ray exits it at horizon / ||d||
+    # (L2: 1, Linf: max|d_i|, L1: sum|d_i|, ellipse: |T d|)
+    inter = getattr(kernel, 'interaction', None)
+    dNorm = inter.jaxDirNorm(d) if inter is not None else 1.0
+    rBall = horizon / jnp.maximum(dNorm, 1e-30)
     rLo = jnp.where(hits, tIn, 0.0)
-    rHi = jnp.where(hits, jnp.minimum(tOut, horizon), 0.0)
+    rHi = jnp.where(hits, jnp.minimum(tOut, rBall), 0.0)
     rHi = jnp.maximum(rHi, rLo)
 
     # radial rule mapped to [rLo, rHi]
@@ -581,6 +610,11 @@ def _bucket_cut2d_polar(vertices, vi1, vi2, vols1, bary_x, wx,
     rel = y - v2[:, None, None, None, 0, :]
     xi = jnp.einsum('pqtrd,ped->pqtre', rel, inv)
     bary2 = jnp.concatenate([1.0 - xi.sum(-1, keepdims=True), xi], axis=-1)
+    # clipped rays keep y inside cell2 up to roundoff, but non-positive
+    # barycentrics NaN under the TPU pow lowering (exp(e*log(b)) even for
+    # e=0, since the exponent table is a traced argument and log(b<=0) is
+    # nan/-inf); clamp to a tiny positive floor
+    bary2 = jnp.clip(bary2, 1e-30, 1.0)
     mono2 = jnp.prod(bary2[..., None, :] ** exps[None, None, None, None, :, :],
                      axis=-1)
     PHI2 = jnp.einsum('pqtrm,mk->pqtrk', mono2, Vinv)       # [...,dpe]
@@ -624,6 +658,9 @@ def _bucket_cut1d(vertices, vi1, vi2, vols1, tq, wq, ur, wr,
     PHIx = monoX @ Vinv                                          # [Qx, dpe]
     t2 = (y - v20[:, None, None]) / (v21 - v20)[:, None, None]
     by = jnp.stack([1 - t2, t2], axis=-1)                        # [P,Qx,Qy,2]
+    # see _bucket_cut2d_polar: non-positive barycentrics NaN under the
+    # TPU pow lowering
+    by = jnp.clip(by, 1e-30, 1.0)
     monoY = jnp.prod(by[..., None, :] ** exps[None, None, None, :, :],
                      axis=-1)
     PHIy = monoY @ Vinv                                          # [P,Qx,Qy,dpe]
@@ -2422,9 +2459,12 @@ class nonlocalBuilder:
         phi = getattr(kernel, 'phi', None)
         centersC = mesh.vertices[cells].mean(axis=1) if phi is not None \
             else None
-        if mdim == 2 and kernel.symmetric and \
-                type(kernel.interaction).__name__ == 'ball2':
-            # exact polar clipping for the L2 ball (see _bucket_cut2d_polar)
+        if mdim == 2 and kernel.symmetric \
+                and not getattr(kernel, 'variableHorizon', False) \
+                and type(kernel.interaction).__name__ in (
+                    'ball2', 'ballInf', 'ball1', 'ellipse'):
+            # exact polar clipping against the interaction norm ball
+            # (see _bucket_cut2d_polar / interactionDomain.jaxDirNorm)
             from ..fem.quadrature import simplexDuffy, gauss01
             exps = _jd(dm.evalPhi.monomialExps, REAL) \
                 if dm.polynomialOrder > 0 else jnp.zeros((1, 3))

@@ -737,6 +737,16 @@ class interactionDomain:
         """Smoothless device indicator for barycenter-mode cut cells."""
         raise NotImplementedError()
 
+    def jaxDirNorm(self, d):
+        """Interaction norm of a direction [..., dim] -> [...] on device.
+
+        All interaction regions are norm balls {z: ||z|| < horizon}, so the
+        exact radial clip of a ray x + r*d is r < horizon / ||d|| — this is
+        what makes one polar cut-cell kernel exact for every domain
+        (ref interactionDomains.pyx retriangulation modes
+        ball2:1069 / ballInf:1210 / ball1:1632 / ellipse:1579)."""
+        return jnp.sqrt(jnp.sum(d ** 2, axis=-1))
+
 
 class fullSpace(interactionDomain):
     def dist2(self, DX):
@@ -750,9 +760,10 @@ class fullSpace(interactionDomain):
 
 
 class ball2(interactionDomain):
-    """Euclidean ball |x-y|_2 < horizon (barycenter evaluation mode;
-    ref interactionDomains.pyx ball2_barycenter:982).  The exact
-    retriangulation mode is a later milestone."""
+    """Euclidean ball |x-y|_2 < horizon (ref interactionDomains.pyx
+    ball2_barycenter:982 / ball2_retriangulation:1069; cut cells use exact
+    1D interval clipping and exact 2D polar clipping, see
+    assembly._bucket_cut2d_polar)."""
 
     def dist2(self, DX):
         DX = np.asarray(DX)
@@ -778,6 +789,9 @@ class ballInf(interactionDomain):
     def outerRadius2(self, hv, dim):
         return hv * np.sqrt(dim)
 
+    def jaxDirNorm(self, d):
+        return jnp.max(jnp.abs(d), axis=-1)
+
     def __repr__(self):
         return 'ballInf'
 
@@ -797,6 +811,9 @@ class ball1(interactionDomain):
 
     def innerRadius2(self, hv, dim):
         return hv / np.sqrt(dim)
+
+    def jaxDirNorm(self, d):
+        return jnp.sum(jnp.abs(d), axis=-1)
 
     def __repr__(self):
         return 'ball1'
@@ -836,6 +853,10 @@ class ellipse(interactionDomain):
     def outerRadius2(self, hv, dim):
         return hv * max(self.aFac, self.bFac)
 
+    def jaxDirNorm(self, d):
+        TD = jnp.einsum('ij,...j->...i', jnp.asarray(self.T), d)
+        return jnp.sqrt(jnp.sum(TD ** 2, axis=-1))
+
     def __repr__(self):
         return f'ellipse({self.aFac},{self.bFac},{self.theta})'
 
@@ -857,8 +878,9 @@ class ball2Complement(interactionDomain):
 
 interactionFactory = factory()
 interactionFactory.register('fullSpace', fullSpace, aliases=['full'])
-# barycenter/retriangulation aliases: cut cells use exact clipping in 1D and
-# boosted-order indicator quadrature in 2D for BOTH reference modes
+# barycenter/retriangulation aliases: cut cells use EXACT clipping for both
+# reference modes (1D interval clipping; 2D kink-split polar rays clipped
+# at horizon/||d|| — exact for every norm ball, see jaxDirNorm)
 interactionFactory.register('ball2', ball2,
                             aliases=['ball', 'ball2_retriangulation',
                                      'ball2_barycenter', '2'])

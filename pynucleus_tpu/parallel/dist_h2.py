@@ -233,15 +233,20 @@ class DistributedH2Matrix:
                                    _statics=dict(kernel=kernel)))
             return (-2.0 * K[:P]).astype(dtp)
 
+        # one vectorized owner pass over Pnear (the former per-device list
+        # comprehension was O(nd * |Pnear|) python-loop host time)
+        POrdA = np.asarray(PnearAll, dtype=np.int64).reshape(-1, 2)
+        firstDof = np.fromiter((nd.dofs[0] for nd in nodes),
+                               dtype=np.int64, count=len(nodes))
+
         def nearRowsFor(k, dofDev):
             # pairs touching device k: both orderings are present in Pnear,
             # so the restricted list keeps the ordered-pair symmetry the
             # near-field engine expects.  Cross-device pairs are assembled
             # on BOTH owners (each keeps only its own rows) — the analogue
             # of the reference's off-rank drop (pxi:2232).
-            Pk = [pair for pair in PnearAll
-                  if dofDev[nodes[pair[0]].dofs[0]] == k
-                  or dofDev[nodes[pair[1]].dofs[0]] == k]
+            devP = dofDev[firstDof[POrdA]]              # [|Pnear|, 2]
+            Pk = [tuple(p) for p in POrdA[(devP == k).any(axis=1)]]
             # csr: skip the TreeNearOperator block layout the global CSR
             # slice below would immediately discard
             prevFmt = builder.params.get('nearFormat')
