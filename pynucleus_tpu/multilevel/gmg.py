@@ -34,7 +34,7 @@ __all__ = ['buildProlongation', 'multigrid', 'mgPreconditioner',
            'buildMeshHierarchy']
 
 
-def buildProlongation(dmCoarse, dmFine):
+def buildProlongation(dmCoarse, dmFine, dtype=None):
     """P [fineDofs x coarseDofs]: evaluate coarse basis at fine dof nodes.
 
     Exact for nested Lagrange spaces; replaces the reference's
@@ -93,6 +93,8 @@ def buildProlongation(dmCoarse, dmFine):
     cnt.sort_indices()
     P.data = P.data / cnt.data
     P.eliminate_zeros()
+    if dtype is not None:
+        P = P.astype(dtype)
     return CSR_LinearOperator.from_scipy(P)
 
 
@@ -191,8 +193,11 @@ def _vcycle(levels: _mgLevels, lvl, b, x, gamma=1):
     """Recursive V/W cycle (ref multigrid pxi solveOnLevel:237-291).  Python
     recursion over a static level count — unrolls under jit."""
     if lvl == 0:
+        # mixed-precision hierarchies (f32 fine levels on TPU, f64 coarse
+        # factor or vice versa): solve at the factor's dtype
         return jax.scipy.linalg.lu_solve(
-            (levels.coarse_lu, levels.coarse_piv), b)
+            (levels.coarse_lu, levels.coarse_piv),
+            b.astype(levels.coarse_lu.dtype)).astype(b.dtype)
     A = levels.As[lvl]
     Dinv = levels.Dinvs[lvl]
     om = levels.omega
@@ -271,8 +276,9 @@ def _fmg_solve(levels, b, gamma=1, maxiter=1):
     rhss[nl] = b
     for l in range(nl - 1, -1, -1):
         rhss[l] = levels.Ps[l + 1].rmatvec(rhss[l + 1])
-    x = jax.scipy.linalg.lu_solve((levels.coarse_lu, levels.coarse_piv),
-                                  rhss[0])
+    x = jax.scipy.linalg.lu_solve(
+        (levels.coarse_lu, levels.coarse_piv),
+        rhss[0].astype(levels.coarse_lu.dtype)).astype(rhss[0].dtype)
     for l in range(1, nl):
         x = levels.Ps[l].matvec(x)
         r = rhss[l] - levels.As[l].matvec(x)

@@ -257,6 +257,12 @@ def _grid_boundary_blocks(X, Ysurf, svolw2, vols, normals,
     C, Q1, dim = X.shape
     S, Q2, _ = Ysurf.shape
     dpe = PhiX.shape[0]
+    # flat surface axis (mS = S*Q2): a trailing Q2 of 3-16 tile-pads to
+    # 128 on TPU (see _grid_distant_pass layout rule)
+    mS = S * Q2
+    YsurfF = Ysurf.reshape(mS, dim)
+    svolw2F = svolw2.reshape(mS)
+    normalsF = jnp.repeat(normals, Q2, axis=0)        # [mS, dim]
 
     def body(carry, xs):
         Bxx, = carry
@@ -271,18 +277,18 @@ def _grid_boundary_blocks(X, Ysurf, svolw2, vols, normals,
                          jnp.clip(mc, 0, S - 1)].add(1)
         marked = marks[:Ct] > 0
         m = (marked if maskIn else ~marked) & valid[:, None]
-        r2 = None
-        dd = Xt[:, :, None, None, :] - Ysurf[None, None, :, :, :]
-        r2 = jnp.sum(dd * dd, axis=-1)                # [Ct, Q1, S, Q2]
+        mF = jnp.repeat(m, Q2, axis=1)                # [Ct, mS]
+        dd = Xt[:, :, None, :] - YsurfF[None, None, :, :]
+        r2 = jnp.sum(dd * dd, axis=-1)                # [Ct, Q1, mS]
         g = _radial_eval(kernel, r2)
         if useNormals:
             rsafe = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
-            fac = jnp.einsum('sd,xqsrd->xqsr', normals, -dd) / rsafe
+            fac = jnp.einsum('md,xqmd->xqm', normalsF, -dd) / rsafe
             g = g * jnp.where(r2 > 0, fac, 0.0)
         vol1 = jnp.where(valid, vols[rc], 0.0)
-        G = jnp.where(m[:, None, :, None], g, 0.0) \
-            * vol1[:, None, None, None]
-        R = jnp.einsum('xqsr,sr->xq', G, svolw2)      # [Ct, Q1]
+        G = jnp.where(mF[:, None, :], g, 0.0) \
+            * vol1[:, None, None]
+        R = jnp.einsum('xqm,m->xq', G, svolw2F)       # [Ct, Q1]
         Bxx = Bxx.at[rc].add(jnp.einsum('aq,bq,xq->xab', PhiXw, PhiX, R)
                              * valid[:, None, None])
         return (Bxx,), None

@@ -151,7 +151,7 @@ def run(noRef):
                     dml, kernel, zeroExterior=True,
                     params={'dtype': dtype}).getH2()
             if lvl > 0:
-                P = buildProlongation(dms[lvl - 1], dml)
+                P = buildProlongation(dms[lvl - 1], dml, dtype=dtype)
                 entry['P'] = P
                 entry['R'] = P.T
             hierarchy.append(entry)
